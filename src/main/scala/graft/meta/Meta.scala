@@ -1,0 +1,112 @@
+package graft.meta
+
+import scala.jdk.CollectionConverters._
+
+/** Dynamic metadata value tree ("metadata stays data, not code").
+  *
+  * Models the YAML documents the reference engine is driven by
+  * (reference: the yaml files under hbsir/metadata/, loaded at
+  * hbsir/core/metadata_reader.py:127-165). Keys may be integers (year
+  * version markers) or strings; insertion order is preserved because the
+  * reference's overlay/categorize semantics depend on it.
+  */
+sealed trait Meta {
+  def isNull: Boolean = this == MNull
+
+  def asMap: Vector[(MKey, Meta)] = this match {
+    case MMap(e) => e
+    case other   => throw new IllegalArgumentException(s"not a map: $other")
+  }
+  def asList: Vector[Meta] = this match {
+    case MList(e) => e
+    case other    => throw new IllegalArgumentException(s"not a list: $other")
+  }
+  def asStr: String = this match {
+    case MStr(s)  => s
+    case MInt(i)  => i.toString
+    case MDbl(d)  => d.toString
+    case MBool(b) => b.toString
+    case other    => throw new IllegalArgumentException(s"not a string: $other")
+  }
+  def asLong: Long = this match {
+    case MInt(i) => i
+    case MDbl(d) => d.toLong
+    case MStr(s) => s.trim.toLong
+    case other   => throw new IllegalArgumentException(s"not an int: $other")
+  }
+  def asDouble: Double = this match {
+    case MInt(i) => i.toDouble
+    case MDbl(d) => d
+    case MStr(s) => s.trim.toDouble
+    case other   => throw new IllegalArgumentException(s"not a double: $other")
+  }
+  def asBool: Boolean = this match {
+    case MBool(b) => b
+    case other    => throw new IllegalArgumentException(s"not a bool: $other")
+  }
+
+  /** Map-style lookup by string key. */
+  def get(key: String): Option[Meta] = this match {
+    case MMap(e) => e.collectFirst { case (SKey(k), v) if k == key => v }
+    case _       => None
+  }
+  def get(key: Long): Option[Meta] = this match {
+    case MMap(e) => e.collectFirst { case (IKey(k), v) if k == key => v }
+    case _       => None
+  }
+  def apply(key: String): Meta =
+    get(key).getOrElse(throw new NoSuchElementException(s"key $key in $this"))
+  def has(key: String): Boolean = get(key).isDefined
+}
+
+final case class MInt(v: Long) extends Meta
+final case class MDbl(v: Double) extends Meta
+final case class MStr(v: String) extends Meta
+final case class MBool(v: Boolean) extends Meta
+case object MNull extends Meta
+final case class MList(items: Vector[Meta]) extends Meta
+final case class MMap(entries: Vector[(MKey, Meta)]) extends Meta {
+  lazy val keys: Vector[MKey] = entries.map(_._1)
+}
+
+sealed trait MKey { def asString: String }
+final case class IKey(v: Long) extends MKey { def asString = v.toString }
+final case class SKey(v: String) extends MKey { def asString = v }
+
+object Meta {
+  def map(entries: (MKey, Meta)*): MMap = MMap(entries.toVector)
+  def list(items: Meta*): MList = MList(items.toVector)
+  def k(s: String): MKey = SKey(s)
+  def k(i: Long): MKey = IKey(i)
+
+  /** Parse a YAML document (snakeyaml ships with Spark) into a Meta tree. */
+  def fromYaml(yaml: String): Meta = {
+    val loaded = new org.yaml.snakeyaml.Yaml().load[Object](yaml)
+    fromJava(loaded)
+  }
+
+  def fromJava(o: Object): Meta = o match {
+    case null                       => MNull
+    case b: java.lang.Boolean       => MBool(b)
+    case i: java.lang.Integer       => MInt(i.longValue)
+    case l: java.lang.Long          => MInt(l)
+    case bi: java.math.BigInteger   => MInt(bi.longValueExact)
+    case d: java.lang.Double        => MDbl(d)
+    case f: java.lang.Float         => MDbl(f.doubleValue)
+    case s: String                  => MStr(s)
+    case m: java.util.Map[_, _] =>
+      MMap(m.asScala.toVector.map { case (k, v) =>
+        val key = k match {
+          case ki: java.lang.Integer => IKey(ki.longValue)
+          case kl: java.lang.Long    => IKey(kl)
+          case ks: String            => SKey(ks)
+          case other                 => SKey(String.valueOf(other))
+        }
+        key -> fromJava(v.asInstanceOf[Object])
+      })
+    case l: java.util.List[_] =>
+      MList(l.asScala.toVector.map(v => fromJava(v.asInstanceOf[Object])))
+    case other =>
+      MStr(String.valueOf(other))
+  }
+}
