@@ -1,0 +1,132 @@
+package graft.ops
+
+import graft.meta._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The "cleaned" layer (B1-B5): metadata-driven column select/rename,
+  * sentinel replacement, string scrubbing, and typing.
+  *
+  * Semantics from hbsir/core/data_cleaner.py:141-227 driven by
+  * hbsir/metadata/tables.yaml. Everything compiles to Column expressions
+  * so the whole clean stays inside one projection (single codegen stage,
+  * pushdown-friendly) rather than the reference's per-column eager passes.
+  */
+object CleanOps {
+
+  sealed trait ColType
+  case object StrType extends ColType
+  case object UnsignedType extends ColType
+  case object IntType extends ColType
+  case object FloatType extends ColType
+  final case class BoolType(trueCondition: Long) extends ColType
+  final case class CategoryType(categories: Map[Long, String]) extends ColType
+
+  final case class ColumnSpec(
+      rawName: String,
+      newName: String,
+      typ: ColType,
+      replace: Map[String, Option[String]] = Map.empty,
+  )
+
+  final case class TableCleanSpec(
+      columns: Vector[ColumnSpec],
+      missings: String, // "drop" | "error"
+  )
+
+  /** Compile a year-resolved table metadata block (tables.yaml shape:
+    * `columns: {RAWNAME: {new_name, type, replace, ...}}`) to a spec.
+    */
+  def compileSpec(tableMeta: Meta, year: Int): TableCleanSpec = {
+    val resolved = new VersionResolver(tableMeta, year).getVersion
+    val missings = resolved
+      .get("settings").flatMap(_.get("missings")).map(_.asStr).getOrElse("drop")
+    val cols = resolved("columns").asMap.flatMap {
+      case (k, MStr("drop")) => None
+      case (k, cm) =>
+        val typ = cm.get("type").map(_.asStr) match {
+          case None | Some("string") => StrType
+          case Some("unsigned")      => UnsignedType
+          case Some("integer")       => IntType
+          case Some("float")         => FloatType
+          case Some("boolean")       => BoolType(cm("true_condition").asLong)
+          case Some("category") =>
+            CategoryType(cm("categories").asMap.map {
+              case (IKey(i), v) => i -> v.asStr
+              case (SKey(s), v) => s.toLong -> v.asStr
+            }.toMap)
+          case Some(other) => throw new IllegalArgumentException(s"type $other")
+        }
+        val replace = cm.get("replace") match {
+          case Some(rm: MMap) => rm.entries.map {
+            case (rk, MNull)  => rk.asString -> None
+            case (rk, rv)     => rk.asString -> Some(rv.asStr)
+          }.toMap
+          case _ => Map.empty[String, Option[String]]
+        }
+        Some(ColumnSpec(k.asString, cm("new_name").asStr, typ, replace))
+    }
+    TableCleanSpec(cols, missings)
+  }
+
+  /** General string scrubbing (data_cleaner.py:216-227): middle-dot -> '.',
+    * strip trailing dots, remove junk chars, leading '-' after word break,
+    * blank/dot/dash-only -> null. Applied only to string-typed raw input.
+    */
+  def generalCleaning(c: Column): Column = {
+    val midDot = regexp_replace(c, "·", ".")
+    val rstrip = regexp_replace(midDot, "\\.+$", "")
+    val junk = regexp_replace(rstrip, "[\\n\\r,@+*\\[\\]_?]+", "")
+    val dash = regexp_replace(junk, "\\b-", "")
+    when(dash.rlike("^[\\s.\\-]*$"), lit(null)).otherwise(dash)
+  }
+
+  /** One column's full clean as a single expression. */
+  def cleanColumn(spec: ColumnSpec): Column = {
+    val raw = col(spec.rawName)
+    val replaced =
+      if (spec.replace.isEmpty) raw
+      else spec.replace.foldLeft(raw) { case (acc, (from, to)) =>
+        when(acc === lit(from), to.map(lit).getOrElse(lit(null))).otherwise(acc)
+      }
+    val scrubbed = generalCleaning(replaced.cast(StringType))
+    val typed = spec.typ match {
+      case StrType      => scrubbed
+      case UnsignedType => scrubbed.cast(LongType)
+      case IntType      => scrubbed.cast(LongType)
+      case FloatType    => scrubbed.cast(DoubleType)
+      case BoolType(t)  => scrubbed.cast(IntegerType) === lit(t)
+      case CategoryType(cats) =>
+        val codes = scrubbed.cast(IntegerType)
+        cats.toSeq.sortBy(_._1).foldLeft(lit(null).cast(StringType)) {
+          case (acc, (code, label)) => when(codes === lit(code), lit(label)).otherwise(acc)
+        }
+    }
+    typed.as(spec.newName)
+  }
+
+  /** B1-B4: raw DataFrame -> cleaned DataFrame in one projection.
+    * Columns absent from metadata follow the `missings` policy
+    * (data_cleaner.py:157-179); matching is case-insensitive on upper()
+    * like the reference's `column_name.upper()`.
+    */
+  def cleanTable(raw: DataFrame, spec: TableCleanSpec): DataFrame = {
+    val specByRaw = spec.columns.map(c => c.rawName.toUpperCase -> c).toMap
+    val projections = raw.columns.toSeq.flatMap { c =>
+      specByRaw.get(c.toUpperCase) match {
+        case Some(cs) => Some(cleanColumn(cs.copy(rawName = c)))
+        case None if spec.missings == "error" =>
+          throw new IllegalArgumentException(s"column '$c' not found in metadata")
+        case None => None
+      }
+    }
+    raw.select(projections: _*)
+  }
+
+  /** B5/C16/C17: union with schema alignment — the reference's UNION ALL
+    * (pd.concat, data_engine.py:627-645); missing columns become null.
+    */
+  def unionAll(tables: Seq[DataFrame]): DataFrame =
+    tables.filter(_.columns.nonEmpty).reduce(_.unionByName(_, allowMissingColumns = true))
+}
