@@ -1,0 +1,762 @@
+package graft
+
+import graft.meta._
+import graft.ops._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The operator-demonstration query catalog: one entry per implemented
+  * operator from SURVEY.md §2 (+ the LLM-data-pipeline extensions), each
+  * over the driver's /root/testdata parquet tables, each paired (where
+  * SQL-expressible) with an equivalent DuckDB oracle.
+  *
+  * Numeric design rule for hash-stable oracles: aggregates run over exact
+  * integers (money as `cents` = round(x*100) cast bigint; counts; small
+  * longs), so sums are order-independent; any floating-point math happens
+  * AFTER aggregation as a fixed IEEE expression sequence written
+  * identically in both engines. Per-row double math (no aggregation) is
+  * bit-identical across engines by IEEE 754.
+  */
+object Queries {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Money to exact integer cents. */
+  private def cents(c: Column): Column = round(c * 100, 0).cast(LongType)
+  private val centsSql = (c: String) => s"CAST(round($c*100,0) AS BIGINT)"
+
+  private object NoProvider extends Pipeline.TableProvider {
+    def table(name: String, years: Seq[Int]): DataFrame =
+      throw new UnsupportedOperationException(name)
+    def addWeights(df: DataFrame): DataFrame = df
+    def addClassification(df: DataFrame, settings: Meta): DataFrame = df
+    def addAttribute(df: DataFrame, settings: Meta): DataFrame = df
+  }
+  private def ctx(year: Int, table: String): Pipeline.Context =
+    Pipeline.Context(year, table, NoProvider)
+
+  // ------------------------------------------------------------------ A/B/C
+
+  /** Flagship (entry): TPC-H Q1-shaped pricing summary through C10-style
+    * grouped aggregation — scan, filter, projection, hash agg.
+    */
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .where(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_price_cents"),
+        sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("sum_disc_price_c4"),
+        count(lit(1)).as("n"))
+
+  private val q1Sql = """
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS sum_price_cents,
+           sum(CAST(round(l_extendedprice*100,0) AS BIGINT) * (100 - CAST(round(l_discount*100,0) AS BIGINT))) AS sum_disc_price_c4,
+           count(*) AS n
+    FROM lineitem WHERE l_shipdate <= '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus"""
+
+  /** B1-B4: metadata-driven clean (select+rename+scrub+type) over part. */
+  def b1Clean(s: SparkSession, dir: String): DataFrame = {
+    import CleanOps._
+    val spec = TableCleanSpec(Vector(
+      ColumnSpec("p_partkey", "PartKey", UnsignedType),
+      ColumnSpec("p_name", "Name", StrType),
+      ColumnSpec("p_size", "Size", IntType),
+      ColumnSpec("p_retailprice", "Price", FloatType),
+    ), missings = "drop")
+    cleanTable(T(s, dir, "part"), spec)
+  }
+
+  private val b1Sql = """
+    SELECT p_partkey AS PartKey,
+           CASE WHEN regexp_matches(regexp_replace(regexp_replace(regexp_replace(regexp_replace(p_name,'·','.','g'),'\.+$','','g'),'[\n\r,@+*\[\]_?]+','','g'),'\b-','','g'), '^[\s.\-]*$')
+                THEN NULL
+                ELSE regexp_replace(regexp_replace(regexp_replace(regexp_replace(p_name,'·','.','g'),'\.+$','','g'),'[\n\r,@+*\[\]_?]+','','g'),'\b-','','g') END AS Name,
+           CAST(p_size AS BIGINT) AS Size,
+           CAST(p_retailprice AS DOUBLE) AS Price
+    FROM part"""
+
+  /** B2: sentinel replacement (string and numeric) before typing. */
+  def b2Replace(s: SparkSession, dir: String): DataFrame = {
+    import CleanOps._
+    val spec = TableCleanSpec(Vector(
+      ColumnSpec("l_orderkey", "OrderKey", UnsignedType),
+      ColumnSpec("l_linenumber", "LineNumber", IntType),
+      ColumnSpec("l_returnflag", "ReturnFlag", StrType, replace = Map("N" -> None)),
+      ColumnSpec("l_tax", "Tax", FloatType, replace = Map("0.0" -> None)),
+    ), missings = "drop")
+    cleanTable(T(s, dir, "lineitem"), spec)
+  }
+
+  private val b2Sql = """
+    SELECT l_orderkey AS OrderKey, CAST(l_linenumber AS BIGINT) AS LineNumber,
+           NULLIF(l_returnflag, 'N') AS ReturnFlag,
+           NULLIF(l_tax, 0.0) AS Tax
+    FROM lineitem"""
+
+  /** B4: boolean via true_condition + category code->label with unmapped
+    * passthrough.
+    */
+  def b4Cast(s: SparkSession, dir: String): DataFrame = {
+    import CleanOps._
+    val spec = TableCleanSpec(Vector(
+      ColumnSpec("l_orderkey", "OrderKey", UnsignedType),
+      ColumnSpec("l_linenumber", "LineNumber", IntType),
+      ColumnSpec("l_linenumber", "Is_First", BoolType(1)),
+      ColumnSpec("l_linenumber", "Line_Cat", CategoryType(Map(1L -> "one", 2L -> "two"))),
+    ), missings = "drop")
+    // duplicate raw usage: project manually (cleanTable keys by raw name)
+    val li = T(s, dir, "lineitem")
+    li.select(
+      cleanColumn(spec.columns(0), LongType),
+      cleanColumn(spec.columns(1), IntegerType),
+      cleanColumn(spec.columns(2), IntegerType),
+      cleanColumn(spec.columns(3), IntegerType))
+  }
+
+  private val b4Sql = """
+    SELECT l_orderkey AS OrderKey, CAST(l_linenumber AS BIGINT) AS LineNumber,
+           CAST(l_linenumber AS INT) = 1 AS Is_First,
+           CASE CAST(l_linenumber AS INT) WHEN 1 THEN 'one' WHEN 2 THEN 'two'
+                ELSE CAST(CAST(l_linenumber AS INT) AS VARCHAR) END AS Line_Cat
+    FROM lineitem"""
+
+  /** B5/C16/C17: two differently-shaped cleans unioned by name with
+    * missing columns -> null (the reference's urban/rural concat and
+    * UNION ALL of standard tables).
+    */
+  def b5Union(s: SparkSession, dir: String): DataFrame = {
+    val sup = T(s, dir, "supplier")
+    val urban = sup.where(col("s_nationkey") < 12)
+      .select(col("s_suppkey").as("SuppKey"), col("s_name").as("Name"),
+        col("s_acctbal").as("Balance"), lit("Urban").as("Area"))
+    val rural = sup.where(col("s_nationkey") >= 12)
+      .select(col("s_suppkey").as("SuppKey"), col("s_name").as("Name"),
+        lit("Rural").as("Area"))
+    CleanOps.unionAll(Seq(urban, rural))
+  }
+
+  private val b5Sql = """
+    SELECT s_suppkey AS SuppKey, s_name AS Name, s_acctbal AS Balance, 'Urban' AS Area
+    FROM supplier WHERE s_nationkey < 12
+    UNION ALL
+    SELECT s_suppkey, s_name, NULL, 'Rural' FROM supplier WHERE s_nationkey >= 12"""
+
+  /** C1+C2: literal Year / Table_Name via the pipeline interpreter. */
+  def c1c2Literals(s: SparkSession, dir: String): DataFrame =
+    Pipeline.run(T(s, dir, "region"),
+      Seq(Pipeline.AddYear, Pipeline.AddTableName), ctx(1400, "region"))
+
+  private val c1c2Sql =
+    "SELECT r_regionkey, r_name, 1400 AS Year, 'region' AS Table_Name FROM region"
+
+  /** C6 apply_order: exact projection + inline casts. */
+  def c6Order(s: SparkSession, dir: String): DataFrame =
+    Pipeline.run(T(s, dir, "orders"),
+      Seq(Pipeline.ApplyOrder(Seq(
+        "o_orderkey" -> None, "o_custkey" -> Some("int32"), "o_orderstatus" -> None))),
+      ctx(1400, "orders"))
+
+  private val c6Sql =
+    "SELECT o_orderkey, CAST(o_custkey AS INTEGER) AS o_custkey, o_orderstatus FROM orders"
+
+  /** C7 create_column numerical with NULL-AS-ZERO semantics. */
+  def c7Numeric(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem")
+      .withColumn("Discount", when(col("l_discount") === 0.0, lit(null)).otherwise(col("l_discount")))
+    Pipeline.run(li,
+      Seq(Pipeline.CreateColNumeric("Net_Price", Right("l_extendedprice - Discount * l_extendedprice"))),
+      ctx(1400, "lineitem"))
+      .select("l_orderkey", "l_linenumber", "Discount", "Net_Price")
+  }
+
+  private val c7Sql = """
+    SELECT l_orderkey, l_linenumber,
+           NULLIF(l_discount, 0.0) AS Discount,
+           coalesce(l_extendedprice, 0) - coalesce(NULLIF(l_discount, 0.0), 0) * coalesce(l_extendedprice, 0) AS Net_Price
+    FROM lineitem"""
+
+  /** C8 create_column categorical — LAST matching category wins. */
+  def c8Categorical(s: SparkSession, dir: String): DataFrame = {
+    val cats = Seq(
+      "normal" -> (MNull: Meta),
+      "urgent" -> (Meta.map(Meta.k("o_orderpriority") ->
+        Meta.list(MStr("1-URGENT"), MStr("2-HIGH"))): Meta),
+      "low" -> (Meta.map(Meta.k("o_orderpriority") -> MStr("5-LOW")): Meta),
+    )
+    Pipeline.run(T(s, dir, "orders"),
+      Seq(Pipeline.CreateColCategorical("Priority_Class", cats)),
+      ctx(1400, "orders"))
+      .select("o_orderkey", "o_orderpriority", "Priority_Class")
+  }
+
+  private val c8Sql = """
+    SELECT o_orderkey, o_orderpriority,
+           CASE WHEN o_orderpriority = '5-LOW' THEN 'low'
+                WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'urgent'
+                ELSE 'normal' END AS Priority_Class
+    FROM orders"""
+
+  /** C9 apply_filter: pandas-query syntax chain (null-safe negatives). */
+  def c9Filter(s: SparkSession, dir: String): DataFrame =
+    Pipeline.run(T(s, dir, "lineitem"),
+      Seq(Pipeline.ApplyFilter(Seq(
+        "l_quantity > 30 & l_returnflag != 'N'",
+        "l_linestatus == 'F'"))),
+      ctx(1400, "lineitem"))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_linestatus")
+
+  private val c9Sql = """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_linestatus
+    FROM lineitem
+    WHERE (l_quantity > 30 AND (l_returnflag IS NULL OR l_returnflag <> 'N'))
+      AND l_linestatus = 'F'"""
+
+  /** C10 groupby-sum through the pandas-method-chain parser. */
+  def c10GroupbySum(s: SparkSession, dir: String): DataFrame = {
+    val step = Pipeline.parsePandasFunction(
+      """table.groupby(["l_returnflag", "l_linestatus"])[["l_quantity"]].sum().reset_index()""")
+    Pipeline.run(T(s, dir, "lineitem"), Seq(step), ctx(1400, "lineitem"))
+  }
+
+  private val c10SumSql = """
+    SELECT l_returnflag, l_linestatus, sum(l_quantity) AS l_quantity
+    FROM lineitem GROUP BY 1, 2"""
+
+  private def membersBase(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem").select(
+      year(col("l_shipdate")).as("Year"),
+      col("l_orderkey").as("ID"),
+      col("l_linenumber").as("Member_Number"),
+      col("l_quantity").cast(IntegerType).as("Age"))
+
+  private val membersBaseSql = """
+    SELECT CAST(year(l_shipdate) AS INTEGER) AS Year, l_orderkey AS ID,
+           l_linenumber AS Member_Number, CAST(l_quantity AS INTEGER) AS Age
+    FROM lineitem"""
+
+  /** C10 melt (stack): wide member counts -> long (Type, Value). */
+  def c10Melt(s: SparkSession, dir: String): DataFrame = {
+    val wide = StandardFunctions.numberOfMembers(membersBase(s, dir))
+    Pipeline.run(wide,
+      Seq(Pipeline.Melt(Seq.empty, Seq("Year", "ID"), "Type", "Value")),
+      ctx(1400, "members"))
+  }
+
+  private val c10MeltSql = s"""
+    SELECT Year, ID, Type, Value FROM (
+      SELECT Year, ID,
+             CAST(count(Member_Number) AS BIGINT) AS Members,
+             CAST(sum(CASE WHEN Age >= 14 THEN 1 ELSE 0 END) AS BIGINT) AS Adults,
+             CAST(count(Member_Number) AS BIGINT) - CAST(sum(CASE WHEN Age >= 14 THEN 1 ELSE 0 END) AS BIGINT) AS Childs
+      FROM ($membersBaseSql) GROUP BY Year, ID
+    ) UNPIVOT (Value FOR Type IN (Members, Adults, Childs))"""
+
+  /** C11+C13 external function registry: number_of_members. */
+  def c13Members(s: SparkSession, dir: String): DataFrame =
+    Pipeline.run(membersBase(s, dir),
+      Seq(Pipeline.ExternalFunction("number_of_members")), ctx(1400, "members"))
+
+  private val c13Sql = s"""
+    SELECT Year, ID,
+           CAST(count(Member_Number) AS BIGINT) AS Members,
+           CAST(sum(CASE WHEN Age >= 14 THEN 1 ELSE 0 END) AS BIGINT) AS Adults,
+           CAST(count(Member_Number) AS BIGINT) - CAST(sum(CASE WHEN Age >= 14 THEN 1 ELSE 0 END) AS BIGINT) AS Childs
+    FROM ($membersBaseSql) GROUP BY Year, ID"""
+
+  /** C14 equivalence scales. */
+  def c14Equivalence(s: SparkSession, dir: String): DataFrame =
+    StandardFunctions.equivalenceScale(StandardFunctions.numberOfMembers(membersBase(s, dir)))
+
+  private val c14Sql = s"""
+    SELECT Year, ID, Members, Adults, Childs,
+           1 AS Household,
+           Members AS Per_Capita,
+           ((Adults * CAST(0.7 AS DOUBLE)) + (Childs * CAST(0.5 AS DOUBLE))) + CAST(0.3 AS DOUBLE) AS OECD,
+           ((Adults * CAST(0.5 AS DOUBLE)) + (Childs * CAST(0.3 AS DOUBLE))) + CAST(0.5 AS DOUBLE) AS OECD_Modified,
+           sqrt(CAST(Members AS DOUBLE)) AS Square_Root
+    FROM ($c13Sql)"""
+
+  /** C15 month -> season. */
+  def c15Season(s: SparkSession, dir: String): DataFrame =
+    StandardFunctions.createSeason(
+      T(s, dir, "orders").select(col("o_orderkey"), month(col("o_orderdate")).as("Month")))
+
+  private val c15Sql = """
+    SELECT o_orderkey, CAST(month(o_orderdate) AS INTEGER) AS Month,
+           CASE CAST(floor(CAST(month(o_orderdate) AS INTEGER)/3) + 1 AS INT)
+                WHEN 1 THEN 'Spring' WHEN 2 THEN 'Summer'
+                WHEN 3 THEN 'Autumn' WHEN 4 THEN 'Winter' END AS Season
+    FROM orders"""
+
+  /** C12 join through the pipeline with a table provider. */
+  def c12Join(s: SparkSession, dir: String): DataFrame = {
+    val provider = new Pipeline.TableProvider {
+      def table(name: String, years: Seq[Int]): DataFrame =
+        T(s, dir, "customer").select(col("c_custkey").as("CustKey"),
+          col("c_mktsegment").as("Segment"))
+      def addWeights(df: DataFrame): DataFrame = df
+      def addClassification(df: DataFrame, settings: Meta): DataFrame = df
+      def addAttribute(df: DataFrame, settings: Meta): DataFrame = df
+    }
+    val df = T(s, dir, "orders").select(col("o_orderkey").as("OrderKey"),
+      col("o_custkey").as("CustKey"), cents(col("o_totalprice")).as("Total_Cents"))
+    Pipeline.run(df, Seq(Pipeline.Join("customer", Seq("CustKey"))),
+      Pipeline.Context(1400, "orders", provider))
+  }
+
+  private val c12Sql = s"""
+    SELECT o_custkey AS CustKey, o_orderkey AS OrderKey,
+           ${centsSql("o_totalprice")} AS Total_Cents, c_mktsegment AS Segment
+    FROM orders JOIN customer ON o_custkey = c_custkey"""
+
+  // ------------------------------------------------------------------ D1/D2
+
+  private val partClassYaml = """
+defaults:
+  levels: [1, 2]
+  column_names: [Part_Class]
+  missing_value_replacements: {Part_Class_1: other}
+items:
+  small:
+    level: 1
+    code: {start: 0, end: 1000}
+  large:
+    level: 1
+    code:
+      1995: {start: 1000, end: 1900}
+      1998: {start: 1000, end: 2000}
+  tiny:
+    level: 2
+    code: {start: 0, end: 200}
+  mid:
+    level: 2
+    code: [{start: 200, end: 700}, {start: 800, end: 900}]
+"""
+
+  /** D1 classification range join over (Year, Code) with year-versioned
+    * ranges, level pivot, and missing-value fill.
+    */
+  def d1Classification(s: SparkSession, dir: String): DataFrame = {
+    val meta = Meta.fromYaml(partClassYaml)
+    val df = T(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      year(col("l_shipdate")).as("Year"), col("l_partkey").as("Code"))
+    val years = (1995 to 2001)
+    // testdata years are Gregorian — widen the resolver's year window
+    val items = Classifier.compile(meta, years,
+      resolver = ResolverSettings(yearRange = (1350, 2100)))
+    val settings = Classifier.settingsFromMeta(meta)
+    Classifier.addClassification(df, items, settings)
+  }
+
+  private val d1Sql = """
+    SELECT l_orderkey, l_linenumber,
+           CAST(year(l_shipdate) AS INTEGER) AS Year,
+           l_partkey AS Code,
+           CASE WHEN l_partkey < 1000 THEN 'small'
+                WHEN year(l_shipdate) < 1998 AND l_partkey >= 1000 AND l_partkey < 1900 THEN 'large'
+                WHEN year(l_shipdate) >= 1998 AND l_partkey >= 1000 AND l_partkey < 2000 THEN 'large'
+                ELSE 'other' END AS Part_Class_1,
+           CASE WHEN l_partkey < 200 THEN 'tiny'
+                WHEN (l_partkey >= 200 AND l_partkey < 700) OR (l_partkey >= 800 AND l_partkey < 900) THEN 'mid'
+                ELSE NULL END AS Part_Class_2
+    FROM lineitem"""
+
+  /** D2 ID digit-substring attribute decode — pure expression, no join. */
+  def d2Attribute(s: SparkSession, dir: String): DataFrame = {
+    val df = T(s, dir, "orders").select(
+      col("o_orderkey"),
+      lit(1400).as("Year"),
+      (lit(3000000000L) + (col("o_orderkey") * 4321L) % 1000000000L).as("ID"))
+    val urbanRural = Seq(IdDecoder.AttrVersion(1400, 1401, 10, 0, 1, Map(3L -> "Urban")))
+    val province = Seq(IdDecoder.AttrVersion(1400, 1401, 10, 1, 3,
+      (0L to 9L).map(i => i -> s"P$i").toMap))
+    val county = Seq(IdDecoder.AttrVersion(1400, 1401, 10, 4, 7))
+    val out1 = IdDecoder.addAttribute(df, urbanRural, IdDecoder.Settings("Urban_Rural"))
+    val out2 = IdDecoder.addAttribute(out1, province, IdDecoder.Settings("Province"))
+    IdDecoder.addAttribute(out2, county, IdDecoder.Settings("County", aspect = "code"))
+  }
+
+  private val d2Sql = """
+    SELECT o_orderkey, 1400 AS Year,
+           3000000000 + (o_orderkey * 4321) % 1000000000 AS ID,
+           CASE (3000000000 + (o_orderkey * 4321) % 1000000000) % 10000000000 // 1000000000
+                WHEN 3 THEN 'Urban' END AS Urban_Rural,
+           CASE WHEN ((3000000000 + (o_orderkey * 4321) % 1000000000) % 1000000000 // 10000000) < 10
+                THEN 'P' || CAST((3000000000 + (o_orderkey * 4321) % 1000000000) % 1000000000 // 10000000 AS VARCHAR)
+                ELSE NULL END AS Province,
+           CAST((3000000000 + (o_orderkey * 4321) % 1000000000) % 1000000 // 1000 AS VARCHAR) AS County
+    FROM orders"""
+
+  // ------------------------------------------------------------------ E
+
+  /** E6 add_weight: broadcast left join of per-(Year,ID) weights. */
+  def e6Weight(s: SparkSession, dir: String): DataFrame = {
+    val fact = T(s, dir, "orders").select(
+      lit(1400).as("Year"), col("o_custkey").as("ID"), col("o_orderkey").as("OrderKey"))
+    val weights = T(s, dir, "customer").select(
+      lit(1400).as("Year"), col("c_custkey").as("ID"),
+      cents(col("c_acctbal")).as("Weight"))
+    Stats.addWeight(fact, weights)
+  }
+
+  private val e6Sql = s"""
+    SELECT 1400 AS Year, o_custkey AS ID, o_orderkey AS OrderKey,
+           ${centsSql("c_acctbal")} AS Weight
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey"""
+
+  /** E10 weighted average with null-x-still-weighs-denominator. */
+  def e10WeightedAvg(s: SparkSession, dir: String): DataFrame = {
+    val df = T(s, dir, "lineitem").select(
+      when(col("l_quantity") === 50.0, lit(null)).otherwise(col("l_quantity")).as("Qty"),
+      cents(col("l_extendedprice")).as("Weight"))
+    Stats.weightedAverage(df, Seq("Qty")).select(round(col("Qty"), 6).as("Qty"))
+  }
+
+  private val e10Sql = s"""
+    SELECT round(sum(NULLIF(l_quantity, 50.0) * ${centsSql("l_extendedprice")})
+                 / sum(${centsSql("l_extendedprice")}), 6) AS Qty
+    FROM lineitem"""
+
+  /** E11 grouped weighted averages over several columns. */
+  def e11AverageTable(s: SparkSession, dir: String): DataFrame = {
+    val df = T(s, dir, "lineitem").select(
+      col("l_returnflag"),
+      when(col("l_quantity") === 50.0, lit(null)).otherwise(col("l_quantity")).as("Qty"),
+      (col("l_quantity") + 1.0).as("QtyPlus"),
+      cents(col("l_extendedprice")).as("Weight"))
+    Stats.averageTable(df, Seq("Qty", "QtyPlus"), Seq("l_returnflag"))
+      .select(col("l_returnflag"), round(col("Qty"), 6).as("Qty"), round(col("QtyPlus"), 6).as("QtyPlus"))
+  }
+
+  private val e11SqlReal = s"""
+    SELECT l_returnflag,
+           round(sum(NULLIF(l_quantity, 50.0) * ${centsSql("l_extendedprice")}) / sum(${centsSql("l_extendedprice")}), 6) AS Qty,
+           round(sum((l_quantity + 1.0) * ${centsSql("l_extendedprice")}) / sum(${centsSql("l_extendedprice")}), 6) AS QtyPlus
+    FROM lineitem GROUP BY l_returnflag"""
+
+  /** E12 weighted quantile: cumulative weight / total weight per year. */
+  def e12Quantile(s: SparkSession, dir: String): DataFrame = {
+    val df = T(s, dir, "orders").select(
+      year(col("o_orderdate")).as("Year"),
+      col("o_orderkey").as("ID"),
+      cents(col("o_totalprice")).as("Values"),
+      (lit(1L) + col("o_orderkey") % 7L).as("Weight"))
+    Stats.addQuantile(df, "Values", "Weight", Seq("Year"))
+  }
+
+  private val e12Sql = """
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS Year, o_orderkey AS ID,
+           CAST(round(o_totalprice*100,0) AS BIGINT) AS Values,
+           1 + o_orderkey % 7 AS Weight,
+           CAST(sum(1 + o_orderkey % 7) OVER (PARTITION BY year(o_orderdate) ORDER BY CAST(round(o_totalprice*100,0) AS BIGINT), o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / CAST(sum(1 + o_orderkey % 7) OVER (PARTITION BY year(o_orderdate)) AS DOUBLE) AS Quantile
+    FROM orders"""
+
+  /** E13 decile binning — floor(q*10)+1 clipped, not ntile. */
+  def e13Decile(s: SparkSession, dir: String): DataFrame = {
+    val df = T(s, dir, "orders").select(
+      year(col("o_orderdate")).as("Year"),
+      col("o_orderkey").as("ID"),
+      cents(col("o_totalprice")).as("Values"),
+      (lit(1L) + col("o_orderkey") % 7L).as("Weight"))
+    Stats.addDecile(df, "Values", "Weight", Seq("Year"))
+  }
+
+  private val e13Sql = """
+    SELECT Year, ID, Values, Weight,
+           CAST(least(greatest(CAST(floor(Quantile * 10) + 1 AS INT), 1), 10) AS INT) AS Decile
+    FROM (""" + e12Sql + ")"
+
+  /** E7+E8 CPI join + deflation (CPI derived per-year for the demo). */
+  def e7e8Cpi(s: SparkSession, dir: String): DataFrame = {
+    val orders = T(s, dir, "orders").select(
+      col("o_orderkey").as("OrderKey"),
+      year(col("o_orderdate")).as("Year"),
+      cents(col("o_totalprice")).as("Total_Cents"))
+    val cpi = orders.groupBy("Year").agg(sum(col("Total_Cents")).as("CPI"))
+    val withCpi = Stats.addCpi(orders, cpi, Seq("Year"))
+    Stats.adjustByCpi(withCpi, Seq("Total_Cents"))
+      .select(col("OrderKey"), col("Year"), col("Total_Cents").as("Deflated"))
+  }
+
+  private val e7e8Sql = """
+    SELECT o.OrderKey, o.Year, CAST(o.Total_Cents AS DOUBLE) / CAST(c.CPI AS DOUBLE) * 100 AS Deflated
+    FROM (SELECT o_orderkey AS OrderKey, CAST(year(o_orderdate) AS INTEGER) AS Year,
+                 CAST(round(o_totalprice*100,0) AS BIGINT) AS Total_Cents FROM orders) o
+    JOIN (SELECT CAST(year(o_orderdate) AS INTEGER) AS Year, sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS CPI
+          FROM orders GROUP BY 1) c USING (Year)"""
+
+  /** E9 equivalence-scale adjustment: join scale on (Year,ID), divide. */
+  def e9Equivalence(s: SparkSession, dir: String): DataFrame = {
+    val scale = c14Equivalence(s, dir).select("Year", "ID", "Per_Capita")
+    val fact = T(s, dir, "lineitem").select(
+      year(col("l_shipdate")).as("Year"), col("l_orderkey").as("ID"),
+      col("l_linenumber"), cents(col("l_extendedprice")).as("Price_Cents"))
+    Stats.adjustByEquivalenceScale(fact, scale, Seq("Price_Cents"), "Per_Capita")
+  }
+
+  private val e9Sql = s"""
+    SELECT f.Year, f.ID, f.l_linenumber,
+           CAST(f.Price_Cents AS DOUBLE) / s.Per_Capita AS Price_Cents
+    FROM (SELECT CAST(year(l_shipdate) AS INTEGER) AS Year, l_orderkey AS ID, l_linenumber,
+                 ${centsSql("l_extendedprice")} AS Price_Cents FROM lineitem) f
+    JOIN (SELECT Year, ID, Members AS Per_Capita FROM ($c13Sql)) s
+      ON f.Year = s.Year AND f.ID = s.ID"""
+
+  // ------------------------------------------------- LLM data-pipeline ops
+
+  /** Exact dedup by normalized-content fingerprint. */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    TextOps.exactDedup(T(s, dir, "documents"))
+
+  private val dedupExactSql = """
+    SELECT md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS fingerprint,
+           min(doc_id) AS doc_id, count(*) AS dup_count
+    FROM documents GROUP BY 1"""
+
+  /** Per-document text statistics. */
+  def textStats(s: SparkSession, dir: String): DataFrame =
+    TextOps.textStats(T(s, dir, "documents"))
+      .select("doc_id", "n_chars_calc", "n_tokens", "n_distinct_tokens", "n_digits", "n_punct")
+
+  private val textStatsSql = """
+    SELECT doc_id,
+           CAST(length(text) AS INT) AS n_chars_calc,
+           CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS INT) AS n_tokens,
+           CAST(len(list_distinct(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))) AS INT) AS n_distinct_tokens,
+           CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INT) AS n_digits,
+           CAST(length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g')) AS INT) AS n_punct
+    FROM documents"""
+
+  /** Language-ID heuristic (stopword-hit argmax). */
+  def langId(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents").select(col("doc_id"), col("lang"),
+      TextOps.languageId(col("text")).as("pred_lang"))
+
+  private val langIdSql = {
+    def score(words: Seq[String]) =
+      s"len(list_intersect(list_distinct(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')), [${words.map(w => s"'$w'").mkString(",")}]))"
+    val m = TextOps.defaultMarkers.toMap
+    val sEn = score(m("en")); val sDe = score(m("de")); val sEs = score(m("es")); val sFr = score(m("fr"))
+    s"""
+    SELECT doc_id, lang,
+           CASE WHEN ($sEn + $sDe + $sEs + $sFr) = 0 THEN 'und'
+                WHEN $sEn >= greatest($sDe, $sEs, $sFr) THEN 'en'
+                WHEN $sDe >= greatest($sEs, $sFr) THEN 'de'
+                WHEN $sEs >= $sFr THEN 'es'
+                ELSE 'fr' END AS pred_lang
+    FROM documents"""
+  }
+
+  /** Quality scoring. */
+  def qualityScore(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents").select(col("doc_id"),
+      TextOps.qualityScore(col("text")).as("quality"))
+
+  private val qualityScoreSql = """
+    SELECT doc_id,
+      round(greatest(0.0,
+        (((0.4 * least(length(text)/500.0, 1.0))
+         + (0.3 * (CASE WHEN len(list_filter(string_split_regex(trim(text),'\s+'), x -> x <> '')) > 0
+                        THEN len(list_distinct(list_filter(string_split_regex(trim(text),'\s+'), x -> x <> '')))
+                             / CAST(len(list_filter(string_split_regex(trim(text),'\s+'), x -> x <> '')) AS DOUBLE)
+                        ELSE 0.0 END)))
+         + (0.2 * (CASE WHEN (CASE WHEN len(list_filter(string_split_regex(trim(text),'\s+'), x -> x <> '')) > 0
+                                   THEN length(text) / CAST(len(list_filter(string_split_regex(trim(text),'\s+'), x -> x <> '')) AS DOUBLE)
+                                   ELSE 0.0 END) BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END)))
+        - (0.3 * (CASE WHEN length(text) > 0
+                       THEN (length(text) - length(regexp_replace(text,'[0-9]','','g'))) / CAST(length(text) AS DOUBLE)
+                       ELSE 0.0 END))), 6) AS quality
+    FROM documents"""
+
+  /** N-gram Jaccard between consecutive documents (bounded pair set). */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val a = docs.select(col("doc_id").as("id_a"), col("text").as("text_a"))
+    val b = docs.select(col("doc_id").as("id_b"), col("text").as("text_b"))
+    a.join(b, col("id_b") === col("id_a") + 1)
+      .select(col("id_a"), col("id_b"),
+        round(Dedup.ngramJaccard(col("text_a"), col("text_b")), 6).as("jaccard"))
+  }
+
+  private val ngramJaccardSql = {
+    def sh(t: String) =
+      s"""(CASE WHEN len(list_filter(string_split_regex(trim(regexp_replace(lower($t),'[^a-z0-9\\s]+',' ','g')),'\\s+'), x -> x <> '')) <= 3
+               THEN [array_to_string(list_filter(string_split_regex(trim(regexp_replace(lower($t),'[^a-z0-9\\s]+',' ','g')),'\\s+'), x -> x <> ''), ' ')]
+               ELSE list_transform(range(1, len(list_filter(string_split_regex(trim(regexp_replace(lower($t),'[^a-z0-9\\s]+',' ','g')),'\\s+'), x -> x <> '')) - 1),
+                    i -> array_to_string(list_slice(list_filter(string_split_regex(trim(regexp_replace(lower($t),'[^a-z0-9\\s]+',' ','g')),'\\s+'), x -> x <> ''), i, i+2), ' '))
+          END)"""
+    s"""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CASE WHEN len(list_distinct(list_concat(${sh("a.text")}, ${sh("b.text")}))) > 0
+                 THEN CAST(len(list_intersect(list_distinct(${sh("a.text")}), list_distinct(${sh("b.text")}))) AS DOUBLE)
+                      / CAST(len(list_distinct(list_concat(${sh("a.text")}, ${sh("b.text")}))) AS DOUBLE)
+                 ELSE 0.0 END, 6) AS jaccard
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1"""
+  }
+
+  /** MinHash-LSH near-dup candidate pairs (not SQL-expressible — driver
+    * records a rows-only check; ScalaTest asserts planted near-dups are
+    * found).
+    */
+  def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashPairs(T(s, dir, "documents"))
+      .orderBy("id_a", "id_b")
+
+  /** SimHash near-dup candidates (rows-only check). */
+  def simhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashCandidates(T(s, dir, "documents"), maxDistance = 8)
+      .orderBy("id_a", "id_b")
+
+  /** Brute-force exact cosine top-k (k=5, 3 query vectors). */
+  def annBruteTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    Ann.bruteForceTopK(emb, emb.where(col("vec_id") < 3), k = 5)
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"),
+        col("rank").cast(IntegerType).as("rank"))
+  }
+
+  private val annBruteSql = """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 3),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             CASE WHEN (sqrt(list_sum(list_transform(list_zip(q.qvec, q.qvec), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE))))
+                       * sqrt(list_sum(list_transform(list_zip(e.embedding, e.embedding), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE))))) > 0
+                  THEN list_sum(list_transform(list_zip(q.qvec, e.embedding), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(list_zip(q.qvec, q.qvec), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(list_zip(e.embedding, e.embedding), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))))
+                  ELSE 0.0 END AS cos_raw
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 5"""
+
+  /** LSH-bucketed approximate top-k (rows-only; recall asserted in tests). */
+  def annLshTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    Ann.lshTopK(emb, emb.where(col("vec_id") < 3), k = 5, dim = 64)
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"),
+        col("rank").cast(IntegerType).as("rank"))
+  }
+
+  // ------------------------------------------------------------------ events
+
+  /** Hourly tumbling-window aggregation over the events table.
+    * `ts` arrives as TIMESTAMP(NANOS) parquet, read as nanos-long
+    * (spark.sql.legacy.parquet.nanosAsLong) — bucketing is integer math.
+    */
+  def eventsWindowAgg(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .groupBy(col("event_type"),
+        (expr("ts DIV 3600000000000") * lit(3600L)).as("hour_epoch"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+
+  private val eventsWindowSql = s"""
+    SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+           count(*) AS n, sum(${centsSql("value")}) AS value_cents
+    FROM events GROUP BY 1, 2"""
+
+  /** Gap-based sessionization (30-min inactivity) via window functions. */
+  def eventsSessionize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val tsUs = expr("ts DIV 1000")
+    val ev = T(s, dir, "events")
+      .withColumn("prev_us", lag(tsUs, 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          tsUs - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    ev.groupBy("user_id")
+      .agg(max(col("session_id")).as("n_sessions"), count(lit(1)).as("n_events"))
+  }
+
+  private val eventsSessionizeSql = """
+    WITH e AS (
+      SELECT user_id, event_id, ts,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events),
+    flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session
+      FROM e),
+    sessions AS (
+      SELECT user_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged)
+    SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions, count(*) AS n_events
+    FROM sessions GROUP BY user_id"""
+
+  /** Top-k by price with deterministic tiebreak. */
+  def topK(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), cents(col("l_extendedprice")).as("price_cents"))
+      .orderBy(col("price_cents").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .limit(10)
+
+  private val topKSql = """
+    SELECT l_orderkey, l_linenumber, CAST(round(l_extendedprice*100,0) AS BIGINT) AS price_cents
+    FROM lineitem ORDER BY price_cents DESC, l_orderkey ASC, l_linenumber ASC LIMIT 10"""
+
+  // ------------------------------------------------------------------ registry
+
+  /** name -> (query, oracle SQL or None). Ordered for stable bench diffs. */
+  val catalog: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+    ("q1_agg", q1Agg _, Some(q1Sql)),
+    ("b1_clean", b1Clean _, Some(b1Sql)),
+    ("b2_replace", b2Replace _, Some(b2Sql)),
+    ("b4_cast", b4Cast _, Some(b4Sql)),
+    ("b5_union", b5Union _, Some(b5Sql)),
+    ("c1c2_literals", c1c2Literals _, Some(c1c2Sql)),
+    ("c6_order", c6Order _, Some(c6Sql)),
+    ("c7_numeric", c7Numeric _, Some(c7Sql)),
+    ("c8_categorical", c8Categorical _, Some(c8Sql)),
+    ("c9_filter", c9Filter _, Some(c9Sql)),
+    ("c10_groupby_sum", c10GroupbySum _, Some(c10SumSql)),
+    ("c10_melt", c10Melt _, Some(c10MeltSql)),
+    ("c12_join", c12Join _, Some(c12Sql)),
+    ("c13_members", c13Members _, Some(c13Sql)),
+    ("c14_equivalence", c14Equivalence _, Some(c14Sql)),
+    ("c15_season", c15Season _, Some(c15Sql)),
+    ("d1_classification", d1Classification _, Some(d1Sql)),
+    ("d2_attribute", d2Attribute _, Some(d2Sql)),
+    ("e6_weight", e6Weight _, Some(e6Sql)),
+    ("e10_weighted_avg", e10WeightedAvg _, Some(e10Sql)),
+    ("e11_average_table", e11AverageTable _, Some(e11SqlReal)),
+    ("e12_quantile", e12Quantile _, Some(e12Sql)),
+    ("e13_decile", e13Decile _, Some(e13Sql)),
+    ("e7e8_cpi", e7e8Cpi _, Some(e7e8Sql)),
+    ("e9_equivalence", e9Equivalence _, Some(e9Sql)),
+    ("dedup_exact", dedupExact _, Some(dedupExactSql)),
+    ("text_stats", textStats _, Some(textStatsSql)),
+    ("lang_id", langId _, Some(langIdSql)),
+    ("quality_score", qualityScore _, Some(qualityScoreSql)),
+    ("ngram_jaccard", ngramJaccard _, Some(ngramJaccardSql)),
+    ("minhash_pairs", minhashPairs _, None),
+    ("simhash_pairs", simhashPairs _, None),
+    ("ann_brute_topk", annBruteTopK _, Some(annBruteSql)),
+    ("ann_lsh_topk", annLshTopK _, None),
+    ("events_window_agg", eventsWindowAgg _, Some(eventsWindowSql)),
+    ("events_sessionize", eventsSessionize _, Some(eventsSessionizeSql)),
+    ("topk", topK _, Some(topKSql)),
+  )
+
+  /** Subset used by Bench at sf0.1 (the heavier/representative ones). */
+  val benchNames: Seq[String] = Seq(
+    "q1_agg", "c10_groupby_sum", "c12_join", "c13_members", "d1_classification",
+    "d2_attribute", "e10_weighted_avg", "e12_quantile", "e7e8_cpi",
+    "dedup_exact", "text_stats", "minhash_pairs", "simhash_pairs",
+    "ann_brute_topk", "ann_lsh_topk", "events_window_agg", "events_sessionize", "topk")
+}

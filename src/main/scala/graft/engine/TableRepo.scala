@@ -1,0 +1,244 @@
+package graft.engine
+
+import graft.meta._
+import graft.ops._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** E1/E2/C16/C17/A9 — the table engine: turns (table name, years) into a
+  * lazy DataFrame by recursing the metadata schema DAG
+  * (hbsir/core/data_engine.py:462-679).
+  *
+  * A table is either:
+  *   - an *original* table (a key of `tablesMeta`): raw source -> cleaned
+  *     (CleanOps) -> its own `instructions` pipeline; or
+  *   - a *standard* table (a key of `schemaMeta` with `table_list`): the
+  *     year-resolved dependency tables built recursively, unioned by name
+  *     (the reference's pd.concat == UNION ALL with null-fill), then this
+  *     table's `instructions` pipeline.
+  *
+  * Everything stays ONE Catalyst plan per (table, year) — the reference's
+  * eager step-by-step materialization becomes lazy plan construction, so
+  * predicate pushdown and column pruning reach the leaf scans of the whole
+  * DAG. Multi-year = union of per-year plans (partition-prunable when the
+  * storage layout is Year-partitioned).
+  *
+  * The A9 result cache persists a built table as parquet keyed by a
+  * dependency fingerprint (schema tree + dependency sizes), mirroring
+  * data_engine.py:515-610's size-based invalidation.
+  */
+final case class RepoConfig(
+    resolver: ResolverSettings = ResolverSettings(),
+    /** Weight source flips from external parquet to household_information
+      * after this year (data_engine.py:715-719).
+      */
+    externalWeightsYearMax: Int = 1395,
+    cacheDir: Option[String] = None,
+    /** Tables NOT safe to broadcast in C12 joins. */
+    factTables: Set[String] = Set.empty,
+)
+
+class TableRepo(
+    spark: SparkSession,
+    tablesMeta: Meta,
+    schemaMeta: Meta,
+    rawReader: (String, Int) => Option[DataFrame],
+    classifications: Map[String, Meta] = Map.empty,
+    householdMeta: Meta = MNull,
+    externalWeights: Option[DataFrame] = None,
+    /** Dependency size probe for the A9 cache fingerprint (e.g. raw file
+      * length); None -> fingerprint on metadata only.
+      */
+    depSize: (String, Int) => Option[Long] = (_, _) => None,
+    config: RepoConfig = RepoConfig(),
+) extends Pipeline.TableProvider {
+
+  private val originalTables: Set[String] =
+    tablesMeta match { case m: MMap => m.keys.map(_.asString).toSet; case _ => Set.empty }
+
+  // ------------------------------------------------------------------ build
+
+  def table(name: String, years: Seq[Int]): DataFrame = {
+    val parts = years.flatMap(y => load(name, y))
+    require(parts.nonEmpty, s"table $name has no data for years $years")
+    CleanOps.unionAll(parts)
+  }
+
+  /** Build one (table, year); None when the raw source is absent (the
+    * reference drops empty tables from concats, data_engine.py:643-645).
+    */
+  def load(name: String, year: Int): Option[DataFrame] = {
+    val tableSchema = schemaMeta.get(name)
+      .map(m => new VersionResolver(m, year, config.resolver).getVersion)
+      .getOrElse(MNull)
+    if (originalTables(name)) {
+      rawReader(name, year).map { raw =>
+        val spec = CleanOps.compileSpec(tablesMeta(name), year)
+        applyInstructions(CleanOps.cleanTable(raw, spec), tableSchema, name, year)
+      }
+    } else if (tableSchema.isNull) {
+      throw new NoSuchElementException(s"Table name $name is not available in schema")
+    } else {
+      val cached = if (useCache(tableSchema)) readCache(name, year) else None
+      cached.orElse {
+        val deps = tableSchema.get("table_list") match {
+          case Some(MStr(t))     => Seq(t)
+          case Some(MList(ts))   => ts.map(_.asStr)
+          case other             => throw new IllegalArgumentException(s"bad table_list: $other")
+        }
+        val children = deps.flatMap(d => load(d, year))
+        if (children.isEmpty) None
+        else {
+          val built = applyInstructions(CleanOps.unionAll(children), tableSchema, name, year)
+          if (useCache(tableSchema)) Some(writeCache(built, name, year)) else Some(built)
+        }
+      }
+    }
+  }
+
+  private def applyInstructions(df: DataFrame, tableSchema: Meta, name: String, year: Int): DataFrame =
+    tableSchema.get("instructions") match {
+      case None | Some(MNull) => df
+      case Some(instr) =>
+        Pipeline.run(df, Pipeline.compile(instr), Pipeline.Context(year, name, this))
+    }
+
+  // ------------------------------------------------------------------ cache (A9)
+
+  private def useCache(tableSchema: Meta): Boolean =
+    config.cacheDir.isDefined && tableSchema.get("cache_result").exists(_.asBool)
+
+  /** Fingerprint = hash of the resolved schema subtree + every transitive
+    * dependency's (name, size) — a change in metadata or in any upstream
+    * source invalidates the cache, like the reference's dependency-yaml
+    * comparison (data_engine.py:559-582).
+    */
+  private def fingerprint(name: String, year: Int): String = {
+    def depsOf(n: String): Seq[String] = schemaMeta.get(n)
+      .map(m => new VersionResolver(m, year, config.resolver).getVersion)
+      .flatMap(_.get("table_list")).map {
+        case MStr(t)   => Seq(t)
+        case MList(ts) => ts.map(_.asStr)
+        case _         => Seq.empty
+      }.getOrElse(Seq.empty)
+    val seen = scala.collection.mutable.LinkedHashSet[String](name)
+    var frontier = depsOf(name)
+    while (frontier.nonEmpty) {
+      frontier.foreach(seen.add)
+      frontier = frontier.flatMap(depsOf)
+    }
+    val parts = seen.toSeq.sorted.map { t =>
+      val schemaStr = schemaMeta.get(t).map(m =>
+        new VersionResolver(m, year, config.resolver).getVersion.toString).getOrElse("")
+      s"$t:${depSize(t, year).getOrElse(-1L)}:${schemaStr.hashCode}"
+    }
+    java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(parts.mkString("|")).toLong & 0xFFFFFFFFL)
+  }
+
+  private def cachePath(name: String, year: Int): String =
+    s"${config.cacheDir.get}/${name}_${year}_${fingerprint(name, year)}.parquet"
+
+  private def readCache(name: String, year: Int): Option[DataFrame] = {
+    val p = cachePath(name, year)
+    if (new java.io.File(p).exists) Some(spark.read.parquet(p)) else None
+  }
+
+  private def writeCache(df: DataFrame, name: String, year: Int): DataFrame = {
+    val p = cachePath(name, year)
+    df.write.mode("overwrite").parquet(p)
+    spark.read.parquet(p)
+  }
+
+  // ------------------------------------------------------------------ weights (E6)
+
+  /** Distinct years present in a table — driver-side, but bounded by the
+    * survey's ~40 years (the reference iterates the same set,
+    * data_engine.py:782-785).
+    */
+  private def distinctYears(df: DataFrame, yearCol: String = "Year"): Seq[Int] =
+    df.select(col(yearCol).cast("int")).distinct().collect().map(_.getInt(0)).toSeq.sorted
+
+  /** Per-year weight table (Year, ID, Weight): external parquet for years
+    * <= externalWeightsYearMax, household_information.Weight after
+    * (data_engine.py:700-754).
+    */
+  def weights(years: Seq[Int], adjustForHouseholdSize: Boolean = false): DataFrame = {
+    val parts = years.map { y =>
+      if (y <= config.externalWeightsYearMax) {
+        val ext = externalWeights.getOrElse(
+          throw new IllegalStateException(s"no external weights source for year $y"))
+        ext.where(col("Year") === y).select(col("Year"), col("ID"), col("Weight"))
+      } else {
+        val hh = load("household_information", y).getOrElse(
+          throw new IllegalStateException(s"household_information missing for $y"))
+        hh.select(lit(y).as("Year"), col("ID"), col("Weight"))
+      }
+    }
+    val w = CleanOps.unionAll(parts)
+    if (!adjustForHouseholdSize) w
+    else {
+      val members = table("Number_of_Members", years).select("Year", "ID", "Members")
+      w.join(broadcast(members), Seq("Year", "ID"), "left")
+        .withColumn("Weight", col("Weight") * col("Members"))
+        .drop("Members")
+    }
+  }
+
+  def addWeights(df: DataFrame): DataFrame = addWeights(df, adjustForHouseholdSize = false)
+
+  def addWeights(df: DataFrame, adjustForHouseholdSize: Boolean): DataFrame =
+    Stats.addWeight(df, weights(distinctYears(df), adjustForHouseholdSize))
+
+  // ------------------------------------------------------- decoders (D1/D2)
+
+  /** C4/E3: settings is the instruction input — a name string or a map
+    * with name/levels/aspects/column_names/code_col overrides.
+    */
+  def addClassification(df: DataFrame, settings: Meta): DataFrame = {
+    val name = settings match {
+      case MStr(s) => s
+      case m: MMap => m.get("name").map(_.asStr).getOrElse("original")
+      case MNull   => "original"
+      case other   => throw new IllegalArgumentException(s"bad settings: $other")
+    }
+    val doc = classifications.getOrElse(name,
+      throw new NoSuchElementException(s"classification $name"))
+    val base = Classifier.settingsFromMeta(doc)
+    val s = base.copy(
+      codeCol = settings.get("code_col").map(_.asStr).getOrElse(base.codeCol),
+      levels = settings.get("levels").map(_.asList.map(_.asLong.toInt)).getOrElse(base.levels),
+      columnNames = settings.get("column_names").map(_.asList.map(_.asStr)).getOrElse(base.columnNames),
+    )
+    val years = distinctYears(df, s.yearCol)
+    val items = Classifier.compile(doc, years, resolver = config.resolver)
+    Classifier.addClassification(df, items, s)
+  }
+
+  /** C5/E4: decode an ID-embedded attribute. */
+  def addAttribute(df: DataFrame, settings: Meta): DataFrame = {
+    val (name, aspect) = settings match {
+      case MStr(s) => (s, "name")
+      case m: MMap => (m("name").asStr, m.get("aspects").map(_.asList.head.asStr).getOrElse("name"))
+      case other   => throw new IllegalArgumentException(s"bad settings: $other")
+    }
+    val years = distinctYears(df)
+    val versions = IdDecoder.compile(householdMeta, name, years, config.resolver)
+    IdDecoder.addAttribute(df, versions, IdDecoder.Settings(name, aspect = aspect))
+  }
+
+  /** E5 `select`: filter by a decoded geography attribute — the decode is
+    * a pure expression, so this is a pushdown-able predicate (api.py:378-433
+    * adds the column, filters, and drops it; same here).
+    */
+  def selectBy(df: DataFrame, attribute: String, value: String): DataFrame = {
+    val helper = s"_sel_$attribute"
+    val years = distinctYears(df)
+    val versions = IdDecoder.compile(householdMeta, attribute, years, config.resolver)
+    IdDecoder.addAttribute(df, versions, IdDecoder.Settings(attribute, outputCol = Some(helper)))
+      .where(col(helper) === lit(value))
+      .drop(helper)
+  }
+
+  override def broadcastable(name: String): Boolean = !config.factTables(name)
+}

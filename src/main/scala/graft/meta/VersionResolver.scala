@@ -52,12 +52,12 @@ class VersionResolver(
   def detectVersionType(m: MMap): VersionType = {
     if (m.keys.contains(SKey(settings.versionKeyword))) KeywordVersioned
     else {
-      val allYearInts = m.keys.nonEmpty || true // empty map: vacuously simple (mirrors reference: loop over no keys -> simple)
+      // empty map is vacuously simple (reference: loop over no keys -> simple)
       val ok = m.keys.forall {
         case IKey(i) => i >= settings.yearRange._1 && i <= settings.yearRange._2
         case _       => false
       }
-      if (ok && allYearInts) SimpleVersioned else NotVersioned
+      if (ok) SimpleVersioned else NotVersioned
     }
   }
 

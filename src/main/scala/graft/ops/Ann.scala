@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths:
+  *   - [[bruteForceTopK]] — exact cosine top-k: broadcast the (small)
+  *     query set against the corpus, one pass, no corpus shuffle. The
+  *     correctness baseline.
+  *   - [[lshTopK]] — random-hyperplane LSH bucketing: corpus and queries
+  *     hashed to sign-bit buckets; candidates = bucket collisions (with
+  *     multi-probe via band splitting), exact cosine only on candidates.
+  *     The 100 TB path: the corpus is touched once to build bucketed
+  *     signatures (which can be persisted/bucketed-by on disk), and each
+  *     query probes O(buckets hit), never the full corpus.
+  *
+  * All vector math is zip_with/aggregate over array columns — codegen'd,
+  * no UDFs.
+  */
+object Ann {
+
+  /** dot(a, b) with double accumulation (stable left-to-right fold). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d > 0, dot(a, b) / d).otherwise(lit(0.0))
+  }
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * `queries` must be small (it is broadcast); the corpus is scanned
+    * exactly once with no shuffle before the per-query top-k, which
+    * aggregates only k rows per query.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      queryIdCol: String = "query_id",
+  ): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as(queryIdCol), col(vecCol).as("_qvec")))
+    val scored = corpus.select(col(idCol), col(vecCol))
+      .crossJoin(q)
+      .where(col(idCol) =!= col(queryIdCol))
+      .select(col(queryIdCol), col(idCol).as("neighbor_id"),
+        cosine(col("_qvec"), col(vecCol)).as("cosine"))
+    val win = Window.partitionBy(queryIdCol)
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(win))
+      .where(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random unit hyperplanes (driver-side constants;
+    * xorshift64* seeded by (plane, dim) so results are reproducible).
+    */
+  private[ops] def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] =
+    Array.tabulate(numPlanes, dim) { (p, d) =>
+      var x = seed + p.toLong * 1000003L + d.toLong * 7919L
+      x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+      val u = (x * 0x2545F4914F6CDD1DL >>> 11).toDouble / (1L << 53).toDouble
+      u * 2.0 - 1.0
+    }
+
+  /** Sign-bit signature of a vector against the planes: bit p = 1 iff
+    * dot(v, plane_p) >= 0, folded into a long (numPlanes <= 63).
+    */
+  def signBits(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (plane, p) =>
+      val d = aggregate(
+        zip_with(vec, array(plane.map(lit): _*), (x, y) => x.cast(DoubleType) * y),
+        lit(0.0), (acc, x) => acc + x)
+      when(d >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }.reduce[Column]((a, b) => a.bitwiseOR(b))
+
+  /** LSH-bucketed approximate top-k: signatures split into `bands` bands
+    * of bits; query and corpus rows sharing ANY band key become
+    * candidates; exact cosine + top-k on candidates only. Recall grows
+    * with bands (multi-probe); cost stays bucket-local.
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      dim: Int,
+      numPlanes: Int = 16,
+      bands: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      queryIdCol: String = "query_id",
+      seed: Long = 42L,
+  ): DataFrame = {
+    require(numPlanes % bands == 0, "bands must divide numPlanes")
+    val r = numPlanes / bands
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val mask = (1L << r) - 1
+    def banded(df: DataFrame, id: String, vecAs: String): DataFrame = {
+      val sig = signBits(col(vecCol), planes)
+      df.select(col(idCol).as(id), col(vecCol).as(vecAs), sig.as("_sig"))
+        .select(col(id), col(vecAs), explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            call_function("shiftright", col("_sig"), b * lit(r)).bitwiseAND(lit(mask)).as("key")))).as("_bk"))
+        .select(col(id), col(vecAs), col("_bk.band").as("_b"), col("_bk.key").as("_k"))
+    }
+    val c = banded(corpus, "neighbor_id", "_cvec")
+    val q = banded(queries, queryIdCol, "_qvec")
+    val candidates = c.join(broadcast(q), Seq("_b", "_k"))
+      .where(col("neighbor_id") =!= col(queryIdCol))
+      .groupBy(queryIdCol, "neighbor_id")
+      .agg(first(col("_cvec")).as("_cvec"), first(col("_qvec")).as("_qvec"))
+    val scored = candidates.select(col(queryIdCol), col("neighbor_id"),
+      cosine(col("_qvec"), col("_cvec")).as("cosine"))
+    val win = Window.partitionBy(queryIdCol)
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(win)).where(col("rank") <= k)
+  }
+
+  /** IVF-style coarse quantization: assign each vector to its nearest of
+    * `centroids` (broadcast literal), giving a partitionable `cluster`
+    * column — the disk-layout primitive for ANN at rest (write bucketed
+    * by cluster; probe only nProbe clusters at query time).
+    */
+  def assignCluster(vec: Column, centroids: Array[Array[Double]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (ctr, i) =>
+      val c = array(ctr.map(lit): _*)
+      struct(cosine(vec, c).as("sim"), lit(i).as("id"))
+    }
+    greatest(scored: _*).getField("id")
+  }
+}

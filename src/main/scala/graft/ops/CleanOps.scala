@@ -40,8 +40,11 @@ object CleanOps {
     */
   def compileSpec(tableMeta: Meta, year: Int): TableCleanSpec = {
     val resolved = new VersionResolver(tableMeta, year).getVersion
+    // Default policy is "error" like the reference's default_table_settings
+    // (tables.yaml:82-83) — silently dropping unknown raw columns would
+    // hide metadata drift.
     val missings = resolved
-      .get("settings").flatMap(_.get("missings")).map(_.asStr).getOrElse("drop")
+      .get("settings").flatMap(_.get("missings")).map(_.asStr).getOrElse("error")
     val cols = resolved("columns").asMap.flatMap {
       case (k, MStr("drop")) => None
       case (k, cm) =>
@@ -82,24 +85,41 @@ object CleanOps {
     when(dash.rlike("^[\\s.\\-]*$"), lit(null)).otherwise(dash)
   }
 
-  /** One column's full clean as a single expression. */
-  def cleanColumn(spec: ColumnSpec): Column = {
+  /** One column's full clean as a single expression.
+    *
+    * The string scrub (generalCleaning) only applies when the raw input is
+    * actually a string: the reference's _general_cleaning returns
+    * numeric-dtype columns untouched (data_cleaner.py:216-227), and
+    * round-tripping numerics through strings corrupts values (Spark renders
+    * large doubles in scientific notation, which casts back to null).
+    */
+  def cleanColumn(spec: ColumnSpec, rawType: DataType = StringType): Column = {
     val raw = col(spec.rawName)
     val replaced =
       if (spec.replace.isEmpty) raw
       else spec.replace.foldLeft(raw) { case (acc, (from, to)) =>
-        when(acc === lit(from), to.map(lit).getOrElse(lit(null))).otherwise(acc)
+        val fromLit: Column = rawType match {
+          case _: NumericType => lit(from.trim.toDouble).cast(rawType)
+          case _              => lit(from)
+        }
+        when(acc === fromLit, to.map(lit(_).cast(rawType)).getOrElse(lit(null).cast(rawType)))
+          .otherwise(acc)
       }
-    val scrubbed = generalCleaning(replaced.cast(StringType))
+    val isNumericRaw = rawType.isInstanceOf[NumericType]
+    val scrubbed =
+      if (isNumericRaw) replaced else generalCleaning(replaced.cast(StringType))
     val typed = spec.typ match {
-      case StrType      => scrubbed
+      case StrType      => scrubbed.cast(StringType)
       case UnsignedType => scrubbed.cast(LongType)
       case IntType      => scrubbed.cast(LongType)
       case FloatType    => scrubbed.cast(DoubleType)
       case BoolType(t)  => scrubbed.cast(IntegerType) === lit(t)
       case CategoryType(cats) =>
         val codes = scrubbed.cast(IntegerType)
-        cats.toSeq.sortBy(_._1).foldLeft(lit(null).cast(StringType)) {
+        // Unmapped codes keep their original value (pandas
+        // cat.rename_categories leaves unlisted categories as-is) so
+        // downstream notnull() filters behave like the reference.
+        cats.toSeq.sortBy(_._1).foldLeft(codes.cast(StringType)) {
           case (acc, (code, label)) => when(codes === lit(code), lit(label)).otherwise(acc)
         }
     }
@@ -113,9 +133,10 @@ object CleanOps {
     */
   def cleanTable(raw: DataFrame, spec: TableCleanSpec): DataFrame = {
     val specByRaw = spec.columns.map(c => c.rawName.toUpperCase -> c).toMap
+    val rawTypes = raw.schema.fields.map(f => f.name -> f.dataType).toMap
     val projections = raw.columns.toSeq.flatMap { c =>
       specByRaw.get(c.toUpperCase) match {
-        case Some(cs) => Some(cleanColumn(cs.copy(rawName = c)))
+        case Some(cs) => Some(cleanColumn(cs.copy(rawName = c), rawTypes(c)))
         case None if spec.missings == "error" =>
           throw new IllegalArgumentException(s"column '$c' not found in metadata")
         case None => None

@@ -1,0 +1,254 @@
+package graft.ops
+
+import graft.meta._
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** D1 — classification decoding (the reference's "commodity/occupation
+  * decoder", hbsir/core/decoder.py:226-476): map a code column to
+  * classification labels at requested hierarchy levels, where each
+  * classification item covers a *set of code ranges* that varies by year.
+  *
+  * Spark-first plan (mirrors the reference's own distinct-pairs
+  * optimization, decoder.py:371-380, but as a relational range join):
+  *   1. distinct (Year, Code) dictionary from the input — tiny vs the fact
+  *      table (≤ thousands of codes/yr at any scale);
+  *   2. range-join the dictionary against the exploded classification item
+  *      ranges (items side broadcast; predicate `code >= lo && code < hi`
+  *      stays in whole-stage codegen);
+  *   3. validate that no (Year, Code, level) maps to two items
+  *      (decoder.py:436-444 raises — we raise with a sample);
+  *   4. fold level -> columns (conditional-first agg; equivalent to the
+  *      reference's unstack, decoder.py:431-433);
+  *   5. broadcast-hash left join back onto the input by (Year, Code) and
+  *      fill configured missing values (decoder.py:446-476).
+  *
+  * At 100 TB the fact table is touched exactly once, by a broadcast hash
+  * join — no shuffle; all heavy lifting happens on the distinct dictionary.
+  */
+object Classifier {
+
+  /** One classification item for one year, post category-expansion:
+    * `key` is the item_key, `aspects` the label columns it carries
+    * (farsi_name, ...), `codes` its Argham code-range set.
+    */
+  final case class ClassItem(
+      year: Int,
+      key: String,
+      level: Int,
+      codes: Argham,
+      aspects: Map[String, String] = Map.empty,
+  )
+
+  final case class Settings(
+      codeCol: String = "Code",
+      yearCol: String = "Year",
+      aspects: Seq[String] = Seq("item_key"),
+      levels: Seq[Int] = Seq(1),
+      columnNames: Seq[String] = Seq.empty,
+      missingValueReplacements: Map[String, String] = Map.empty,
+  ) {
+    /** aspect×level -> output column name (decoder.py:290-326). */
+    def renames: Seq[((String, Int), String)] = {
+      val pairs = for (a <- aspects; l <- levels) yield (a, l)
+      val names =
+        if (columnNames.size == pairs.size) columnNames
+        else if (columnNames.size == aspects.size)
+          for (n <- columnNames; l <- levels) yield s"${n}_$l"
+        else pairs.map { case (a, l) => s"${a}_$l" }
+      pairs.zip(names)
+    }
+  }
+
+  /** Compile classification metadata for the given years.
+    * `meta` is the (unresolved) classification document: `defaults:` +
+    * year-versioned `items:` with `level` + `code` ranges + aspect labels
+    * (shape per hbsir/metadata/commodities.yaml).
+    */
+  def compile(
+      meta: Meta,
+      years: Seq[Int],
+      extraAspects: Seq[String] = Seq.empty,
+      resolver: ResolverSettings = ResolverSettings(),
+  ): Seq[ClassItem] =
+    years.flatMap { y =>
+      val resolved = new CategoryResolver(meta, y, resolver).categorizeMetadata
+      resolved("items").asList.map { item =>
+        val key = item("item_key").asStr
+        val level = item.get("level").map(_.asLong.toInt).getOrElse(1)
+        val codes = item.get("code")
+          .map(c => Argham(c, keywords = Seq("code")))
+          .getOrElse(Argham.ofInts()) // items without code match nothing
+        val aspects = extraAspects.flatMap(a => item.get(a).map(a -> _.asStr)).toMap
+        ClassItem(y, key, level, codes, aspects)
+      }
+    }
+
+  /** Defaults block of a classification document -> Settings. */
+  def settingsFromMeta(meta: Meta): Settings = {
+    val d = meta.get("defaults").getOrElse(MNull)
+    Settings(
+      levels = d.get("levels").map(_.asList.map(_.asLong.toInt)).getOrElse(Seq(1)),
+      columnNames = d.get("column_names").map(_.asList.map(_.asStr)).getOrElse(Seq.empty),
+      missingValueReplacements = d.get("missing_value_replacements")
+        .map(_.asMap.map { case (k, v) => k.asString -> v.asStr }.toMap)
+        .getOrElse(Map.empty),
+    )
+  }
+
+  /** The exploded item-range table (one row per contiguous range), built
+    * driver-side — classification metadata is small by construction.
+    */
+  private def itemsDF(spark: SparkSession, items: Seq[ClassItem], aspects: Seq[String]): DataFrame = {
+    val schema = StructType(
+      Seq(
+        StructField("_cls_year", IntegerType, nullable = false),
+        StructField("_cls_level", IntegerType, nullable = false),
+        StructField("_cls_lo", LongType, nullable = false),
+        StructField("_cls_hi", LongType, nullable = false),
+        StructField("_cls_step", LongType, nullable = false),
+      ) ++ aspects.map(a => StructField(s"_asp_$a", StringType, nullable = true)))
+    val rows = for {
+      it <- items
+      r <- it.codes.ranges
+    } yield Row.fromSeq(
+      Seq[Any](it.year, it.level, r.start, r.end, r.step) ++
+        aspects.map(a => if (a == "item_key") it.key else it.aspects.get(a).orNull))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** Add classification columns to `df`. Raises IllegalStateException when
+    * an ambiguous mapping exists (reference parity, decoder.py:436-444).
+    */
+  def addClassification(
+      df: DataFrame,
+      items: Seq[ClassItem],
+      settings: Settings = Settings(),
+  ): DataFrame = {
+    val spark = df.sparkSession
+    val y = settings.yearCol
+    val c = settings.codeCol
+    val its = itemsDF(spark, items.filter(i => settings.levels.contains(i.level)), settings.aspects)
+
+    val codes = df.select(col(y).cast(IntegerType).as(y), col(c).cast(LongType).as(c))
+      .where(col(c).isNotNull).distinct()
+
+    val joinCond = col(y) === col("_cls_year") &&
+      col(c) >= col("_cls_lo") && col(c) < col("_cls_hi") &&
+      (col("_cls_step") === lit(1L) || pmod(col(c) - col("_cls_lo"), col("_cls_step")) === lit(0L))
+    val matched = codes.join(broadcast(its), joinCond, "inner")
+
+    // Uniqueness validation: one item per (Year, Code, level). The check
+    // runs on the distinct-code dictionary (small), not the fact table.
+    val dups = matched.groupBy(col(y), col(c), col("_cls_level")).count()
+      .where(col("count") > 1).limit(10).collect()
+    if (dups.nonEmpty)
+      throw new IllegalStateException(
+        s"Classification is not valid — ambiguous (year, code, level): ${dups.mkString("; ")}")
+
+    // level -> columns (the reference's unstack): conditional first per
+    // requested (aspect, level); uniqueness above makes `first` exact.
+    val outCols = settings.renames.map { case ((aspect, level), name) =>
+      first(when(col("_cls_level") === level, col(s"_asp_$aspect")), ignoreNulls = true).as(name)
+    }
+    val mapping = matched.groupBy(col(y), col(c)).agg(outCols.head, outCols.tail: _*)
+
+    val joined = df.join(broadcast(mapping),
+      df(y) === mapping(y) && df(c) === mapping(c), "left")
+      .drop(mapping(y)).drop(mapping(c))
+
+    settings.missingValueReplacements.foldLeft(joined) { case (acc, (column, default)) =>
+      if (acc.columns.contains(column))
+        acc.withColumn(column, coalesce(col(column), lit(default)))
+      else acc
+    }
+  }
+}
+
+/** D2 — household-ID attribute decoding (hbsir/core/decoder.py:479-651):
+  * geography attributes (Urban_Rural / Province / County) are *digit
+  * substrings of the household ID*, with the ID length and digit positions
+  * year-versioned (hbsir/metadata/household.yaml:2-31).
+  *
+  * The reference materializes a (Year, ID) mapping table and joins it
+  * back; that is a pandas artifact. In Spark the decode is a pure
+  * generated-column expression — `(ID % 10^(len-start)) div 10^(len-end)`
+  * inside per-year `when` branches, then a literal code->label map — so it
+  * costs one projection, stays in codegen, and is usable as a pushdown-able
+  * filter predicate (E5 `select`).
+  */
+object IdDecoder {
+
+  /** Digit layout + label map for one year-version of one attribute. */
+  final case class AttrVersion(
+      fromYear: Int,
+      untilYear: Int, // exclusive
+      idLength: Int,
+      posStart: Int,
+      posEnd: Int,
+      labels: Map[Long, String] = Map.empty,
+  )
+
+  final case class Settings(
+      name: String,
+      idCol: String = "ID",
+      yearCol: String = "Year",
+      aspect: String = "name", // "name" -> mapped label, "code" -> raw code
+      outputCol: Option[String] = None,
+  )
+
+  /** Compile one attribute's versions from household metadata for the
+    * given years (household.yaml shape: top-level ID_Length plus
+    * `<attr>: {code: {position: {start, end}}, name: {...}}`, all
+    * year-versioned).
+    */
+  def compile(
+      householdMeta: Meta,
+      attr: String,
+      years: Seq[Int],
+      resolver: ResolverSettings = ResolverSettings(),
+  ): Seq[AttrVersion] =
+    years.sorted.map { y =>
+      val resolved = new VersionResolver(householdMeta, y, resolver).getVersion
+      val idLen = resolved("ID_Length").asLong.toInt
+      val attrMeta = resolved(attr)
+      val pos = attrMeta("code")("position")
+      val labels = attrMeta.get("name").map(_.asMap.map {
+        case (IKey(i), v) => i -> v.asStr
+        case (SKey(s), v) => s.toLong -> v.asStr
+      }.toMap).getOrElse(Map.empty[Long, String])
+      AttrVersion(y, y + 1, idLen,
+        pos("start").asLong.toInt, pos("end").asLong.toInt, labels)
+    }
+
+  /** The digit-substring extraction for one version, as a Column. */
+  def codeExpr(id: Column, v: AttrVersion): Column = {
+    val p1 = math.pow(10, (v.idLength - v.posStart).toDouble).toLong
+    val p2 = math.pow(10, (v.idLength - v.posEnd).toDouble).toLong
+    floor((id.cast(LongType) % lit(p1)) / lit(p2)).cast(LongType)
+  }
+
+  private def labelExpr(code: Column, labels: Map[Long, String]): Column =
+    labels.toSeq.sortBy(_._1).foldLeft(lit(null).cast(StringType)) {
+      case (acc, (k, name)) => when(code === lit(k), lit(name)).otherwise(acc)
+    }
+
+  /** Add the decoded attribute column — one `when` branch per distinct
+    * year version, no join.
+    */
+  def addAttribute(df: DataFrame, versions: Seq[AttrVersion], settings: Settings): DataFrame = {
+    val out = settings.outputCol.getOrElse(settings.name)
+    val id = col(settings.idCol)
+    val expr = versions.foldLeft(lit(null).cast(StringType)) { (acc, v) =>
+      val code = codeExpr(id, v)
+      val value = settings.aspect match {
+        case "code" => code.cast(StringType)
+        case _      => labelExpr(code, v.labels)
+      }
+      when(col(settings.yearCol) >= lit(v.fromYear) && col(settings.yearCol) < lit(v.untilYear),
+        value).otherwise(acc)
+    }
+    df.withColumn(out, expr)
+  }
+}

@@ -1,0 +1,173 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Near-duplicate detection at corpus scale: MinHash+LSH banding, SimHash,
+  * and exact n-gram Jaccard verification. Everything is built from native
+  * higher-order functions (transform/aggregate/zip_with + xxhash64) so the
+  * hot path stays in codegen — no UDFs, no driver loops, and crucially
+  * NEVER an all-pairs comparison: candidate generation is a hash-bucket
+  * self-join on LSH band keys, so cost is O(n·bands + Σ bucket²) with
+  * bucket sizes bounded by collision probability, not O(n²).
+  */
+object Dedup {
+
+  /** Word k-shingles of the normalized text (k consecutive tokens joined
+    * by a space). Documents shorter than k tokens yield their whole text
+    * as the single shingle.
+    */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = TextOps.tokens(regexp_replace(lower(text), "[^a-z0-9\\s]+", " "))
+    val n = size(toks)
+    when(n <= k, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(1), n - k + 1),
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
+  }
+
+  /** MinHash signature: `numHashes` independent permutations approximated
+    * by seeded xxhash64; signature[i] = min over shingles of
+    * hash(shingle, i).
+    *
+    * Computed as explode(shingles) -> hash aggregate with `numHashes`
+    * partial-min aggregates — NOT as `numHashes` array-transforms over the
+    * shingle expression (which duplicates the tokenize+concat subtree 64×
+    * and blows codegen out of whole-stage limits). Map-side partial mins
+    * make the shuffle tiny (one row per doc), so this scales linearly.
+    */
+  def minHashSignatures(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      numHashes: Int = 64,
+      k: Int = 3,
+  ): DataFrame = {
+    val exploded = df.select(col(idCol), explode(shingles(col(textCol), k)).as("_shingle"))
+    val mins = (0 until numHashes).map(i => min(xxhash64(col("_shingle"), lit(i))).as(s"_h$i"))
+    exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until numHashes).map(i => col(s"_h$i")): _*).as("_sig"))
+  }
+
+  /** LSH band keys: the signature split into `bands` bands of
+    * `numHashes/bands` rows each; each band hashed to one bucket key.
+    * Two documents share a band key iff that band of their signatures
+    * matches exactly — P(candidate) ≈ 1-(1-j^r)^b for Jaccard j.
+    */
+  def bandKeys(signature: Column, numHashes: Int, bands: Int): Column = {
+    val r = numHashes / bands
+    require(bands * r == numHashes, s"bands=$bands must divide numHashes=$numHashes")
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"),
+        xxhash64(concat_ws(",", slice(signature, b * r + lit(1), lit(r))), b).as("key")))
+  }
+
+  /** Candidate near-duplicate pairs via banded LSH. Returns distinct
+    * (idCol_a, idCol_b) with a < b plus the estimated Jaccard from
+    * signature agreement. The self-join is on (band, key) — an equi
+    * shuffle join on a high-cardinality key, the 100 TB-safe shape.
+    */
+  def minHashCandidates(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      numHashes: Int = 64,
+      bands: Int = 16,
+      k: Int = 3,
+  ): DataFrame =
+    minHashPairs(df, textCol, idCol, numHashes, bands, k).select("id_a", "id_b")
+
+  /** Candidate pairs with the MinHash Jaccard estimate (fraction of
+    * agreeing signature positions).
+    */
+  def minHashPairs(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      numHashes: Int = 64,
+      bands: Int = 16,
+      k: Int = 3,
+  ): DataFrame = {
+    val sigs = minHashSignatures(df, textCol, idCol, numHashes, k)
+    val banded = sigs.select(col(idCol), col("_sig"),
+      explode(bandKeys(col("_sig"), numHashes, bands)).as("_band"))
+      .select(col(idCol), col("_sig"), col("_band.band").as("_b"), col("_band.key").as("_k"))
+    val a = banded.select(col(idCol).as("id_a"), col("_sig").as("_sig_a"), col("_b"), col("_k"))
+    val b = banded.select(col(idCol).as("id_b"), col("_sig").as("_sig_b"), col("_b"), col("_k"))
+    val agree = aggregate(
+      zip_with(col("_sig_a"), col("_sig_b"), (x, y) => when(x === y, 1L).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
+    a.join(b, Seq("_b", "_k"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(first(agree / lit(numHashes.toDouble)).as("est_jaccard"))
+  }
+
+  /** 64-bit SimHash per document: bit i of the result is the sign of
+    * Σ_tokens (bit i of xxhash64(token) ? +1 : -1).
+    *
+    * Shape: explode(tokens) -> hash aggregate with 64 partial sums (one
+    * per bit), bits folded to a long in a final projection. Map-side
+    * combine keeps the shuffle at one row per document; everything stays
+    * in codegen (the nested higher-order-function formulation duplicates
+    * work and falls out of whole-stage limits).
+    */
+  def simHashes(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+  ): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(TextOps.tokens(regexp_replace(lower(col(textCol)), "[^a-z0-9\\s]+", " "))).as("_tok"))
+    val h = xxhash64(col("_tok"))
+    val sums = (0 until 64).map(i =>
+      sum(when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"_b$i"))
+    toks.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
+      .select(col(idCol),
+        (0 until 64).map(i =>
+          when(col(s"_b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce[Column]((a, b) => a.bitwiseOR(b)).as("_sh"))
+  }
+
+  /** Hamming distance between two 64-bit SimHashes. */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup candidates: bucket by the 4 16-bit quarters of the
+    * hash (any pair within Hamming distance 3 shares at least one exact
+    * quarter — pigeonhole), then verify distance ≤ maxDistance. Equi-join
+    * on bucket keys, never all-pairs.
+    */
+  def simHashCandidates(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxDistance: Int = 3,
+  ): DataFrame = {
+    val hashed = simHashes(df, textCol, idCol)
+    val banded = hashed.select(col(idCol), col("_sh"),
+      explode(transform(sequence(lit(0), lit(3)),
+        q => struct(q.as("q"),
+          call_function("shiftright", col("_sh"), q * lit(16)).bitwiseAND(lit(0xFFFFL)).as("key")))).as("_band"))
+      .select(col(idCol), col("_sh"), col("_band.q").as("_q"), col("_band.key").as("_k"))
+    val a = banded.select(col(idCol).as("id_a"), col("_sh").as("_sh_a"), col("_q"), col("_k"))
+    val b = banded.select(col(idCol).as("id_b"), col("_sh").as("_sh_b"), col("_q"), col("_k"))
+    a.join(b, Seq("_q", "_k"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(first(hammingDistance(col("_sh_a"), col("_sh_b"))).as("hamming"))
+      .where(col("hamming") <= maxDistance)
+  }
+
+  /** Exact n-gram Jaccard similarity between two text columns —
+    * |A∩B| / |A∪B| over distinct k-shingles. Use to verify LSH
+    * candidates; O(pair count), not O(n²).
+    */
+  def ngramJaccard(textA: Column, textB: Column, k: Int = 3): Column = {
+    val sa = array_distinct(shingles(textA, k))
+    val sb = array_distinct(shingles(textB, k))
+    val inter = size(array_intersect(sa, sb)).cast(DoubleType)
+    val union = size(array_union(sa, sb)).cast(DoubleType)
+    when(union > 0, inter / union).otherwise(lit(0.0))
+  }
+}

@@ -17,9 +17,18 @@ object PandasQuery {
     // `.notnull()` / `.isnull()` method calls -> IS [NOT] NULL postfix
     s = s.replaceAll("(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)\\s*\\.\\s*(?:notnull|notna)\\(\\s*\\)", "$1 IS NOT NULL")
     s = s.replaceAll("(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)\\s*\\.\\s*(?:isnull|isna)\\(\\s*\\)", "$1 IS NULL")
-    // list literals: [a, b] -> (a, b)  (only in in/not-in position)
-    s = s.replaceAll("(?i)\\bnot\\s+in\\s*\\[([^\\]]*)\\]", "NOT IN ($1)")
+    // list literals: [a, b] -> (a, b)  (only in in/not-in position).
+    // Negative predicates are null-safe: pandas `Code not in [x]` keeps
+    // NaN rows, but SQL `NULL NOT IN (...)` is NULL and drops them — wrap
+    // as (col IS NULL OR col NOT IN (...)).
+    s = s.replaceAll(
+      "(?i)(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)\\s+not\\s+in\\s*\\[([^\\]]*)\\]",
+      "($1 IS NULL OR $1 NOT IN ($2))")
     s = s.replaceAll("(?i)\\bin\\s*\\[([^\\]]*)\\]", "IN ($1)")
+    // same for != — pandas keeps NaN rows under a != comparison
+    s = s.replaceAll(
+      "(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)\\s*!=\\s*('[^']*'|\"[^\"]*\"|[A-Za-z0-9_.\\-]+)",
+      "($1 IS NULL OR $1 != $2)")
     // boolean connectives
     s = s.replace("&", " AND ").replace("|", " OR ").replace("~", " NOT ")
     s = s.replaceAll("(?i)\\band\\b", "AND")

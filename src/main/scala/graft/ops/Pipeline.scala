@@ -21,6 +21,13 @@ object Pipeline {
     def addWeights(df: DataFrame): DataFrame
     def addClassification(df: DataFrame, settings: Meta): DataFrame
     def addAttribute(df: DataFrame, settings: Meta): DataFrame
+    /** Whether `name` is a dimension-sized table safe to broadcast in a
+      * C12 join. Default true (the reference only joins metadata-derived
+      * tables — weights, equivalence scales — all ≤ tens of thousands of
+      * rows/yr); providers must return false for fact-sized tables so a
+      * 100 TB join falls back to a shuffle join under AQE.
+      */
+    def broadcastable(name: String): Boolean = true
   }
 
   /** Named external functions (C11; the reference dynamic-imports python
@@ -129,7 +136,7 @@ object Pipeline {
     * (data_engine.py:414-420; schema.yaml:704-706,919-925,1113-1173):
     * groupby(keys)[cols].sum() and the stack/melt chain.
     */
-  private[ops] def parsePandasFunction(s0: String): Step = {
+  def parsePandasFunction(s0: String): Step = {
     val s = s0.replace("\n", " ")
     val gb = "\\.groupby\\(\\s*\\[([^\\]]*)\\][^)]*\\)".r
     val sel = "\\)\\s*\\[\\[([^\\]]*)\\]\\]".r
@@ -197,9 +204,10 @@ object Pipeline {
           case f if !keys.contains(f.name) && f.dataType.isInstanceOf[NumericType] => f.name
         }.toSeq
       }
-      df.groupBy(keys.map(col): _*).agg(
-        targets.map(c => sum(col(c)).as(c)).head,
-        targets.map(c => sum(col(c)).as(c)).tail: _*)
+      require(targets.nonEmpty,
+        s"groupby-sum over [${keys.mkString(",")}] on table '${ctx.tableName}': no numeric value columns")
+      val aggs = targets.map(c => sum(col(c)).as(c))
+      df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
 
     case Melt(drop, ids, varName, valueName) =>
       val dropped = df.drop(drop: _*)
@@ -214,10 +222,12 @@ object Pipeline {
 
     case Join(tableName, columns) =>
       // inner merge with recursively-built table for the years present
-      // (data_engine.py:434-449). Metadata-side tables are small ->
-      // broadcast to keep this shuffle-free on the fact side.
-      val other = ctx.provider.table(tableName, Seq(ctx.year))
-      df.join(broadcast(other), columns, "inner")
+      // (data_engine.py:434-449). Broadcast only when the provider marks
+      // the table dimension-sized; fact-fact joins shuffle (AQE picks the
+      // strategy) instead of OOMing the driver at scale.
+      val other0 = ctx.provider.table(tableName, Seq(ctx.year))
+      val other = if (ctx.provider.broadcastable(tableName)) broadcast(other0) else other0
+      df.join(other, columns, "inner")
   }
 
   /** pandas astype() type names -> Spark types (data_engine.py:334-345). */

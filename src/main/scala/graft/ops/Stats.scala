@@ -1,0 +1,161 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** E6-E13 — the survey-statistics layer: sampling weights, weighted means,
+  * weighted quantiles/deciles/percentiles, CPI deflation, equivalence-scale
+  * adjustment (hbsir/calculator/average.py, quantile.py, api.py:436-609).
+  *
+  * Everything is a lazy `DataFrame => DataFrame` combinator; joins against
+  * metadata-sized tables (weights per year, CPI, equivalence scales) are
+  * broadcast so the fact side never shuffles for them.
+  */
+object Stats {
+
+  /** E6 add_weight: left-join per-(Year,ID) sampling weights
+    * (api.py:436-464, data_engine.py:757-786). `weights` must carry
+    * (yearCol, idCol, weightCol). Broadcast: ≤ ~40k households/yr in the
+    * reference; for a fact-sized weight table pass broadcastWeights=false.
+    */
+  def addWeight(
+      df: DataFrame,
+      weights: DataFrame,
+      yearCol: String = "Year",
+      idCol: String = "ID",
+      broadcastWeights: Boolean = true,
+  ): DataFrame = {
+    val w = if (broadcastWeights) broadcast(weights) else weights
+    df.join(w, Seq(yearCol, idCol), "left")
+  }
+
+  /** E10 weighted_average semantics (average.py:43-61): for each column,
+    * `sum(x*w) / sum(w)` where a null x contributes nothing to the
+    * numerator but its weight STILL counts in the denominator — the
+    * denominator is the unconditioned total weight. Returns the aggregate
+    * expressions so callers can embed them in any groupBy.
+    */
+  def weightedAverageAggs(columns: Seq[String], weightCol: String): Seq[Column] =
+    columns.map { c =>
+      (sum(col(c) * col(weightCol)) / sum(col(weightCol))).as(c)
+    }
+
+  /** E10: global weighted average — one output row. */
+  def weightedAverage(df: DataFrame, columns: Seq[String], weightCol: String = "Weight"): DataFrame = {
+    require(df.columns.contains(weightCol), s"Weight column $weightCol not in table")
+    val aggs = weightedAverageAggs(columns, weightCol)
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** E11 average_table: weighted average per group (average.py:64-112).
+    * `columns` defaults to all numeric non-key columns. Partial (map-side)
+    * aggregation comes free from Catalyst's hash aggregate.
+    */
+  def averageTable(
+      df: DataFrame,
+      columns: Seq[String] = Seq.empty,
+      groupby: Seq[String] = Seq.empty,
+      weightCol: String = "Weight",
+      weighted: Boolean = true,
+  ): DataFrame = {
+    val base = if (weighted) df else df.withColumn(weightCol, lit(1))
+    val cols =
+      if (columns.nonEmpty) columns
+      else base.schema.fields.collect {
+        case f if f.dataType.isInstanceOf[NumericType]
+          && !groupby.contains(f.name) && f.name != weightCol && f.name != "ID" => f.name
+      }.toSeq
+    val aggs = weightedAverageAggs(cols, weightCol)
+    if (groupby.isEmpty) base.agg(aggs.head, aggs.tail: _*)
+    else base.groupBy(groupby.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** E12 weighted quantile (quantile.py:119-146): per group (groupby ++
+    * Year when annual), sort by value and assign each non-null-valued row
+    * `cumulative weight / total weight`. Null-valued rows get a null
+    * quantile (the reference drops them before the cumsum and aligns
+    * back, quantile.py:124,166-169).
+    *
+    * Plan shape: two window functions over one sort — a running
+    * `sum(w) rows unboundedPreceding..current` and a partition-total
+    * `sum(w)`; Catalyst evaluates both in a single Window node after one
+    * shuffle+sort per group. This is exact (not ntile — ntile equalizes
+    * row counts, not weight mass). Ties on value are broken by
+    * `tieBreaker` for determinism.
+    *
+    * At scale: the shuffle is by group key and the sort is within
+    * partitions; per-year household counts (~tens of millions at 100 TB)
+    * sort-spill safely. For skewed single-group use, pre-range-partition
+    * on the value column.
+    */
+  def addQuantile(
+      df: DataFrame,
+      valueCol: String,
+      weightCol: String = "Weight",
+      groupby: Seq[String] = Seq("Year"),
+      out: String = "Quantile",
+      tieBreaker: Seq[String] = Seq("ID"),
+  ): DataFrame = {
+    val v = col(valueCol)
+    // null weights count as 0 in cum/total (pandas cumsum/iloc semantics
+    // differ only when nulls are present in weights; reference weights are
+    // non-null by construction)
+    val wNonNull = when(v.isNotNull, col(weightCol))
+    val orderCols = (v.asc_nulls_first +: tieBreaker.filter(df.columns.contains).map(col(_).asc))
+    val win = Window.partitionBy(groupby.map(col): _*).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val winAll = Window.partitionBy(groupby.map(col): _*)
+    df.withColumn(out,
+      when(v.isNotNull, sum(wNonNull).over(win) / sum(wNonNull).over(winAll)))
+  }
+
+  /** E13 binning (quantile.py:194-203): `floor(q*bins)+1` clipped to
+    * [1, bins]. NOT ntile.
+    */
+  def binQuantile(q: Column, bins: Int): Column =
+    least(greatest((floor(q * lit(bins)) + 1).cast(IntegerType), lit(1)), lit(bins))
+
+  def addDecile(
+      df: DataFrame, valueCol: String, weightCol: String = "Weight",
+      groupby: Seq[String] = Seq("Year"), out: String = "Decile",
+  ): DataFrame =
+    addQuantile(df, valueCol, weightCol, groupby, "_q_tmp")
+      .withColumn(out, binQuantile(col("_q_tmp"), 10)).drop("_q_tmp")
+
+  def addPercentile(
+      df: DataFrame, valueCol: String, weightCol: String = "Weight",
+      groupby: Seq[String] = Seq("Year"), out: String = "Percentile",
+  ): DataFrame =
+    addQuantile(df, valueCol, weightCol, groupby, "_q_tmp")
+      .withColumn(out, binQuantile(col("_q_tmp"), 100)).drop("_q_tmp")
+
+  /** E7 add_cpi: broadcast-join the CPI lookup on (separateBy?, Year)
+    * (api.py:467-517). `cpi` carries the join keys plus a `CPI` column.
+    */
+  def addCpi(df: DataFrame, cpi: DataFrame, keys: Seq[String] = Seq("Year")): DataFrame =
+    df.join(broadcast(cpi), keys, "left")
+
+  /** E8 adjust_by_cpi: deflate nominal columns — `col / CPI * 100`
+    * (api.py:520-560).
+    */
+  def adjustByCpi(df: DataFrame, columns: Seq[String], cpiCol: String = "CPI"): DataFrame =
+    columns.foldLeft(df)((acc, c) =>
+      acc.withColumn(c, col(c) / col(cpiCol) * lit(100)))
+
+  /** E9 adjust_by_equivalence_scale: join the scale on (Year,ID), divide,
+    * drop (api.py:563-609).
+    */
+  def adjustByEquivalenceScale(
+      df: DataFrame,
+      scaleTable: DataFrame,
+      columns: Seq[String],
+      scale: String = "Per_Capita",
+      keys: Seq[String] = Seq("Year", "ID"),
+  ): DataFrame = {
+    val joined = df.join(broadcast(scaleTable.select((keys.map(col) :+ col(scale)): _*)), keys, "left")
+    columns.foldLeft(joined)((acc, c) => acc.withColumn(c, col(c) / col(scale)))
+      .drop(scale)
+  }
+}

@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, language-ID heuristics, quality scoring, document
+  * fingerprinting, and exact deduplication. All are single-projection
+  * Column expressions (whole-stage codegen, no UDFs) or one-shuffle hash
+  * aggregates — every one of them scales linearly to 100 TB.
+  */
+object TextOps {
+
+  /** Whitespace tokenization as a Column (split on runs of whitespace,
+    * dropping empty edge tokens so "a  b " -> ["a","b"]).
+    */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= lit(""))
+
+  /** Token count without materializing the token array. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** A BPE-ish subword proxy: counts alternating letter/digit/punct runs —
+    * cheap, deterministic, and a stable stand-in for tokenizer-cost
+    * estimation at scale.
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "(?<=[a-zA-Z])(?=[^a-zA-Z])|(?<=[0-9])(?=[^0-9])|\\s+"),
+      t => t =!= lit("")))
+
+  /** Core per-document statistics in one projection. */
+  def textStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    df.withColumn("n_chars_calc", length(t))
+      .withColumn("n_tokens", size(toks))
+      .withColumn("n_distinct_tokens", size(array_distinct(toks)))
+      .withColumn("n_digits", length(t) - length(regexp_replace(t, "[0-9]", "")))
+      .withColumn("n_punct", length(t) - length(regexp_replace(t, "[\\.,;:!\\?]", "")))
+  }
+
+  /** Language-ID by stopword-hit scoring: for each candidate language,
+    * count distinct marker-word hits; argmax wins, ties broken by list
+    * order, zero hits -> "und". One projection, no shuffle.
+    */
+  def languageId(
+      text: Column,
+      markers: Seq[(String, Seq[String])] = defaultMarkers,
+  ): Column = {
+    val toks = array_distinct(tokens(lower(text)))
+    val scored = markers.map { case (lang, words) =>
+      lang -> size(array_intersect(toks, array(words.map(lit): _*)))
+    }
+    // argmax with first-wins tie-break: fold keeping (bestLang, bestScore)
+    val (bestLang, _) = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((bl, bs), (lang, s)) => (when(s > bs, lit(lang)).otherwise(bl), greatest(s, bs))
+    }
+    val total = scored.map(_._2).reduce(_ + _)
+    when(total === 0, lit("und")).otherwise(bestLang)
+  }
+
+  /** Tiny built-in stopword lists (public common words). */
+  val defaultMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "est", "une", "dans"),
+  )
+
+  /** Quality score in [0,1] from length/punct/digit/diversity ratios —
+    * the standard cheap pre-filter for web-scale corpora. Deterministic,
+    * one projection.
+    */
+  def qualityScore(text: Column): Column = {
+    val len = length(text).cast(DoubleType)
+    val toks = tokens(text)
+    val nToks = size(toks).cast(DoubleType)
+    val diversity = when(nToks > 0, size(array_distinct(toks)) / nToks).otherwise(lit(0.0))
+    val digitRatio = when(len > 0,
+      (len - length(regexp_replace(text, "[0-9]", ""))) / len).otherwise(lit(0.0))
+    val lengthScore = least(len / lit(500.0), lit(1.0))
+    val meanTokLen = when(nToks > 0, len / nToks).otherwise(lit(0.0))
+    val tokLenScore = when(meanTokLen >= 3 && meanTokLen <= 12, lit(1.0)).otherwise(lit(0.5))
+    round(greatest(lit(0.0),
+      lit(0.4) * lengthScore + lit(0.3) * diversity +
+        lit(0.2) * tokLenScore - lit(0.3) * digitRatio), 6)
+  }
+
+  /** Content fingerprint: hash of the punctuation/whitespace/case
+    * normalized text — robust exact-dup key (near-dup detection is
+    * Dedup.minHash*).
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** Exact deduplication: one hash aggregate over the fingerprint —
+    * map-side partial agg, single shuffle on the hash key, no O(n²)
+    * anywhere. Returns one row per distinct fingerprint with the minimal
+    * id as the kept representative and the duplicate count.
+    */
+  def exactDedup(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    df.withColumn("_fp", fingerprint(col(textCol)))
+      .groupBy("_fp")
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+      .withColumnRenamed("_fp", "fingerprint")
+
+  /** Exact dedup keeping full rows: min_by on the id within each
+    * fingerprint group. Still one shuffle.
+    */
+  def exactDedupRows(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val cols = df.columns
+    df.groupBy(fingerprint(col(textCol)).as("_fp"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("_row"))
+      .select(cols.map(c => col(s"_row.$c").as(c)): _*)
+  }
+}

@@ -1,0 +1,250 @@
+package graft.engine
+
+import graft.meta._
+import graft.ops._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** End-to-end engine test over HBSIR-shaped fixtures (FIXTURES.md §2):
+  * raw -> clean -> pipeline -> schema-DAG union -> weights -> decoders ->
+  * weighted statistics, asserting hand-computed golden numbers in the
+  * shape of the reference's ISC test
+  * (tests/test_package/package/test_by_examples.py:7-69).
+  */
+class TableRepoSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .appName("TableRepoSpec")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val tablesYaml = """
+food:
+  settings: {missings: error}
+  columns:
+    ADDRESS: {new_name: ID, type: unsigned}
+    CODE: {new_name: Code, type: unsigned}
+    EXPENDITURE: {new_name: Expenditure, type: float}
+durable:
+  columns:
+    ADDRESS: {new_name: ID, type: unsigned}
+    CODE: {new_name: Code, type: unsigned}
+    EXPENDITURE: {new_name: Expenditure, type: float}
+household_information:
+  columns:
+    ADDRESS: {new_name: ID, type: unsigned}
+    WEIGHT: {new_name: Weight, type: unsigned}
+members_properties:
+  columns:
+    ADDRESS: {new_name: ID, type: unsigned}
+    MEMBER: {new_name: Member_Number, type: unsigned}
+    AGE: {new_name: Age, type: unsigned}
+"""
+
+  private val schemaYaml = """
+food:
+  instructions:
+    - add_year
+    - add_table_name
+    - create_column: {name: Duration, type: numerical, expression: 30}
+durable:
+  instructions:
+    - add_year
+    - add_table_name
+    - create_column: {name: Duration, type: numerical, expression: 360}
+household_information:
+  instructions:
+    - add_year
+members_properties:
+  instructions:
+    - add_year
+Original_Expenditures:
+  table_list: [food, durable]
+  instructions:
+    - create_column: {name: Gross_Expenditure, type: numerical, expression: "Expenditure / Duration * 360"}
+Expenditures:
+  table_list: Original_Expenditures
+  cache_result: true
+Total_Expenditure:
+  table_list: Expenditures
+  instructions:
+    - apply_pandas_function: 'table.groupby(["Year", "ID"])[["Gross_Expenditure"]].sum().reset_index()'
+Number_of_Members:
+  table_list: members_properties
+  instructions:
+    - apply_external_function: schema_functions.number_of_members
+Equivalence_Scale:
+  table_list: Number_of_Members
+  instructions:
+    - apply_external_function: schema_functions.equivalence_scale
+"""
+
+  private val commoditiesYaml = """
+Food_NonFood:
+  defaults:
+    levels: [1]
+    column_names: [Food_NonFood]
+    missing_value_replacements: {Food_NonFood: NonFood}
+  items:
+    Food:
+      level: 1
+      code: {start: 11000, end: 20000}
+    NonFood:
+      level: 1
+"""
+
+  private val householdYaml = """
+ID_Length: 8
+Urban_Rural:
+  code:
+    position: {start: 0, end: 1}
+  name: {1: Urban, 2: Rural}
+Province:
+  code:
+    position: {start: 1, end: 3}
+  name: {23: Tehran, 11: Gilan}
+"""
+
+  // household IDs: digit0 urban(1)/rural(2); digits1-3 province
+  private val U1 = 12300001L; private val U2 = 12300002L
+  private val R1 = 21100001L; private val R2 = 21100002L
+
+  private def raw(name: String): Option[DataFrame] = {
+    import spark.implicits._
+    name match {
+      case "food" => Some(Seq(
+        (U1, 11100L, 300.0), (U1, 21000L, 100.0),
+        (U2, 11200L, 600.0),
+        (R1, 12000L, 150.0),
+      ).toDF("ADDRESS", "CODE", "EXPENDITURE"))
+      case "durable" => Some(Seq(
+        (U2, 31000L, 720.0),
+        (R2, 32000L, 360.0),
+      ).toDF("ADDRESS", "CODE", "EXPENDITURE"))
+      case "household_information" => Some(Seq(
+        (U1, 2L), (U2, 3L), (R1, 4L), (R2, 1L),
+      ).toDF("ADDRESS", "WEIGHT"))
+      case "members_properties" => Some(Seq(
+        (U1, 1L, 30L), (U1, 2L, 10L),
+        (U2, 1L, 40L),
+        (R1, 1L, 50L), (R1, 2L, 16L), (R1, 3L, 2L),
+        (R2, 1L, 60L),
+      ).toDF("ADDRESS", "MEMBER", "AGE"))
+      case _ => None
+    }
+  }
+
+  private def repo(cacheDir: Option[String] = None) = new TableRepo(
+    spark,
+    tablesMeta = Meta.fromYaml(tablesYaml),
+    schemaMeta = Meta.fromYaml(schemaYaml),
+    rawReader = (n, _) => raw(n),
+    classifications = Map("Food_NonFood" -> Meta.fromYaml(commoditiesYaml)("Food_NonFood")),
+    householdMeta = Meta.fromYaml(householdYaml),
+    config = RepoConfig(cacheDir = cacheDir),
+  )
+
+  test("original table builds through clean + pipeline") {
+    val food = repo().table("food", Seq(1400))
+    assert(food.columns.toSet ==
+      Set("ID", "Code", "Expenditure", "Year", "Table_Name", "Duration"))
+    assert(food.count() == 4)
+    assert(food.where(col("Duration") === 30).count() == 4)
+  }
+
+  test("schema DAG: Expenditures union + annualization") {
+    val exp = repo().table("Expenditures", Seq(1400))
+    val rows = exp.select("ID", "Code", "Gross_Expenditure")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows == Set(
+      (U1, 11100L, 3600.0), (U1, 21000L, 1200.0),
+      (U2, 11200L, 7200.0), (U2, 31000L, 720.0),
+      (R1, 12000L, 1800.0), (R2, 32000L, 360.0)))
+  }
+
+  test("Total_Expenditure groupby-sum") {
+    val tot = repo().table("Total_Expenditure", Seq(1400))
+      .collect().map(r => r.getAs[Long]("ID") -> r.getAs[Double]("Gross_Expenditure")).toMap
+    assert(tot == Map(U1 -> 4800.0, U2 -> 7920.0, R1 -> 1800.0, R2 -> 360.0))
+  }
+
+  test("Number_of_Members / Equivalence_Scale external functions") {
+    val nm = repo().table("Number_of_Members", Seq(1400))
+      .collect().map(r => r.getAs[Long]("ID") ->
+        ((r.getAs[Long]("Members"), r.getAs[Long]("Adults"), r.getAs[Long]("Childs")))).toMap
+    assert(nm(U1) == ((2L, 1L, 1L)))
+    assert(nm(R1) == ((3L, 2L, 1L)))
+    val es = repo().table("Equivalence_Scale", Seq(1400))
+    assert(es.columns.contains("OECD_Modified"))
+  }
+
+  test("weights from household_information (year > 1395)") {
+    val w = repo().weights(Seq(1400)).collect()
+      .map(r => r.getAs[Long]("ID") -> r.getAs[Long]("Weight")).toMap
+    assert(w == Map(U1 -> 2L, U2 -> 3L, R1 -> 4L, R2 -> 1L))
+  }
+
+  test("golden ISC-style pipeline: classify -> weights -> weighted mean") {
+    val r = repo()
+    val exp = r.table("Expenditures", Seq(1400))
+    val classified = r.addClassification(exp, MStr("Food_NonFood"))
+    // household-level sums per Food_NonFood
+    val hh = classified.groupBy("Year", "ID", "Food_NonFood")
+      .agg(sum("Gross_Expenditure").as("Gross_Expenditure"))
+    val weighted = r.addWeights(hh)
+    val withUr = r.addAttribute(weighted, MStr("Urban_Rural"))
+    val summary = withUr.groupBy("Food_NonFood", "Urban_Rural")
+      .agg((sum(col("Gross_Expenditure") * col("Weight")) /
+        lit(5.0)).as("mean")) // weight sums: Urban 2+3, Rural 4+1
+      .collect()
+      .map(row => (row.getString(0), row.getString(1)) -> row.getDouble(2)).toMap
+    assert(summary == Map(
+      ("Food", "Urban") -> 5760.0,
+      ("NonFood", "Urban") -> 912.0,
+      ("Food", "Rural") -> 1440.0,
+      ("NonFood", "Rural") -> 72.0))
+  }
+
+  test("missing classification fill defaults to NonFood") {
+    val r = repo()
+    val exp = r.table("Expenditures", Seq(1400))
+    val classified = r.addClassification(exp, MStr("Food_NonFood"))
+    val nf = classified.where(col("Code") >= 20000)
+      .select("Food_NonFood").distinct().collect().map(_.getString(0)).toSeq
+    assert(nf == Seq("NonFood"))
+  }
+
+  test("D2 attribute decode + selectBy filter pushdown") {
+    val r = repo()
+    val hh = r.table("household_information", Seq(1400))
+    val withProv = r.addAttribute(hh, MStr("Province"))
+    val provs = withProv.collect()
+      .map(row => row.getAs[Long]("ID") -> row.getAs[String]("Province")).toMap
+    assert(provs(U1) == "Tehran" && provs(R1) == "Gilan")
+    assert(r.selectBy(hh, "Urban_Rural", "Urban").count() == 2)
+  }
+
+  test("A9 cache: cache_result table persists and is reused") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cache").toString
+    val r = repo(cacheDir = Some(dir))
+    r.table("Expenditures", Seq(1400)).count()
+    val cached = new java.io.File(dir).listFiles().filter(_.getName.startsWith("Expenditures_1400_"))
+    assert(cached.length == 1)
+    // second load goes through the cache and yields identical rows
+    val again = r.table("Expenditures", Seq(1400))
+    assert(again.count() == 6)
+  }
+
+  test("weights adjusted for household size") {
+    val w = repo().weights(Seq(1400), adjustForHouseholdSize = true).collect()
+      .map(r => r.getAs[Long]("ID") -> r.getAs[Long]("Weight")).toMap
+    assert(w(U1) == 4L) // 2 * 2 members
+    assert(w(R1) == 12L) // 4 * 3 members
+  }
+}
