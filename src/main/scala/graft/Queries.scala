@@ -519,7 +519,7 @@ items:
     TextOps.exactDedup(T(s, dir, "documents"))
 
   private val dedupExactSql = """
-    SELECT md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS fingerprint,
+    SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
            min(doc_id) AS doc_id, count(*) AS dup_count
     FROM documents GROUP BY 1"""
 

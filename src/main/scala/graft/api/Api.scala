@@ -1,0 +1,165 @@
+package graft.api
+
+import graft.meta._
+import graft.engine.TableRepo
+import graft.ops._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The user surface, mirroring the reference's public API
+  * (hbsir/__init__.py:35-48 — load_table, create_table_with_schema,
+  * add_classification, add_attribute, select, add_weight, add_cpi,
+  * adjust_by_cpi, adjust_by_equivalence_scale, plus
+  * calculator.{weighted_average, average_table, add_quantile/decile/
+  * percentile} and the `view` accessor).
+  *
+  * Thin, stateless delegation onto the engine + operator layers; every
+  * method is lazy DataFrame algebra, so user call chains compose into one
+  * Catalyst plan.
+  */
+class Api(
+    val spark: SparkSession,
+    val repo: TableRepo,
+    /** CPI lookup (keys ++ "CPI" column) for add_cpi/adjust_by_cpi. */
+    cpi: Option[DataFrame] = None,
+    cpiKeys: Seq[String] = Seq("Urban_Rural", "Year"),
+    /** Default nominal columns deflated by adjustByCpi when none given
+      * (config/default_settings.yaml:84-91).
+      */
+    nominalColumns: Seq[String] = Seq(
+      "Expenditure", "Gross_Expenditure", "Net_Expenditure", "Income", "Price"),
+) {
+
+  /** E12/E13 value-source aliases (quantile.py:52-60). */
+  private val variableTables = Map(
+    "Income" -> ("Total_Income", "Income"),
+    "Expenditure" -> ("Total_Expenditure", "Gross_Expenditure"),
+    "Gross_Expenditure" -> ("Total_Expenditure", "Gross_Expenditure"),
+    "Net_Expenditure" -> ("Total_Expenditure", "Net_Expenditure"),
+  )
+
+  // ------------------------------------------------------------- E1/E2 load
+
+  /** E1 load_table: raw / cleaned / processed forms (api.py:94-191). */
+  def loadTable(name: String, years: Seq[Int], form: String = "processed"): DataFrame =
+    form match {
+      case "processed" => repo.table(name, years)
+      case "cleaned"   => repo.cleanedTable(name, years)
+      case "raw"       => repo.rawTable(name, years)
+      case other       => throw new IllegalArgumentException(s"form $other")
+    }
+
+  /** E2 create_table_with_schema: register an ad-hoc schema document
+    * (table_list + instructions) and build it (api.py:194-257).
+    */
+  def createTableWithSchema(name: String, schema: Meta, years: Seq[Int]): DataFrame =
+    repo.withExtraSchemas(Meta.map(Meta.k(name) -> schema)).table(name, years)
+
+  // -------------------------------------------------------------- decorators
+
+  /** E3 add_classification. */
+  def addClassification(df: DataFrame, name: String): DataFrame =
+    repo.addClassification(df, MStr(name))
+
+  /** E4 add_attribute. */
+  def addAttribute(df: DataFrame, name: String): DataFrame =
+    repo.addAttribute(df, MStr(name))
+
+  /** E5 select: filter by decoded geography attribute. */
+  def select(df: DataFrame, attribute: String, value: String): DataFrame =
+    repo.selectBy(df, attribute, value)
+
+  /** E6 add_weight. */
+  def addWeight(df: DataFrame, adjustForHouseholdSize: Boolean = false): DataFrame =
+    repo.addWeights(df, adjustForHouseholdSize)
+
+  /** E7 add_cpi: broadcast-join the CPI lookup; auto-decodes Urban_Rural
+    * when the split CPI needs it and the column is absent (api.py:467-517).
+    */
+  def addCpi(df: DataFrame): DataFrame = {
+    val lookup = cpi.getOrElse(throw new IllegalStateException("no CPI source configured"))
+    if (cpiKeys.contains("Urban_Rural") && !df.columns.contains("Urban_Rural")) {
+      val withUr = repo.addAttribute(df, MStr("Urban_Rural"))
+      Stats.addCpi(withUr, lookup, cpiKeys).drop("Urban_Rural")
+    } else Stats.addCpi(df, lookup, cpiKeys)
+  }
+
+  /** E8 adjust_by_cpi: deflate nominal columns (col / CPI * 100). */
+  def adjustByCpi(df: DataFrame, columns: Seq[String] = Seq.empty): DataFrame = {
+    val cols =
+      if (columns.nonEmpty) columns
+      else nominalColumns.filter(df.columns.contains)
+    val hadCpi = df.columns.contains("CPI")
+    val withCpi = if (hadCpi) df else addCpi(df)
+    val adjusted = Stats.adjustByCpi(withCpi, cols)
+    if (hadCpi) adjusted else adjusted.drop("CPI")
+  }
+
+  /** E9 adjust_by_equivalence_scale. */
+  def adjustByEquivalenceScale(
+      df: DataFrame, columns: Seq[String], scale: String = "Per_Capita"): DataFrame = {
+    val years = df.select(col("Year").cast("int")).distinct().collect().map(_.getInt(0)).toSeq
+    Stats.adjustByEquivalenceScale(df, repo.table("Equivalence_Scale", years), columns, scale)
+  }
+
+  // -------------------------------------------------------------- statistics
+
+  /** E10 weighted_average. */
+  def weightedAverage(df: DataFrame, columns: Seq[String], weightCol: String = "Weight"): DataFrame =
+    Stats.weightedAverage(df, columns, weightCol)
+
+  /** E11 average_table: auto-adds Weight when absent (average.py:64-112). */
+  def averageTable(
+      df: DataFrame,
+      columns: Seq[String] = Seq.empty,
+      groupby: Seq[String] = Seq.empty,
+      weighted: Boolean = true,
+  ): DataFrame = {
+    val withW =
+      if (!weighted || df.columns.contains("Weight")) df
+      else repo.addWeights(df)
+    Stats.averageTable(withW, columns, groupby, "Weight", weighted)
+  }
+
+  /** E12/E13 add_quantile/decile/percentile on a named total variable:
+    * the quantile is computed over the variable's OWN total table for all
+    * households (`for_all`, quantile.py:107-117), optionally equivalence-
+    * adjusted, then joined back to the caller's rows by (Year, ID).
+    */
+  def addQuantileOn(
+      df: DataFrame,
+      on: String = "Gross_Expenditure",
+      bins: Int = -1,
+      out: String = "Quantile",
+      equivalenceScale: Option[String] = None,
+  ): DataFrame = {
+    val (tableName, valueCol) = variableTables(on)
+    val years = df.select(col("Year").cast("int")).distinct().collect().map(_.getInt(0)).toSeq
+    var values = repo.table(tableName, years)
+      .select(col("Year"), col("ID"), col(valueCol).as("_values"))
+    values = equivalenceScale.fold(values)(scale =>
+      Stats.adjustByEquivalenceScale(values, repo.table("Equivalence_Scale", years),
+        Seq("_values"), scale))
+    val weighted = repo.addWeights(values)
+    val q0 = Stats.addQuantile(weighted, "_values", "Weight", Seq("Year"), "_q")
+    val q = if (bins > 0) q0.withColumn("_q", Stats.binQuantile(col("_q"), bins)) else q0
+    df.join(broadcast(q.select(col("Year"), col("ID"), col("_q").as(out))),
+      Seq("Year", "ID"), "left")
+  }
+
+  def addDecile(df: DataFrame, on: String = "Gross_Expenditure"): DataFrame =
+    addQuantileOn(df, on, bins = 10, out = "Decile")
+
+  def addPercentile(df: DataFrame, on: String = "Gross_Expenditure"): DataFrame =
+    addQuantileOn(df, on, bins = 100, out = "Percentile")
+}
+
+object Api {
+  /** E15 `view` accessor sugar: `df.view("Food_NonFood")`
+    * (hbsir/hbsframe.py:9-34).
+    */
+  implicit class RichDF(private val df: DataFrame) extends AnyVal {
+    def view(classification: String)(implicit api: Api): DataFrame =
+      api.addClassification(df, classification)
+  }
+}

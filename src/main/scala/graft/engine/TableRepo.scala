@@ -64,6 +64,29 @@ class TableRepo(
     CleanOps.unionAll(parts)
   }
 
+  /** E1 `form="raw"`: the raw source verbatim. */
+  def rawTable(name: String, years: Seq[Int]): DataFrame =
+    CleanOps.unionAll(years.flatMap(y => rawReader(name, y)))
+
+  /** E1 `form="cleaned"`: typed/renamed, values untouched — no pipeline. */
+  def cleanedTable(name: String, years: Seq[Int]): DataFrame =
+    CleanOps.unionAll(years.flatMap { y =>
+      rawReader(name, y).map(raw =>
+        CleanOps.cleanTable(raw, CleanOps.compileSpec(tablesMeta(name), y)))
+    })
+
+  /** E2: a repo with extra ad-hoc schema entries overlaid (user-registered
+    * derived tables, api.py:194-257).
+    */
+  def withExtraSchemas(extra: Meta): TableRepo = {
+    val merged = (schemaMeta, extra) match {
+      case (a: MMap, b: MMap) => MMap(a.entries.filterNot(e => b.keys.contains(e._1)) ++ b.entries)
+      case _ => extra
+    }
+    new TableRepo(spark, tablesMeta, merged, rawReader, classifications,
+      householdMeta, externalWeights, depSize, config)
+  }
+
   /** Build one (table, year); None when the raw source is absent (the
     * reference drops empty tables from concats, data_engine.py:643-645).
     */

@@ -92,7 +92,7 @@ object TextOps {
     * Dedup.minHash*).
     */
   def fingerprint(text: Column): Column =
-    md5(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+    md5(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")))
 
   /** Exact deduplication: one hash aggregate over the fingerprint —
     * map-side partial agg, single shuffle on the hash key, no O(n²)

@@ -1,0 +1,83 @@
+package graft.sources
+
+import graft.meta._
+import graft.ops.CleanOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A1/A2/A7/A8 — raw survey sources and sinks.
+  *
+  * The reference's raw layer is per-(year, table, urban|rural) CSV files
+  * with year-versioned file codes (hbsir/core/data_cleaner.py:23-82:
+  * `{U|R}{yy}{file_code}.csv` under `extracted/{year}/`), cleaned with
+  * side-specific metadata then concatenated (data_cleaner.py:108-138).
+  *
+  * Spark-first notes:
+  *   - one `spark.read.csv(paths*)` call per side keeps it a single scan;
+  *   - the cleaned output should be written `partitionBy("Year")` so
+  *     every downstream year selection partition-prunes (replaces the
+  *     reference's `{year}_{table}.parquet` file naming);
+  *   - at 100 TB the CSV->parquet conversion is the one full-data pass;
+  *     everything after reads pruned columnar data.
+  */
+object RawSources {
+
+  /** A1: build the reference-shaped CSV file path. */
+  def csvPath(baseDir: String, tableMeta: Meta, tableName: String, year: Int, urban: Boolean,
+              resolver: ResolverSettings = ResolverSettings()): String = {
+    val resolved = new VersionResolver(tableMeta, year, resolver).getVersion
+    val side = if (urban) "urban" else "rural"
+    val sideMeta = resolved.get(side).getOrElse(resolved)
+    val fileCode = sideMeta.get("file_code").map(_.asStr).getOrElse(
+      throw new IllegalArgumentException(s"Table $tableName is not available for year $year"))
+    val ur = if (urban) "U" else "R"
+    val yearString = if (year < 1400) (year % 100).toString else year.toString
+    s"$baseDir/$year/$ur$yearString$fileCode.csv"
+  }
+
+  /** A1: read one side's raw CSV (header row, everything as strings —
+    * typing happens in the clean layer exactly like the reference).
+    */
+  def readRawCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").csv(path)
+
+  /** B5: clean urban and rural with side-specific metadata, then union by
+    * name with null-fill (data_cleaner.py:108-138). The clean is a single
+    * projection per side, so the union stays one stage per input file set.
+    */
+  def openAndCleanTable(
+      spark: SparkSession,
+      baseDir: String,
+      tableMeta: Meta,
+      tableName: String,
+      year: Int,
+      resolver: ResolverSettings = ResolverSettings(),
+  ): DataFrame = {
+    val sides = Seq(true, false).map { urban =>
+      val raw = readRawCsv(spark, csvPath(baseDir, tableMeta, tableName, year, urban, resolver))
+      val resolved = new VersionResolver(tableMeta, year, resolver).getVersion
+      val sideKey = if (urban) "urban" else "rural"
+      val sideMeta = resolved.get(sideKey).getOrElse(resolved)
+      // compileSpec resolves again internally; pass the side-specific subtree
+      val spec = CleanOps.compileSpec(sideMeta, year)
+      CleanOps.cleanTable(raw, spec)
+    }
+    CleanOps.unionAll(sides)
+  }
+
+  /** A7: write a processed table partitioned by Year — the layout that
+    * makes every year-ranged load a partition-pruned scan.
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String] = Seq("Year")): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** A2: read a partitioned processed table (year filters prune). */
+  def readPartitioned(spark: SparkSession, path: String, years: Seq[Int] = Seq.empty): DataFrame = {
+    val df = spark.read.parquet(path)
+    if (years.isEmpty) df else df.where(col("Year").isin(years: _*))
+  }
+
+  /** A8: CSV sink (header, overwrite) — the Access-extract side channel. */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+}

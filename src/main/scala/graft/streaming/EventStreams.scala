@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the `events` stream shape
+  * (event_id, ts, user_id, event_type, value). The reference library is
+  * batch-only; these are the streaming extensions a training-data
+  * pipeline needs, built on watermarked event time so state is bounded:
+  *
+  *   - [[windowedCounts]]: tumbling-window counts/sums per event type —
+  *     incremental hash aggregation, late data dropped past the watermark;
+  *   - [[sessionize]]: gap-based sessions per user via
+  *     flatMapGroupsWithState — the custom-state escape hatch; emits one
+  *     row per closed session, state evicted by event-time timeout.
+  *
+  * At scale, state is partitioned by the grouping key across executors;
+  * the watermark bounds both state size and reprocessing depth.
+  */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+
+  final case class SessionState(sessionStart: Long, lastSeen: Long, nEvents: Long, total: Double)
+
+  final case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                           session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
+
+  /** Tumbling-window aggregation with a watermark: safe incremental
+    * aggregation in append mode.
+    */
+  def windowedCounts(
+      events: DataFrame,
+      windowLength: String = "1 hour",
+      watermark: String = "2 hours",
+  ): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Gap-based sessionization: a session closes after `gapSeconds` of
+    * user inactivity (or watermark timeout). One state object per user —
+    * constant-size, evicted on timeout.
+    */
+  def sessionize(
+      events: Dataset[Event],
+      gapSeconds: Long = 1800,
+      watermark: String = "2 hours",
+  ): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapSeconds * 1000
+
+    def close(userId: Long, s: SessionState): Session = Session(
+      userId, new java.sql.Timestamp(s.sessionStart), new java.sql.Timestamp(s.lastSeen),
+      s.nEvents, s.total)
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(close(userId, _))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closedSessions = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastSeen <= gapMs =>
+                  cur = Some(s.copy(lastSeen = math.max(s.lastSeen, t),
+                    nEvents = s.nEvents + 1, total = s.total + e.value))
+                case Some(s) =>
+                  closedSessions ::= close(userId, s)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastSeen + gapMs)
+            }
+            closedSessions.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,88 @@
+package graft.api
+
+import graft.SparkSpec
+import graft.engine.HbsFixtures
+import graft.meta._
+import org.apache.spark.sql.functions._
+
+class ApiSpec extends SparkSpec {
+  import HbsFixtures.{U1, U2, R1, R2}
+
+  private def api(): Api = {
+    import spark.implicits._
+    val cpi = Seq(("Urban", 1400, 100.0), ("Rural", 1400, 50.0))
+      .toDF("Urban_Rural", "Year", "CPI")
+    new Api(spark, HbsFixtures.repo(spark), cpi = Some(cpi))
+  }
+
+  test("loadTable dispatches raw / cleaned / processed forms") {
+    val a = api()
+    assert(a.loadTable("food", Seq(1400), "raw").columns.contains("ADDRESS"))
+    val cleaned = a.loadTable("food", Seq(1400), "cleaned")
+    assert(cleaned.columns.toSet == Set("ID", "Code", "Expenditure"))
+    val processed = a.loadTable("food", Seq(1400))
+    assert(processed.columns.contains("Duration"))
+  }
+
+  test("createTableWithSchema registers an ad-hoc derived table") {
+    val a = api()
+    val schema = Meta.fromYaml("""
+table_list: [food]
+instructions:
+  - apply_filter: "Code >= 20000"
+""")
+    val t = a.createTableWithSchema("NonFood_Only", schema, Seq(1400))
+    assert(t.count() == 1)
+  }
+
+  test("view accessor sugars add_classification") {
+    implicit val a: Api = api()
+    import Api.RichDF
+    val exp = a.loadTable("Expenditures", Seq(1400))
+    assert(exp.view("Food_NonFood").columns.contains("Food_NonFood"))
+  }
+
+  test("addCpi auto-decodes Urban_Rural and adjustByCpi deflates") {
+    val a = api()
+    val tot = a.loadTable("Total_Expenditure", Seq(1400))
+    val adj = a.adjustByCpi(tot, Seq("Gross_Expenditure")).collect()
+      .map(r => r.getAs[Long]("ID") -> r.getAs[Double]("Gross_Expenditure")).toMap
+    // Urban CPI 100 -> unchanged; Rural CPI 50 -> doubled
+    assert(adj(U1) == 4800.0 && adj(U2) == 7920.0)
+    assert(adj(R1) == 3600.0 && adj(R2) == 720.0)
+    assert(!a.adjustByCpi(tot, Seq("Gross_Expenditure")).columns.contains("CPI"))
+  }
+
+  test("adjustByEquivalenceScale divides by per-capita members") {
+    val a = api()
+    val tot = a.loadTable("Total_Expenditure", Seq(1400))
+    val adj = a.adjustByEquivalenceScale(tot, Seq("Gross_Expenditure"), "Per_Capita")
+      .collect().map(r => r.getAs[Long]("ID") -> r.getAs[Double]("Gross_Expenditure")).toMap
+    assert(adj(U1) == 2400.0) // 4800 / 2 members
+    assert(adj(R1) == 600.0)  // 1800 / 3 members
+  }
+
+  test("select filters by decoded attribute") {
+    val a = api()
+    val tot = a.loadTable("Total_Expenditure", Seq(1400))
+    assert(a.select(tot, "Urban_Rural", "Rural").count() == 2)
+  }
+
+  test("averageTable auto-adds weights") {
+    val a = api()
+    val tot = a.loadTable("Total_Expenditure", Seq(1400))
+    val avg = a.averageTable(tot, Seq("Gross_Expenditure"), Seq("Year")).collect()(0)
+    // (4800*2 + 7920*3 + 1800*4 + 360*1) / (2+3+4+1) = 40920 / 10
+    assert(avg.getAs[Double]("Gross_Expenditure") == 4092.0)
+  }
+
+  test("addDecile bins by the total-expenditure distribution and joins back") {
+    val a = api()
+    val tot = a.loadTable("Total_Expenditure", Seq(1400))
+    val deciles = a.addDecile(tot).collect()
+      .map(r => r.getAs[Long]("ID") -> r.getAs[Int]("Decile")).toMap
+    // weights: U1=2,U2=3,R1=4,R2=1; sorted by value: R2(360,w1) R1(1800,w4) U1(4800,w2) U2(7920,w3)
+    // cum/total: R2 .1 -> decile 2? floor(0.1*10)+1 = 2; R1 .5 -> 6; U1 .7 -> 8; U2 1.0 -> 10
+    assert(deciles == Map(R2 -> 2, R1 -> 6, U1 -> 8, U2 -> 10))
+  }
+}

@@ -1,0 +1,68 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import Dedup._
+
+  private def docs() = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the old river bank " +
+      "while birds sing in the tall green trees beside the quiet water"
+    val nearDup = base.replace("quick", "fast") // one-token mutation
+    val other = "completely different content about database engines and query " +
+      "optimization with columnar storage formats and vectorized execution models"
+    Seq(
+      (1L, base), (2L, nearDup), (3L, other), (4L, base), // 4 = exact dup of 1
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical normalized content") {
+    val d = TextOps.exactDedup(docs())
+    val byId = d.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_count")).toMap
+    assert(byId(1L) == 2L) // docs 1 and 4 collapse, min id kept
+    assert(d.count() == 3)
+  }
+
+  test("minhash LSH finds planted near-duplicate pair") {
+    val pairs = minHashPairs(docs(), numHashes = 64, bands = 16)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("est_jaccard")).toMap
+    assert(pairs.contains((1L, 2L)), s"near-dup pair missing from $pairs")
+    assert(pairs((1L, 2L)) > 0.5)
+    assert(pairs.contains((1L, 4L)) && pairs((1L, 4L)) == 1.0)
+    assert(!pairs.keySet.exists { case (a, b) => b == 3L || a == 3L })
+  }
+
+  test("minhash signatures are deterministic across runs") {
+    val s1 = minHashSignatures(docs()).collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getSeq[Long](1)).toMap
+    val s2 = minHashSignatures(docs()).collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getSeq[Long](1)).toMap
+    assert(s1 == s2)
+    assert(s1(1L) == s1(4L)) // identical docs, identical signatures
+  }
+
+  test("simhash: identical docs distance 0, near-dups close, unrelated far") {
+    val sh = simHashes(docs()).collect().map(r => r.getAs[Long]("doc_id") -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(4L))
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(2L)) < 16)
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(3L)) > 16)
+  }
+
+  test("simhash candidates include the near-dup pair") {
+    val c = simHashCandidates(docs(), maxDistance = 16).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(c.contains((1L, 2L)))
+    assert(c.contains((1L, 4L)))
+  }
+
+  test("exact ngram jaccard verifies candidates") {
+    import spark.implicits._
+    val df = docs().as("a").join(docs().as("b"),
+      col("a.doc_id") === 1 && col("b.doc_id") === 2)
+      .select(ngramJaccard(col("a.text"), col("b.text")).as("j"))
+    val j = df.collect()(0).getDouble(0)
+    assert(j > 0.7 && j < 1.0)
+  }
+}

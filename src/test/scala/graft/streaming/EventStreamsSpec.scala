@@ -1,0 +1,65 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+class EventStreamsSpec extends SparkSpec {
+  import EventStreams._
+
+  // offset from epoch 0: a row timestamped exactly at the initial
+  // watermark (0) is dropped as late data
+  private def ts(minutes: Long): Timestamp = new Timestamp(86400000L + minutes * 60000L)
+
+  test("windowed counts aggregate incrementally with watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = windowedCounts(input.toDF(), windowLength = "10 minutes", watermark = "30 minutes")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Event(1, ts(1), 1, "click", 1.0),
+        Event(2, ts(2), 1, "click", 2.0),
+        Event(3, ts(5), 2, "view", 3.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close the first window
+      input.addData(Event(4, ts(120), 1, "click", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("win_counts").collect()
+        .map(r => (r.getAs[Timestamp]("window_start").getTime / 60000, r.getAs[String]("event_type")) ->
+          ((r.getAs[Long]("n"), r.getAs[Double]("total_value")))).toMap
+      assert(out((1440L, "click")) == ((2L, 3.0)))
+      assert(out((1440L, "view")) == ((1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("sessionization closes sessions on gap and on timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = sessionize(input.toDS(), gapSeconds = 600, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: two events 5 min apart (one session), then a 30-min gap event
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(5), 1, "click", 2.0),
+        Event(3, ts(35), 1, "click", 4.0))
+      q.processAllAvailable()
+      // push watermark forward to flush the open session via timeout
+      input.addData(Event(9, ts(300), 2, "view", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(10, ts(600), 2, "view", 0.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions").as[Session].collect()
+        .filter(_.user_id == 1).sortBy(_.session_start.getTime)
+      assert(sessions.length == 2)
+      assert(sessions(0).n_events == 2 && sessions(0).total_value == 3.0)
+      assert(sessions(1).n_events == 1 && sessions(1).total_value == 4.0)
+    } finally q.stop()
+  }
+}
