@@ -44,7 +44,11 @@ object Dedup {
       k: Int = 3,
   ): DataFrame = {
     val exploded = df.select(col(idCol), explode(shingles(col(textCol), k)).as("_shingle"))
-    val mins = (0 until numHashes).map(i => min(xxhash64(col("_shingle"), lit(i))).as(s"_h$i"))
+      // hash the shingle STRING once; the per-permutation hashes mix the
+      // resulting 8-byte value, so cost is 1 string hash + 64 long hashes
+      // per shingle instead of 64 string hashes
+      .select(col(idCol), xxhash64(col("_shingle")).as("_h"))
+    val mins = (0 until numHashes).map(i => min(xxhash64(col("_h"), lit(i))).as(s"_h$i"))
     exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
       .select(col(idCol), array((0 until numHashes).map(i => col(s"_h$i")): _*).as("_sig"))
   }

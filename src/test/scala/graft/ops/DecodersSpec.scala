@@ -1,0 +1,109 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.meta._
+import org.apache.spark.sql.functions._
+
+class DecodersSpec extends SparkSpec {
+
+  private val resolver = ResolverSettings(yearRange = (1350, 2100))
+
+  test("D1 raises on ambiguous (year, code, level) mappings") {
+    import spark.implicits._
+    val meta = Meta.fromYaml("""
+items:
+  a:
+    level: 1
+    code: {start: 0, end: 100}
+  b:
+    level: 1
+    code: {start: 50, end: 150}
+""")
+    val df = Seq((1400, 75L)).toDF("Year", "Code")
+    val items = Classifier.compile(meta, Seq(1400), resolver = resolver)
+    val e = intercept[IllegalStateException] {
+      Classifier.addClassification(df, items)
+    }
+    assert(e.getMessage.contains("Classification is not valid"))
+  }
+
+  test("D1 non-overlapping levels pivot to separate columns") {
+    import spark.implicits._
+    val meta = Meta.fromYaml("""
+defaults:
+  levels: [1, 2]
+items:
+  coarse:
+    level: 1
+    code: {start: 0, end: 100}
+  fine_low:
+    level: 2
+    code: {start: 0, end: 50}
+  fine_high:
+    level: 2
+    code: {start: 50, end: 100}
+""")
+    val df = Seq((1400, 25L), (1400, 75L), (1400, 999L)).toDF("Year", "Code")
+    val items = Classifier.compile(meta, Seq(1400), resolver = resolver)
+    val out = Classifier.addClassification(df, items,
+      Classifier.settingsFromMeta(meta)).collect()
+      .map(r => r.getAs[Long]("Code") ->
+        ((r.getAs[String]("item_key_1"), r.getAs[String]("item_key_2")))).toMap
+    assert(out(25L) == (("coarse", "fine_low")))
+    assert(out(75L) == (("coarse", "fine_high")))
+    assert(out(999L) == ((null, null)))
+  }
+
+  test("D1 categorized items expand before joining") {
+    import spark.implicits._
+    // `categories` split one entry into several items (shared keys inherited)
+    val meta = Meta.fromYaml("""
+items:
+  _grains_:
+    level: 1
+    categories:
+      1: {item_key: wheat, code: {start: 0, end: 10}}
+      2: {item_key: rice, code: {start: 10, end: 20}}
+""")
+    val df = Seq((1400, 5L), (1400, 15L)).toDF("Year", "Code")
+    val items = Classifier.compile(meta, Seq(1400), resolver = resolver)
+    val out = Classifier.addClassification(df, items).collect()
+      .map(r => r.getAs[Long]("Code") -> r.getAs[String]("item_key_1")).toMap
+    assert(out == Map(5L -> "wheat", 15L -> "rice"))
+  }
+
+  test("D2 year-versioned ID layout flips length and label maps") {
+    import spark.implicits._
+    val household = Meta.fromYaml("""
+ID_Length:
+  1387: 10
+  1392: 11
+Urban_Rural:
+  code:
+    position: {start: 0, end: 1}
+  name:
+    1387: {1: Urban, 2: Rural}
+    1392: {3: Urban, 4: Rural}
+""")
+    val df = Seq(
+      (1390, 1234567890L), // 10 digits, leading 1 -> Urban (old map)
+      (1395, 31234567890L), // 11 digits, leading 3 -> Urban (new map)
+      (1395, 41234567890L), // leading 4 -> Rural
+    ).toDF("Year", "ID")
+    val versions = IdDecoder.compile(household, "Urban_Rural", Seq(1390, 1395))
+    val out = IdDecoder.addAttribute(df, versions, IdDecoder.Settings("Urban_Rural"))
+      .collect().map(r => r.getAs[Long]("ID") -> r.getAs[String]("Urban_Rural")).toMap
+    assert(out(1234567890L) == "Urban")
+    assert(out(31234567890L) == "Urban")
+    assert(out(41234567890L) == "Rural")
+  }
+
+  test("D2 aspect=code returns the raw digit substring") {
+    import spark.implicits._
+    val versions = Seq(IdDecoder.AttrVersion(1400, 1401, 8, 1, 3))
+    val df = Seq((1400, 12345678L)).toDF("Year", "ID")
+    val out = IdDecoder.addAttribute(df, versions,
+      IdDecoder.Settings("Province", aspect = "code"))
+    assert(out.collect()(0).getAs[String]("Province") == "23")
+  }
+}
