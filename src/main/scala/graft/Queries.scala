@@ -395,6 +395,48 @@ items:
            CAST((3000000000 + (o_orderkey * 4321) % 1000000000) % 1000000 // 1000 AS VARCHAR) AS County
     FROM orders"""
 
+  /** E5 select: filter by a decoded ID attribute — the decode is a pure
+    * expression, so the filter is a plain pushdown-able predicate.
+    */
+  def e5Select(s: SparkSession, dir: String): DataFrame = {
+    val df = T(s, dir, "orders").select(
+      col("o_orderkey"),
+      lit(1400).as("Year"),
+      (lit(3000000000L) + (col("o_orderkey") * 4321L) % 1000000000L).as("ID"))
+    val province = Seq(IdDecoder.AttrVersion(1400, 1401, 10, 1, 3,
+      (0L to 9L).map(i => i -> s"P$i").toMap))
+    IdDecoder.addAttribute(df, province, IdDecoder.Settings("Province", outputCol = Some("_p")))
+      .where(col("_p") === "P3").drop("_p")
+  }
+
+  private val e5Sql = """
+    SELECT o_orderkey, 1400 AS Year,
+           3000000000 + (o_orderkey * 4321) % 1000000000 AS ID
+    FROM orders
+    WHERE (3000000000 + (o_orderkey * 4321) % 1000000000) % 1000000000 // 10000000 = 3"""
+
+  /** A1/A8: CSV sink + scan round-trip through the clean layer (raw CSV
+    * arrives untyped; the clean projection restores types).
+    */
+  def a1CsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import CleanOps._
+    val tmp = s"/tmp/graft_a1_csv_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+    T(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      .write.mode("overwrite").option("header", "true").csv(tmp)
+    val raw = s.read.option("header", "true").csv(tmp)
+    val spec = TableCleanSpec(Vector(
+      ColumnSpec("s_suppkey", "SuppKey", UnsignedType),
+      ColumnSpec("s_name", "Name", StrType),
+      ColumnSpec("s_acctbal", "Balance", FloatType),
+    ), missings = "drop")
+    cleanTable(raw, spec)
+  }
+
+  private val a1Sql = """
+    SELECT s_suppkey AS SuppKey, s_name AS Name, CAST(s_acctbal AS DOUBLE) AS Balance
+    FROM supplier"""
+
   // ------------------------------------------------------------------ E
 
   /** E6 add_weight: broadcast left join of per-(Year,ID) weights. */
@@ -732,6 +774,8 @@ items:
     ("c15_season", c15Season _, Some(c15Sql)),
     ("d1_classification", d1Classification _, Some(d1Sql)),
     ("d2_attribute", d2Attribute _, Some(d2Sql)),
+    ("e5_select", e5Select _, Some(e5Sql)),
+    ("a1_csv_roundtrip", a1CsvRoundtrip _, Some(a1Sql)),
     ("e6_weight", e6Weight _, Some(e6Sql)),
     ("e10_weighted_avg", e10WeightedAvg _, Some(e10Sql)),
     ("e11_average_table", e11AverageTable _, Some(e11SqlReal)),

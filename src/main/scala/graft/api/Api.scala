@@ -49,6 +49,16 @@ class Api(
       case other       => throw new IllegalArgumentException(s"form $other")
     }
 
+  /** E1 with the reference's year-string syntax (E17): `"1365, 80-83"`,
+    * `"all"`, `"last"` (utils/parsing_utils.py:13-101).
+    */
+  def loadTable(name: String, years: String, form: String,
+                bounds: YearParser.YearBounds): DataFrame =
+    loadTable(name, YearParser.parse(years, bounds), form)
+
+  def loadTable(name: String, years: String): DataFrame =
+    loadTable(name, years, "processed", YearParser.DefaultBounds)
+
   /** E2 create_table_with_schema: register an ad-hoc schema document
     * (table_list + instructions) and build it (api.py:194-257).
     */

@@ -85,6 +85,57 @@ object Meta {
     fromJava(loaded)
   }
 
+  private val TemplateP = raw"\{\{\s*([A-Za-z0-9_]+)(?:\.([A-Za-z0-9_]+))?\s*\}\}".r
+
+  /** Parse a YAML document containing `{{placeholder}}` references, the
+    * template mechanism of the reference's commodities metadata
+    * (hbsir/core/metadata_reader.py:366-381, used at
+    * hbsir/metadata/commodities.yaml:1784-1830): `{{name}}` splices
+    * `name`'s `items` subtree; `{{name.item}}` splices a single item.
+    * Like the reference, resolution is textual: the context is the
+    * document with placeholders blanked, and each placeholder is replaced
+    * by the referenced subtree serialized inline.
+    */
+  def fromYamlTemplated(yaml: String): Meta = {
+    val cleaned = TemplateP.replaceAllIn(yaml, "null")
+    val context = fromYaml(cleaned)
+    val dumper = {
+      val opts = new org.yaml.snakeyaml.DumperOptions()
+      opts.setDefaultFlowStyle(org.yaml.snakeyaml.DumperOptions.FlowStyle.FLOW)
+      opts.setWidth(Int.MaxValue)
+      new org.yaml.snakeyaml.Yaml(opts)
+    }
+    def lookup(name: String, item: Option[String]): Meta = {
+      val items = context(name)("items")
+      item.fold(items)(i => items(i))
+    }
+    def toJava(m: Meta): Object = m match {
+      case MNull    => null
+      case MInt(i)  => java.lang.Long.valueOf(i)
+      case MDbl(d)  => java.lang.Double.valueOf(d)
+      case MStr(s)  => s
+      case MBool(b) => java.lang.Boolean.valueOf(b)
+      case MList(items) =>
+        val l = new java.util.ArrayList[Object](); items.foreach(i => l.add(toJava(i))); l
+      case MMap(entries) =>
+        val mm = new java.util.LinkedHashMap[Object, Object]()
+        entries.foreach { case (k, v) =>
+          val key: Object = k match {
+            case IKey(i) => java.lang.Long.valueOf(i)
+            case SKey(s) => s
+          }
+          mm.put(key, toJava(v))
+        }
+        mm
+    }
+    val substituted = TemplateP.replaceAllIn(yaml, m => {
+      val value = lookup(m.group(1), Option(m.group(2)))
+      java.util.regex.Matcher.quoteReplacement(
+        dumper.dump(toJava(value)).trim)
+    })
+    fromYaml(substituted)
+  }
+
   def fromJava(o: Object): Meta = o match {
     case null                       => MNull
     case b: java.lang.Boolean       => MBool(b)
