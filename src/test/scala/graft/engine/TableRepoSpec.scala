@@ -118,6 +118,32 @@ class TableRepoSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again.count() == 6)
   }
 
+  test("C17 multi-year concat unions per-year builds") {
+    val multi = repo().table("Expenditures", Seq(1399, 1400))
+    assert(multi.count() == 12) // same fixture rows built for both years
+    assert(multi.select("Year").distinct().count() == 2)
+  }
+
+  test("external weights source used for years <= 1395") {
+    import spark.implicits._
+    val ext = Seq((1395, U1, 7L), (1395, U2, 9L)).toDF("Year", "ID", "Weight")
+    val r = new TableRepo(
+      spark,
+      tablesMeta = Meta.fromYaml(HbsFixtures.tablesYaml),
+      schemaMeta = Meta.fromYaml(HbsFixtures.schemaYaml),
+      rawReader = (n, _) => HbsFixtures.raw(spark)(n),
+      classifications = Map.empty,
+      householdMeta = Meta.fromYaml(HbsFixtures.householdYaml),
+      externalWeights = Some(ext),
+    )
+    val w = r.weights(Seq(1395)).collect()
+      .map(row => row.getAs[Long]("ID") -> row.getAs[Long]("Weight")).toMap
+    assert(w == Map(U1 -> 7L, U2 -> 9L))
+    // mixed years: 1395 from external, 1400 from household_information
+    val mixed = r.weights(Seq(1395, 1400))
+    assert(mixed.count() == 6)
+  }
+
   test("weights adjusted for household size") {
     val w = repo().weights(Seq(1400), adjustForHouseholdSize = true).collect()
       .map(r => r.getAs[Long]("ID") -> r.getAs[Long]("Weight")).toMap
