@@ -683,6 +683,15 @@ items:
     FROM scored
     QUALIFY rank <= 5"""
 
+  /** Embedding-cosine near-dup candidate pairs at a demo threshold
+    * (rows-only; the testdata embeddings have no true near-dups — the
+    * planted-duplicate semantics are asserted in AnnSpec).
+    */
+  def annCosineDedup(s: SparkSession, dir: String): DataFrame =
+    Ann.cosineNearDupPairs(T(s, dir, "embeddings"), threshold = 0.35, dim = 64)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("id_a", "id_b")
+
   /** LSH-bucketed approximate top-k (rows-only; recall asserted in tests). */
   def annLshTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = T(s, dir, "embeddings")
@@ -792,6 +801,7 @@ items:
     ("simhash_pairs", simhashPairs _, None),
     ("ann_brute_topk", annBruteTopK _, Some(annBruteSql)),
     ("ann_lsh_topk", annLshTopK _, None),
+    ("ann_cosine_dedup", annCosineDedup _, None),
     ("events_window_agg", eventsWindowAgg _, Some(eventsWindowSql)),
     ("events_sessionize", eventsSessionize _, Some(eventsSessionizeSql)),
     ("topk", topK _, Some(topKSql)),

@@ -124,6 +124,40 @@ object Ann {
     scored.withColumn("rank", row_number().over(win)).where(col("rank") <= k)
   }
 
+  /** Embedding-cosine near-duplicate candidate pairs: sign-bucket LSH
+    * self-join (corpus vs corpus, equi shuffle join on (band, key) —
+    * never all-pairs), exact cosine verification at `threshold`.
+    * The embedding-space sibling of Dedup.minHashPairs.
+    */
+  def cosineNearDupPairs(
+      corpus: DataFrame,
+      threshold: Double,
+      dim: Int,
+      numPlanes: Int = 16,
+      bands: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      seed: Long = 42L,
+  ): DataFrame = {
+    require(numPlanes % bands == 0, "bands must divide numPlanes")
+    val r = numPlanes / bands
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val mask = (1L << r) - 1
+    val sig = signBits(col(vecCol), planes)
+    val banded = corpus.select(col(idCol), col(vecCol), sig.as("_sig"))
+      .select(col(idCol), col(vecCol), explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          call_function("shiftright", col("_sig"), b * lit(r)).bitwiseAND(lit(mask)).as("key")))).as("_bk"))
+      .select(col(idCol), col(vecCol), col("_bk.band").as("_b"), col("_bk.key").as("_k"))
+    val a = banded.select(col(idCol).as("id_a"), col(vecCol).as("_va"), col("_b"), col("_k"))
+    val b = banded.select(col(idCol).as("id_b"), col(vecCol).as("_vb"), col("_b"), col("_k"))
+    a.join(b, Seq("_b", "_k"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(first(cosine(col("_va"), col("_vb"))).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
   /** IVF-style coarse quantization: assign each vector to its nearest of
     * `centroids` (broadcast literal), giving a partitionable `cluster`
     * column — the disk-layout primitive for ANN at rest (write bucketed

@@ -163,6 +163,16 @@ object Dedup {
       .where(col("hamming") <= maxDistance)
   }
 
+  /** Keep one representative per near-duplicate cluster: drop every row
+    * whose id appears as the GREATER side of a candidate pair. For a
+    * chain a<b<c with pairs (a,b),(b,c) this keeps only a — the standard
+    * single-pass approximation of connected-component dedup (exact CC
+    * needs iterative label propagation; at corpus scale the 1-hop rule
+    * removes ≥ the pairwise duplicates without iteration).
+    */
+  def keepRepresentatives(df: DataFrame, pairs: DataFrame, idCol: String = "doc_id"): DataFrame =
+    df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+
   /** Exact n-gram Jaccard similarity between two text columns —
     * |A∩B| / |A∪B| over distinct k-shingles. Use to verify LSH
     * candidates; O(pair count), not O(n²).

@@ -44,6 +44,28 @@ class AnnSpec extends SparkSpec {
     assert(recall > 0.4, s"LSH recall too low: $recall")
   }
 
+  test("cosine near-dup pairs finds planted duplicate vectors") {
+    import spark.implicits._
+    val base = vecs(60)
+    // plant: vector 1000 = copy of vector 3 with tiny noise, 1001 = exact copy of 7
+    val planted = base.collect().collectFirst {
+      case r if r.getLong(0) == 3L => r.getSeq[Float](1)
+    }.get
+    val noisy = planted.zipWithIndex.map { case (v, i) => if (i == 0) v + 0.01f else v }
+    val exact7 = base.where(col("vec_id") === 7).collect()(0).getSeq[Float](1)
+    val df = base.union(Seq((1000L, noisy), (1001L, exact7)).toDF("vec_id", "embedding"))
+    val pairs = Ann.cosineNearDupPairs(df, threshold = 0.95, dim = dim).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((3L, 1000L)), s"planted near-dup missing from $pairs")
+    assert(pairs.contains((7L, 1001L)))
+    // and keepRepresentatives drops the copies, keeps originals
+    val kept = Dedup.keepRepresentatives(df,
+      Ann.cosineNearDupPairs(df, 0.95, dim).select("id_a", "id_b"), "vec_id")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(3L) && kept.contains(7L))
+    assert(!kept.contains(1000L) && !kept.contains(1001L))
+  }
+
   test("cluster assignment is deterministic and in range") {
     val centroids = Ann.hyperplanes(4, dim, seed = 7)
     val df = vecs(30).withColumn("cluster", Ann.assignCluster(col("embedding"), centroids))

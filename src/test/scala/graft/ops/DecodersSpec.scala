@@ -72,6 +72,25 @@ items:
     assert(out == Map(5L -> "wheat", 15L -> "rice"))
   }
 
+  test("D1 multiple aspects emit one column per (aspect, level)") {
+    import spark.implicits._
+    val meta = Meta.fromYaml("""
+items:
+  food:
+    level: 1
+    farsi_name: khoraki
+    code: {start: 0, end: 100}
+""")
+    val df = Seq((1400, 50L)).toDF("Year", "Code")
+    val items = Classifier.compile(meta, Seq(1400),
+      extraAspects = Seq("farsi_name"), resolver = resolver)
+    val out = Classifier.addClassification(df, items,
+      Classifier.Settings(aspects = Seq("item_key", "farsi_name"), levels = Seq(1)))
+      .collect()(0)
+    assert(out.getAs[String]("item_key_1") == "food")
+    assert(out.getAs[String]("farsi_name_1") == "khoraki")
+  }
+
   test("D2 year-versioned ID layout flips length and label maps") {
     import spark.implicits._
     val household = Meta.fromYaml("""

@@ -57,6 +57,15 @@ class DedupSpec extends SparkSpec {
     assert(c.contains((1L, 4L)))
   }
 
+  test("keepRepresentatives drops near-dup copies, keeps first") {
+    val pairs = minHashPairs(docs(), numHashes = 64, bands = 16)
+      .where(col("est_jaccard") > 0.5).select("id_a", "id_b")
+    val kept = keepRepresentatives(docs(), pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(1L) && kept.contains(3L))
+    assert(!kept.contains(2L) && !kept.contains(4L))
+  }
+
   test("exact ngram jaccard verifies candidates") {
     import spark.implicits._
     val df = docs().as("a").join(docs().as("b"),
