@@ -144,11 +144,13 @@ object Ann {
     val planes = hyperplanes(numPlanes, dim, seed)
     val mask = (1L << r) - 1
     val sig = signBits(col(vecCol), planes)
+    // persist: the signature pass runs once, not once per self-join side
     val banded = corpus.select(col(idCol), col(vecCol), sig.as("_sig"))
       .select(col(idCol), col(vecCol), explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
           call_function("shiftright", col("_sig"), b * lit(r)).bitwiseAND(lit(mask)).as("key")))).as("_bk"))
       .select(col(idCol), col(vecCol), col("_bk.band").as("_b"), col("_bk.key").as("_k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.select(col(idCol).as("id_a"), col(vecCol).as("_va"), col("_b"), col("_k"))
     val b = banded.select(col(idCol).as("id_b"), col(vecCol).as("_vb"), col("_b"), col("_k"))
     a.join(b, Seq("_b", "_k"))

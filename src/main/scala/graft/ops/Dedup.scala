@@ -93,9 +93,14 @@ object Dedup {
       k: Int = 3,
   ): DataFrame = {
     val sigs = minHashSignatures(df, textCol, idCol, numHashes, k)
+    // self-join: persist the banded signatures so the shingle+signature
+    // pipeline runs ONCE, not once per join side (signatures are one
+    // small row per document — the thing you'd also write to disk at
+    // corpus scale)
     val banded = sigs.select(col(idCol), col("_sig"),
       explode(bandKeys(col("_sig"), numHashes, bands)).as("_band"))
       .select(col(idCol), col("_sig"), col("_band.band").as("_b"), col("_band.key").as("_k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.select(col(idCol).as("id_a"), col("_sig").as("_sig_a"), col("_b"), col("_k"))
     val b = banded.select(col(idCol).as("id_b"), col("_sig").as("_sig_b"), col("_b"), col("_k"))
     val agree = aggregate(
@@ -154,6 +159,7 @@ object Dedup {
         q => struct(q.as("q"),
           call_function("shiftright", col("_sh"), q * lit(16)).bitwiseAND(lit(0xFFFFL)).as("key")))).as("_band"))
       .select(col(idCol), col("_sh"), col("_band.q").as("_q"), col("_band.key").as("_k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.select(col(idCol).as("id_a"), col("_sh").as("_sh_a"), col("_q"), col("_k"))
     val b = banded.select(col(idCol).as("id_b"), col("_sh").as("_sh_b"), col("_q"), col("_k"))
     a.join(b, Seq("_q", "_k"))

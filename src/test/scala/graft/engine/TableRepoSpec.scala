@@ -118,6 +118,19 @@ class TableRepoSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again.count() == 6)
   }
 
+  test("C3 add_weights as a pipeline instruction") {
+    val r = HbsFixtures.repo(spark).withExtraSchemas(Meta.fromYaml("""
+Weighted_Total:
+  table_list: Total_Expenditure
+  instructions:
+    - add_weights
+"""))
+    val wt = r.table("Weighted_Total", Seq(1400))
+    assert(wt.columns.contains("Weight"))
+    val w = wt.collect().map(row => row.getAs[Long]("ID") -> row.getAs[Long]("Weight")).toMap
+    assert(w(HbsFixtures.U1) == 2L && w(HbsFixtures.R1) == 4L)
+  }
+
   test("C17 multi-year concat unions per-year builds") {
     val multi = repo().table("Expenditures", Seq(1399, 1400))
     assert(multi.count() == 12) // same fixture rows built for both years
