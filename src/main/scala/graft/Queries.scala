@@ -369,6 +369,25 @@ items:
                 ELSE NULL END AS Part_Class_2
     FROM lineitem"""
 
+  /** D1 plan (b): the same classification compiled to a pure column
+    * expression via the native binary-search range-set expression
+    * (graft.plans.RangeSetSearch, registered by GraftExtensions) — no
+    * join, O(log ranges) per row.
+    */
+  def d1ExprClassification(s: SparkSession, dir: String): DataFrame = {
+    val meta = Meta.fromYaml(partClassYaml)
+    val years = (1995 to 2001)
+    val items = Classifier.compile(meta, years,
+      resolver = ResolverSettings(yearRange = (1350, 2100)))
+    val df = T(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      year(col("l_shipdate")).as("Year"), col("l_partkey").as("Code"))
+    df.withColumn("Part_Class_1",
+        Classifier.levelExpr(items, 1, col("Year"), col("Code"), default = Some("other")))
+      .withColumn("Part_Class_2",
+        Classifier.levelExpr(items, 2, col("Year"), col("Code")))
+  }
+
   /** D2 ID digit-substring attribute decode — pure expression, no join. */
   def d2Attribute(s: SparkSession, dir: String): DataFrame = {
     val df = T(s, dir, "orders").select(
@@ -782,6 +801,7 @@ items:
     ("c14_equivalence", c14Equivalence _, Some(c14Sql)),
     ("c15_season", c15Season _, Some(c15Sql)),
     ("d1_classification", d1Classification _, Some(d1Sql)),
+    ("d1_expr_classification", d1ExprClassification _, Some(d1Sql)),
     ("d2_attribute", d2Attribute _, Some(d2Sql)),
     ("e5_select", e5Select _, Some(e5Sql)),
     ("a1_csv_roundtrip", a1CsvRoundtrip _, Some(a1Sql)),
@@ -810,7 +830,7 @@ items:
   /** Subset used by Bench at sf0.1 (the heavier/representative ones). */
   val benchNames: Seq[String] = Seq(
     "q1_agg", "c10_groupby_sum", "c12_join", "c13_members", "d1_classification",
-    "d2_attribute", "e10_weighted_avg", "e12_quantile", "e7e8_cpi",
+    "d1_expr_classification", "d2_attribute", "e10_weighted_avg", "e12_quantile", "e7e8_cpi",
     "dedup_exact", "text_stats", "minhash_pairs", "simhash_pairs",
     "ann_brute_topk", "ann_lsh_topk", "events_window_agg", "events_sessionize", "topk")
 }

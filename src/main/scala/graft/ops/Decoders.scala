@@ -118,6 +118,37 @@ object Classifier {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
+  /** D1 plan (b) — SURVEY §2: compile ONE (level, aspect) to a pure
+    * column expression instead of a join, using the native binary-search
+    * range-set expression ([[graft.plans.RangeSet]]; requires
+    * GraftExtensions installed in the session). O(log ranges) per row, no
+    * shuffle, usable as a filter predicate. Range overlap within a level
+    * surfaces as a compile-time error (the join path's uniqueness
+    * validation, moved to plan time). Stepped ranges fall back to the
+    * join path.
+    */
+  def levelExpr(
+      items: Seq[ClassItem],
+      level: Int,
+      yearCol: org.apache.spark.sql.Column,
+      codeCol: org.apache.spark.sql.Column,
+      aspect: String = "item_key",
+      default: Option[String] = None,
+  ): org.apache.spark.sql.Column = {
+    val byYear = items.filter(_.level == level).groupBy(_.year)
+    byYear.toSeq.sortBy(_._1).foldLeft(lit(null).cast(StringType)) {
+      case (acc, (y, its)) =>
+        val ranges = its.flatMap { it =>
+          require(it.codes.ranges.forall(_.step == 1),
+            s"stepped range in ${it.key}: expression path supports step=1 only")
+          val label = if (aspect == "item_key") it.key else it.aspects.getOrElse(aspect, null)
+          it.codes.ranges.map(r => (r.start, r.end, label))
+        }
+        when(yearCol === lit(y), graft.plans.RangeSet.lookup(codeCol, ranges, default))
+          .otherwise(acc)
+    }
+  }
+
   /** Add classification columns to `df`. Raises IllegalStateException when
     * an ambiguous mapping exists (reference parity, decoder.py:436-444).
     */

@@ -1,0 +1,33 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+/** Session extensions registering the library's native expressions.
+  * Install with `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
+  *
+  * `range_set_search(value, array(lo...), array(hi...))` — the ranges must
+  * be foldable literals (they come from compiled classification metadata);
+  * the builder folds them into primitive arrays at resolution time so the
+  * per-row path is the codegen'd binary search in [[RangeSetSearch]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("range_set_search"),
+      new ExpressionInfo(classOf[RangeSetSearch].getName, "range_set_search"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "range_set_search(value, array(lo...), array(hi...))")
+        def longs(e: Expression): Array[Long] = {
+          require(e.foldable, s"range bounds must be literal arrays, got $e")
+          e.eval().asInstanceOf[ArrayData].toLongArray()
+        }
+        RangeSetSearch(args.head, longs(args(1)), longs(args(2)))
+      },
+    ))
+  }
+}

@@ -18,6 +18,7 @@ class TableRepoSpec extends AnyFunSuite with BeforeAndAfterAll {
     .master("local[2]")
     .config("spark.sql.shuffle.partitions", "2")
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .appName("TableRepoSpec")
     .getOrCreate()
 
