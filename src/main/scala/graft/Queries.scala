@@ -673,6 +673,10 @@ items:
     Dedup.minHashPairs(T(s, dir, "documents"))
       .orderBy("id_a", "id_b")
 
+  /** Signature-build stage alone (perf probe; rows-only). */
+  def minhashSigs(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashSignatures(T(s, dir, "documents"))
+
   /** SimHash near-dup candidates (rows-only check). */
   def simhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.simHashCandidates(T(s, dir, "documents"), maxDistance = 8)
@@ -818,6 +822,7 @@ items:
     ("quality_score", qualityScore _, Some(qualityScoreSql)),
     ("ngram_jaccard", ngramJaccard _, Some(ngramJaccardSql)),
     ("minhash_pairs", minhashPairs _, None),
+    ("minhash_sigs", minhashSigs _, None),
     ("simhash_pairs", simhashPairs _, None),
     ("ann_brute_topk", annBruteTopK _, Some(annBruteSql)),
     ("ann_lsh_topk", annLshTopK _, None),

@@ -179,6 +179,52 @@ object Dedup {
   def keepRepresentatives(df: DataFrame, pairs: DataFrame, idCol: String = "doc_id"): DataFrame =
     df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
 
+  /** Exact duplicate-cluster labeling by iterative min-label propagation
+    * over the candidate-pair graph: every connected component converges
+    * to its minimum id (alternating large-star rounds; components of
+    * diameter d need ~log d iterations). Returns (idCol, cluster_id).
+    * Use when chains matter (a~b~c must collapse to ONE representative
+    * exactly); [[keepRepresentatives]] is the cheaper single-pass
+    * approximation.
+    *
+    * Each iteration is two shuffles on the pair table (bounded by
+    * candidate count, not corpus size); intermediate labels are
+    * persisted and unpersisted per round.
+    */
+  def duplicateClusters(
+      ids: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id",
+      maxIter: Int = 10,
+  ): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // undirected edge list both ways + self-loops
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = ids.select(col(idCol), col(idCol).as("cluster_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // each node adopts min(own label, neighbors' labels)
+      val neighborMin = edges.join(labels, edges("dst") === labels(idCol))
+        .groupBy(col("src").as(idCol)).agg(min(col("cluster_id")).as("_nmin"))
+      val next = labels.join(neighborMin, Seq(idCol), "left")
+        .select(col(idCol),
+          least(col("cluster_id"), coalesce(col("_nmin"), col("cluster_id"))).as("cluster_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "_old"), Seq(idCol))
+        .where(col("cluster_id") =!= col("_old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Exact n-gram Jaccard similarity between two text columns —
     * |A∩B| / |A∪B| over distinct k-shingles. Use to verify LSH
     * candidates; O(pair count), not O(n²).

@@ -43,6 +43,18 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming exact deduplication: drop events whose key was already
+    * seen within the watermark horizon (`dropDuplicatesWithinWatermark`
+    * keeps state bounded — the streaming twin of TextOps.exactDedup).
+    */
+  def dedupEvents(
+      events: DataFrame,
+      keyCols: Seq[String] = Seq("event_id"),
+      watermark: String = "2 hours",
+  ): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Gap-based sessionization: a session closes after `gapSeconds` of
     * user inactivity (or watermark timeout). One state object per user —
     * constant-size, evicted on timeout.

@@ -66,6 +66,17 @@ class DedupSpec extends SparkSpec {
     assert(!kept.contains(2L) && !kept.contains(4L))
   }
 
+  test("duplicate clusters: chains collapse to the minimum id exactly") {
+    import spark.implicits._
+    // components: {1,2,3,4} via chain 1-2, 2-3, 3-4; {10,11}; singleton 20
+    val ids = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val clusters = Dedup.duplicateClusters(ids, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
   test("exact ngram jaccard verifies candidates") {
     import spark.implicits._
     val df = docs().as("a").join(docs().as("b"),

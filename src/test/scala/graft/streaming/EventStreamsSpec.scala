@@ -36,6 +36,26 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops repeated keys within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = dedupEvents(input.toDF(), Seq("event_id"), watermark = "1 hour")
+      .writeStream.format("memory").queryName("dedup_events")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(1, ts(2), 1, "click", 1.0), // duplicate id
+        Event(2, ts(3), 1, "view", 2.0))
+      q.processAllAvailable()
+      input.addData(Event(1, ts(5), 1, "click", 9.0)) // still within watermark
+      q.processAllAvailable()
+      val ids = spark.table("dedup_events").collect().map(_.getAs[Long]("event_id")).sorted
+      assert(ids.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("sessionization closes sessions on gap and on timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
