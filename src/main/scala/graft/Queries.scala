@@ -723,6 +723,22 @@ items:
         col("rank").cast(IntegerType).as("rank"))
   }
 
+  /** Multimodal plumbing in the gate: text bytes as an opaque binary
+    * payload column, features extracted per-partition by the (stub)
+    * decoder — rows-only check; the decoder itself is deterministic.
+    */
+  def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    val media = T(s, dir, "documents").select(
+      col("doc_id").as("media_id"),
+      lit("text/plain").as("mime"),
+      col("text").cast("binary").as("payload"),
+      lit(null).cast(IntegerType).as("meta_width"),
+      lit(null).cast(IntegerType).as("meta_height"),
+      lit(null).cast(LongType).as("meta_duration_ms"))
+    Multimodal.extractFeatures(media, new Multimodal.StubDecoder(16))
+      .select(col("media_id"), col("features"))
+  }
+
   // ------------------------------------------------------------------ events
 
   /** Hourly tumbling-window aggregation over the events table.
@@ -827,6 +843,7 @@ items:
     ("ann_brute_topk", annBruteTopK _, Some(annBruteSql)),
     ("ann_lsh_topk", annLshTopK _, None),
     ("ann_cosine_dedup", annCosineDedup _, None),
+    ("multimodal_features", multimodalFeatures _, None),
     ("events_window_agg", eventsWindowAgg _, Some(eventsWindowSql)),
     ("events_sessionize", eventsSessionize _, Some(eventsSessionizeSql)),
     ("topk", topK _, Some(topKSql)),

@@ -172,4 +172,58 @@ object Ann {
     }
     greatest(scored: _*).getField("id")
   }
+
+  /** The nProbe nearest centroid ids for a vector, as an array column. */
+  def probeClusters(vec: Column, centroids: Array[Array[Double]], nProbe: Int): Column = {
+    val scored = centroids.zipWithIndex.map { case (ctr, i) =>
+      val c = array(ctr.map(lit): _*)
+      // negate similarity: array_sort ascends, so most-similar first
+      struct((-cosine(vec, c)).as("neg"), lit(i).as("id"))
+    }
+    transform(slice(array_sort(array(scored: _*)), 1, nProbe), s => s.getField("id"))
+  }
+
+  /** Write the corpus partitioned by IVF cluster — ANN's at-rest layout:
+    * query-time probes become partition-pruned scans.
+    */
+  def ivfWrite(
+      corpus: DataFrame,
+      path: String,
+      centroids: Array[Array[Double]],
+      vecCol: String = "embedding",
+  ): Unit =
+    corpus.withColumn("cluster", assignCluster(col(vecCol), centroids))
+      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+
+  /** IVF query: each query probes its nProbe nearest clusters; the union
+    * of probed clusters becomes a STATIC partition filter on the
+    * cluster-partitioned corpus (driver-side collect bounded by
+    * |queries| × nProbe), so only probed partitions are read. Exact
+    * cosine + top-k on the candidates.
+    */
+  def ivfTopK(
+      corpusPath: String,
+      queries: DataFrame,
+      centroids: Array[Array[Double]],
+      k: Int,
+      nProbe: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      queryIdCol: String = "query_id",
+  ): DataFrame = {
+    val spark = queries.sparkSession
+    val q = queries.select(col(idCol).as(queryIdCol), col(vecCol).as("_qvec"),
+      probeClusters(col(vecCol), centroids, nProbe).as("_probes"))
+    val probeSet = q.select(explode(col("_probes")).as("c")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val corpus = spark.read.parquet(corpusPath)
+      .where(col("cluster").isin(probeSet: _*)) // partition pruning
+    val cand = corpus.join(broadcast(q), array_contains(col("_probes"), col("cluster")))
+      .where(col(idCol) =!= col(queryIdCol))
+    val scored = cand.select(col(queryIdCol), col(idCol).as("neighbor_id"),
+      cosine(col("_qvec"), col(vecCol)).as("cosine"))
+    val win = Window.partitionBy(queryIdCol)
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(win)).where(col("rank") <= k)
+  }
 }

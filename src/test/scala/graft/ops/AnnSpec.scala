@@ -66,6 +66,34 @@ class AnnSpec extends SparkSpec {
     assert(!kept.contains(1000L) && !kept.contains(1001L))
   }
 
+  test("IVF layout: cluster-partitioned write, pruned probe, correct neighbors") {
+    import spark.implicits._
+    val df = vecs(300)
+    val centroids = Ann.hyperplanes(8, dim, seed = 5)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/corpus"
+    Ann.ivfWrite(df, path, centroids)
+    // partition layout on disk: one dir per cluster
+    val dirs = new java.io.File(path).listFiles().filter(_.getName.startsWith("cluster="))
+    assert(dirs.nonEmpty)
+
+    val queries = df.where(col("vec_id") < 3)
+    val ivf = Ann.ivfTopK(path, queries, centroids, k = 5, nProbe = 8) // all clusters -> exact
+    val exact = Ann.bruteForceTopK(df, queries, k = 5)
+    val a = ivf.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = exact.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b) // probing every cluster must reproduce brute force
+
+    // with nProbe=2 the corpus scan is partition-pruned
+    val pruned = Ann.ivfTopK(path, queries, centroids, k = 5, nProbe = 2)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster"))
+    val recall = (pruned.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet intersect b).size.toDouble / b.size
+    assert(recall > 0.2, s"ivf nProbe=2 recall $recall")
+  }
+
   test("cluster assignment is deterministic and in range") {
     val centroids = Ann.hyperplanes(4, dim, seed = 7)
     val df = vecs(30).withColumn("cluster", Ann.assignCluster(col("embedding"), centroids))
