@@ -144,8 +144,9 @@ object Ann {
     val planes = hyperplanes(numPlanes, dim, seed)
     val mask = (1L << r) - 1
     val sig = signBits(col(vecCol), planes)
-    // persist: the signature pass runs once, not once per self-join side
-    val banded = corpus.select(col(idCol), col(vecCol), sig.as("_sig"))
+    // persist: the signature pass runs once, not once per self-join side;
+    // scatter: small-file corpora would otherwise compute on one task
+    val banded = Dedup.scatter(corpus).select(col(idCol), col(vecCol), sig.as("_sig"))
       .select(col(idCol), col(vecCol), explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
           call_function("shiftright", col("_sig"), b * lit(r)).bitwiseAND(lit(mask)).as("key")))).as("_bk"))

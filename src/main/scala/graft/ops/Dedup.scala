@@ -14,6 +14,17 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
+  /** Compute-heavy projections (signatures) are CPU-bound per row; when
+    * the input arrives as a handful of small files (fewer partitions than
+    * cores) the work serializes onto one task. Scatter to the session's
+    * parallelism first — at real corpus scale the input already has
+    * enough partitions and this no-ops.
+    */
+  private[ops] def scatter(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Word k-shingles of the normalized text (k consecutive tokens joined
     * by a space). Documents shorter than k tokens yield their whole text
     * as the single shingle.
@@ -43,14 +54,13 @@ object Dedup {
       numHashes: Int = 64,
       k: Int = 3,
   ): DataFrame = {
-    val exploded = df.select(col(idCol), explode(shingles(col(textCol), k)).as("_shingle"))
-      // hash the shingle STRING once; the per-permutation hashes mix the
-      // resulting 8-byte value, so cost is 1 string hash + 64 long hashes
-      // per shingle instead of 64 string hashes
-      .select(col(idCol), xxhash64(col("_shingle")).as("_h"))
-    val mins = (0 until numHashes).map(i => min(xxhash64(col("_h"), lit(i))).as(s"_h$i"))
-    exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
-      .select(col(idCol), array((0 until numHashes).map(i => col(s"_h$i")): _*).as("_sig"))
+    // One native kernel per row (graft.plans.MinHashText via
+    // GraftExtensions): normalize -> tokenize -> rolling k-shingle
+    // hashes -> numHashes running minima, zero shuffles. The
+    // higher-order-function formulations (transform/aggregate) evaluate
+    // INTERPRETED in Spark and were measured ~100× slower at sf0.1.
+    scatter(df).select(col(idCol),
+      call_function("minhash_text", col(textCol), lit(numHashes), lit(k)).as("_sig"))
   }
 
   /** LSH band keys: the signature split into `bands` bands of
@@ -61,9 +71,13 @@ object Dedup {
   def bandKeys(signature: Column, numHashes: Int, bands: Int): Column = {
     val r = numHashes / bands
     require(bands * r == numHashes, s"bands=$bands must divide numHashes=$numHashes")
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => struct(b.as("band"),
-        xxhash64(concat_ws(",", slice(signature, b * r + lit(1), lit(r))), b).as("key")))
+    // static unrolling with element_at keeps this in codegen — a
+    // transform/slice formulation evaluates interpreted (higher-order
+    // functions have no doGenCode)
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(((b * r) until ((b + 1) * r)).map(i => element_at(signature, i + 1)) :+ lit(b): _*).as("key"))
+    }: _*)
   }
 
   /** Candidate near-duplicate pairs via banded LSH. Returns distinct
@@ -92,24 +106,30 @@ object Dedup {
       bands: Int = 16,
       k: Int = 3,
   ): DataFrame = {
+    // persist signatures: computed once, reused by both join sides and
+    // the estimate join (one small row per document — the thing you'd
+    // write to disk at corpus scale)
     val sigs = minHashSignatures(df, textCol, idCol, numHashes, k)
-    // self-join: persist the banded signatures so the shingle+signature
-    // pipeline runs ONCE, not once per join side (signatures are one
-    // small row per document — the thing you'd also write to disk at
-    // corpus scale)
-    val banded = sigs.select(col(idCol), col("_sig"),
-      explode(bandKeys(col("_sig"), numHashes, bands)).as("_band"))
-      .select(col(idCol), col("_sig"), col("_band.band").as("_b"), col("_band.key").as("_k"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = banded.select(col(idCol).as("id_a"), col("_sig").as("_sig_a"), col("_b"), col("_k"))
-    val b = banded.select(col(idCol).as("id_b"), col("_sig").as("_sig_b"), col("_b"), col("_k"))
+    // candidate generation on SLIM rows (id, band, key) only: band
+    // collisions at low jaccard can be ~1000× the final pair count, so
+    // the wide signature arrays must not ride through this join
+    val banded = sigs.select(col(idCol),
+      explode(bandKeys(col("_sig"), numHashes, bands)).as("_band"))
+      .select(col(idCol), col("_band.band").as("_b"), col("_band.key").as("_k"))
+    val a = banded.select(col(idCol).as("id_a"), col("_b"), col("_k"))
+    val b = banded.select(col(idCol).as("id_b"), col("_b"), col("_k"))
+    val candidates = a.join(b, Seq("_b", "_k"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // signature agreement only for surviving distinct pairs
+    val sa = sigs.select(col(idCol).as("id_a"), col("_sig").as("_sig_a"))
+    val sb = sigs.select(col(idCol).as("id_b"), col("_sig").as("_sig_b"))
     val agree = aggregate(
       zip_with(col("_sig_a"), col("_sig_b"), (x, y) => when(x === y, 1L).otherwise(0L)),
       lit(0L), (acc, x) => acc + x)
-    a.join(b, Seq("_b", "_k"))
-      .where(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(first(agree / lit(numHashes.toDouble)).as("est_jaccard"))
+    candidates.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"), (agree / lit(numHashes.toDouble)).as("est_jaccard"))
   }
 
   /** 64-bit SimHash per document: bit i of the result is the sign of
@@ -126,8 +146,11 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id",
   ): DataFrame = {
-    val toks = df.select(col(idCol),
-      explode(TextOps.tokens(regexp_replace(lower(col(textCol)), "[^a-z0-9\\s]+", " "))).as("_tok"))
+    // split codegens; empty-token removal as a relational filter (the
+    // higher-order filter() lambda would evaluate interpreted)
+    val toks = scatter(df).select(col(idCol),
+      explode(split(trim(regexp_replace(lower(col(textCol)), "[^a-z0-9\\s]+", " ")), "\\s+")).as("_tok"))
+      .where(col("_tok") =!= "")
     val h = xxhash64(col("_tok"))
     val sums = (0 until 64).map(i =>
       sum(when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"_b$i"))

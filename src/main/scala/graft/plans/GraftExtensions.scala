@@ -29,5 +29,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         RangeSetSearch(args.head, longs(args(1)), longs(args(2)))
       },
     ))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "minhash_sig(hashes, numHashes)")
+        require(args(1).foldable, "numHashes must be a literal")
+        MinHashSig(args.head, args(1).eval().asInstanceOf[Int])
+      },
+    ))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_text"),
+      new ExpressionInfo(classOf[MinHashText].getName, "minhash_text"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "minhash_text(text, numHashes, k)")
+        require(args(1).foldable && args(2).foldable, "numHashes/k must be literals")
+        MinHashText(args.head,
+          args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int])
+      },
+    ))
   }
 }
