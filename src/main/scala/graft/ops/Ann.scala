@@ -23,10 +23,12 @@ import org.apache.spark.sql.types._
   */
 object Ann {
 
-  /** dot(a, b) with double accumulation (stable left-to-right fold). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x)
+  /** dot(a, b) with double accumulation (left-to-right). Resolves to the
+    * native vec_dot kernel (GraftExtensions) — the zip_with/aggregate
+    * formulation evaluates interpreted and dominates brute-force ANN.
+    * IEEE-identical results to the fold formulation.
+    */
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -76,9 +78,7 @@ object Ann {
     */
   def signBits(vec: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (plane, p) =>
-      val d = aggregate(
-        zip_with(vec, array(plane.map(lit): _*), (x, y) => x.cast(DoubleType) * y),
-        lit(0.0), (acc, x) => acc + x)
+      val d = dot(vec, array(plane.map(lit): _*))
       when(d >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }.reduce[Column]((a, b) => a.bitwiseOR(b))
 

@@ -39,6 +39,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       },
     ))
     ext.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "vec_dot(a, b)")
+        VecDot(args.head, args(1))
+      },
+    ))
+    ext.injectFunction((
       new FunctionIdentifier("minhash_text"),
       new ExpressionInfo(classOf[MinHashText].getName, "minhash_text"),
       (args: Seq[Expression]) => {

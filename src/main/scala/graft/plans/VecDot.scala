@@ -1,0 +1,54 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native dot product over array<float>/array<double> columns with
+  * double accumulation (left-to-right, matching the semantics of the
+  * `aggregate(zip_with(...))` formulation exactly — same IEEE result).
+  *
+  * Why: higher-order functions evaluate interpreted; a brute-force ANN
+  * pass does |corpus|×|queries| dot products and the interpreted lambda
+  * walk dominates. This kernel is one static call per pair inside
+  * whole-stage codegen.
+  */
+final case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    VecDot.compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val obj = VecDot.getClass.getName.stripSuffix("$") + ".MODULE$"
+    val lf = isFloat(left)
+    val rf = isFloat(right)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = $obj.compute($a, $b, $lf, $rf);")
+  }
+}
+
+object VecDot {
+  def compute(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+}
