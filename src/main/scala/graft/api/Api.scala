@@ -20,6 +20,8 @@ import org.apache.spark.sql.functions._
 class Api(
     val spark: SparkSession,
     val repo: TableRepo,
+    /** E14 external dataset resolver (CPI/Gini/counties sources). */
+    external: Option[graft.external.ExternalData] = None,
     /** CPI lookup (keys ++ "CPI" column) for add_cpi/adjust_by_cpi. */
     cpi: Option[DataFrame] = None,
     cpiKeys: Seq[String] = Seq("Urban_Rural", "Year"),
@@ -83,11 +85,19 @@ class Api(
   def addWeight(df: DataFrame, adjustForHouseholdSize: Boolean = false): DataFrame =
     repo.addWeights(df, adjustForHouseholdSize)
 
+  /** E14 external_data.load_table: name-addressed external dataset. */
+  def externalTable(name: String): DataFrame =
+    external.getOrElse(throw new IllegalStateException("no external data source configured"))
+      .loadTable(name)
+
   /** E7 add_cpi: broadcast-join the CPI lookup; auto-decodes Urban_Rural
     * when the split CPI needs it and the column is absent (api.py:467-517).
+    * The lookup comes from the explicit `cpi` DataFrame or, failing that,
+    * the external registry's `cpi` dataset.
     */
   def addCpi(df: DataFrame): DataFrame = {
-    val lookup = cpi.getOrElse(throw new IllegalStateException("no CPI source configured"))
+    val lookup = cpi.orElse(external.map(_.loadTable("cpi")))
+      .getOrElse(throw new IllegalStateException("no CPI source configured"))
     if (cpiKeys.contains("Urban_Rural") && !df.columns.contains("Urban_Rural")) {
       val withUr = repo.addAttribute(df, MStr("Urban_Rural"))
       Stats.addCpi(withUr, lookup, cpiKeys).drop("Urban_Rural")
