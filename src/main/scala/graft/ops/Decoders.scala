@@ -168,7 +168,10 @@ object Classifier {
     val joinCond = col(y) === col("_cls_year") &&
       col(c) >= col("_cls_lo") && col(c) < col("_cls_hi") &&
       (col("_cls_step") === lit(1L) || pmod(col(c) - col("_cls_lo"), col("_cls_step")) === lit(0L))
+    // persisted: consumed twice (eager uniqueness validation + pivot agg)
+    // and bounded by the distinct-code dictionary size
     val matched = codes.join(broadcast(its), joinCond, "inner")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Uniqueness validation: one item per (Year, Code, level). The check
     // runs on the distinct-code dictionary (small), not the fact table.

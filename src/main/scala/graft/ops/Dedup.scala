@@ -133,33 +133,17 @@ object Dedup {
   }
 
   /** 64-bit SimHash per document: bit i of the result is the sign of
-    * Σ_tokens (bit i of xxhash64(token) ? +1 : -1).
-    *
-    * Shape: explode(tokens) -> hash aggregate with 64 partial sums (one
-    * per bit), bits folded to a long in a final projection. Map-side
-    * combine keeps the shuffle at one row per document; everything stays
-    * in codegen (the nested higher-order-function formulation duplicates
-    * work and falls out of whole-stage limits).
+    * Σ_tokens (bit i of the token hash ? +1 : -1). One native kernel
+    * call per row (graft.plans.SimHashText via GraftExtensions) — no
+    * shuffle, no interpreted higher-order functions.
     */
   def simHashes(
       df: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
-  ): DataFrame = {
-    // split codegens; empty-token removal as a relational filter (the
-    // higher-order filter() lambda would evaluate interpreted)
-    val toks = scatter(df).select(col(idCol),
-      explode(split(trim(regexp_replace(lower(col(textCol)), "[^a-z0-9\\s]+", " ")), "\\s+")).as("_tok"))
-      .where(col("_tok") =!= "")
-    val h = xxhash64(col("_tok"))
-    val sums = (0 until 64).map(i =>
-      sum(when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"_b$i"))
-    toks.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
-      .select(col(idCol),
-        (0 until 64).map(i =>
-          when(col(s"_b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-          .reduce[Column]((a, b) => a.bitwiseOR(b)).as("_sh"))
-  }
+  ): DataFrame =
+    scatter(df).select(col(idCol),
+      call_function("simhash_text", col(textCol)).as("_sh"))
 
   /** Hamming distance between two 64-bit SimHashes. */
   def hammingDistance(a: Column, b: Column): Column =
