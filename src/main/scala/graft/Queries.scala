@@ -849,10 +849,16 @@ items:
     ("topk", topK _, Some(topKSql)),
   )
 
-  /** Subset used by Bench at sf0.1 (the heavier/representative ones). */
+  /** Subset used by Bench at sf0.1 (representative of every operator
+    * family; a1_csv_roundtrip is excluded because it writes).
+    */
   val benchNames: Seq[String] = Seq(
-    "q1_agg", "c10_groupby_sum", "c12_join", "c13_members", "d1_classification",
-    "d1_expr_classification", "d2_attribute", "e10_weighted_avg", "e12_quantile", "e7e8_cpi",
-    "dedup_exact", "text_stats", "minhash_pairs", "simhash_pairs",
-    "ann_brute_topk", "ann_lsh_topk", "events_window_agg", "events_sessionize", "topk")
+    "q1_agg", "b1_clean", "c7_numeric", "c8_categorical", "c10_groupby_sum",
+    "c12_join", "c13_members", "d1_classification", "d1_expr_classification",
+    "d2_attribute", "e5_select", "e10_weighted_avg", "e12_quantile", "e13_decile",
+    "e7e8_cpi", "e9_equivalence",
+    "dedup_exact", "text_stats", "lang_id", "quality_score", "ngram_jaccard",
+    "minhash_pairs", "simhash_pairs", "ann_brute_topk", "ann_lsh_topk",
+    "ann_cosine_dedup", "multimodal_features",
+    "events_window_agg", "events_sessionize", "topk")
 }

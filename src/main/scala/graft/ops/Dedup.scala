@@ -234,13 +234,11 @@ object Dedup {
 
   /** Exact n-gram Jaccard similarity between two text columns —
     * |A∩B| / |A∪B| over distinct k-shingles. Use to verify LSH
-    * candidates; O(pair count), not O(n²).
+    * candidates; O(pair count), not O(n²). Resolves to the native
+    * kernel (graft.plans.NgramJaccardText) — the array_intersect-over-
+    * HOF-shingles formulation re-shingles interpreted per pair and was
+    * ~40× slower at sf0.1.
     */
-  def ngramJaccard(textA: Column, textB: Column, k: Int = 3): Column = {
-    val sa = array_distinct(shingles(textA, k))
-    val sb = array_distinct(shingles(textB, k))
-    val inter = size(array_intersect(sa, sb)).cast(DoubleType)
-    val union = size(array_union(sa, sb)).cast(DoubleType)
-    when(union > 0, inter / union).otherwise(lit(0.0))
-  }
+  def ngramJaccard(textA: Column, textB: Column, k: Int = 3): Column =
+    call_function("ngram_jaccard_text", textA, textB, lit(k))
 }

@@ -39,6 +39,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       },
     ))
     ext.injectFunction((
+      new FunctionIdentifier("ngram_jaccard_text"),
+      new ExpressionInfo(classOf[NgramJaccardText].getName, "ngram_jaccard_text"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "ngram_jaccard_text(a, b, k)")
+        require(args(2).foldable, "k must be a literal")
+        NgramJaccardText(args.head, args(1), args(2).eval().asInstanceOf[Int])
+      },
+    ))
+    ext.injectFunction((
       new FunctionIdentifier("simhash_text"),
       new ExpressionInfo(classOf[SimHashText].getName, "simhash_text"),
       (args: Seq[Expression]) => {
