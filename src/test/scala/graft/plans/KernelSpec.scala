@@ -1,0 +1,70 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.ops.{Ann, Dedup}
+import org.apache.spark.sql.functions._
+
+/** Edge cases for the native expression kernels (registered through
+  * GraftExtensions).
+  */
+class KernelSpec extends SparkSpec {
+
+  test("ngram jaccard kernel: identity, disjoint, empty, null") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox", "the quick brown fox"),
+      (2L, "alpha beta gamma delta", "completely different words here"),
+      (3L, "", "some words at all"),
+      (4L, "", ""),
+      (5L, null.asInstanceOf[String], "x y z"),
+    ).toDF("id", "a", "b")
+    val out = df.select(col("id"), Dedup.ngramJaccard(col("a"), col("b")).as("j"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L) == Some(1.0))
+    assert(out(2L) == Some(0.0))
+    assert(out(3L) == Some(0.0))
+    assert(out(4L) == Some(1.0)) // both empty -> identical (empty) shingle sets
+    assert(out(5L) == None) // null input -> null (nullIntolerant)
+  }
+
+  test("ngram jaccard kernel ignores case and punctuation like the column version") {
+    import spark.implicits._
+    val df = Seq((1L, "Hello, World! Again & again", "hello world again again")).toDF("id", "a", "b")
+    val j = df.select(Dedup.ngramJaccard(col("a"), col("b"))).collect()(0).getDouble(0)
+    assert(j == 1.0)
+  }
+
+  test("minhash/simhash kernels: null text yields null, empty text deterministic") {
+    import spark.implicits._
+    val df = Seq((1L, ""), (2L, "a b c d e")).toDF("doc_id", "text")
+      .union(Seq((3L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val sigs = Dedup.minHashSignatures(df).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(sigs(1L).isDefined && sigs(2L).isDefined)
+    assert(sigs(3L).isEmpty)
+    val sh = Dedup.simHashes(df).collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(sh(3L).isEmpty)
+  }
+
+  test("vec_dot kernel: mixed float/double sides, empty arrays") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(2.0, 0.5, 1.0))).toDF("f", "d")
+    val dot = df.select(Ann.dot(col("f"), col("d"))).collect()(0).getDouble(0)
+    assert(dot == 1.0 * 2.0 + 2.0 * 0.5 + 3.0 * 1.0)
+    val empty = Seq((Seq.empty[Float], Seq.empty[Float])).toDF("a", "b")
+      .select(Ann.dot(col("a"), col("b"))).collect()(0).getDouble(0)
+    assert(empty == 0.0)
+  }
+
+  test("kernels work in both codegen and interpreted paths") {
+    import spark.implicits._
+    // local relations exercise interpreted eval; a shuffled frame
+    // exercises whole-stage codegen
+    val docs = (1 to 50).map(i => (i.toLong, s"token$i shared words across docs number $i"))
+      .toDF("doc_id", "text")
+    val local = Dedup.minHashSignatures(docs).collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val shuffled = Dedup.minHashSignatures(docs.repartition(4)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(local == shuffled)
+  }
+}
