@@ -537,6 +537,22 @@ items:
            CAST(least(greatest(CAST(floor(Quantile * 10) + 1 AS INT), 1), 10) AS INT) AS Decile
     FROM (""" + e12Sql + ")"
 
+  /** Weighted median (p50 value) per year — group-level companion of the
+    * per-row quantile.
+    */
+  def e12bWeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val df = T(s, dir, "orders").select(
+      year(col("o_orderdate")).as("Year"),
+      col("o_orderkey").as("ID"),
+      cents(col("o_totalprice")).as("Values"),
+      (lit(1L) + col("o_orderkey") % 7L).as("Weight"))
+    Stats.weightedPercentileValue(df, "Values", "Weight", Seq("Year"), 0.5, "median_cents")
+  }
+
+  private val e12bSql = """
+    SELECT Year, min(Values) AS median_cents FROM (""" + e12Sql + """
+    ) WHERE Quantile >= 0.5 GROUP BY Year"""
+
   /** E7+E8 CPI join + deflation (CPI derived per-year for the demo). */
   def e7e8Cpi(s: SparkSession, dir: String): DataFrame = {
     val orders = T(s, dir, "orders").select(
@@ -830,6 +846,7 @@ items:
     ("e11_average_table", e11AverageTable _, Some(e11SqlReal)),
     ("e12_quantile", e12Quantile _, Some(e12Sql)),
     ("e13_decile", e13Decile _, Some(e13Sql)),
+    ("e12b_weighted_median", e12bWeightedMedian _, Some(e12bSql)),
     ("e7e8_cpi", e7e8Cpi _, Some(e7e8Sql)),
     ("e9_equivalence", e9Equivalence _, Some(e9Sql)),
     ("dedup_exact", dedupExact _, Some(dedupExactSql)),

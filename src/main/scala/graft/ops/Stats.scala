@@ -131,6 +131,24 @@ object Stats {
     addQuantile(df, valueCol, weightCol, groupby, "_q_tmp")
       .withColumn(out, binQuantile(col("_q_tmp"), 100)).drop("_q_tmp")
 
+  /** Weighted percentile VALUE per group: the smallest value whose
+    * cumulative weight share reaches `p` (the group-level companion to
+    * the per-row [[addQuantile]]; p=0.5 is the weighted median). One
+    * window pass + one hash aggregate.
+    */
+  def weightedPercentileValue(
+      df: DataFrame,
+      valueCol: String,
+      weightCol: String = "Weight",
+      groupby: Seq[String] = Seq("Year"),
+      p: Double = 0.5,
+      out: String = "percentile_value",
+  ): DataFrame =
+    addQuantile(df, valueCol, weightCol, groupby, "_q")
+      .where(col("_q") >= p)
+      .groupBy(groupby.map(col): _*)
+      .agg(min(col(valueCol)).as(out))
+
   /** E7 add_cpi: broadcast-join the CPI lookup on (separateBy?, Year)
     * (api.py:467-517). `cpi` carries the join keys plus a `CPI` column.
     */

@@ -72,6 +72,22 @@ class StatsPropSpec extends SparkSpec {
     assert(m == 6.0)
   }
 
+  test("weighted median splits the weight mass") {
+    import spark.implicits._
+    val df = Seq(
+      (1400, 1L, 10.0, 1L), (1400, 2L, 20.0, 1L), (1400, 3L, 30.0, 8L),
+    ).toDF("Year", "ID", "x", "Weight")
+    // cum shares: 10 -> .1, 20 -> .2, 30 -> 1.0; first value reaching .5 is 30
+    val m = Stats.weightedPercentileValue(df, "x", "Weight", Seq("Year"), 0.5)
+      .collect()(0).getDouble(1)
+    assert(m == 30.0)
+    // unweighted median of the same values would be 20
+    val unw = Stats.weightedPercentileValue(
+      df.withColumn("Weight", lit(1L)), "x", "Weight", Seq("Year"), 0.5)
+      .collect()(0).getDouble(1)
+    assert(unw == 20.0)
+  }
+
   test("quantile partitions by group independently") {
     import spark.implicits._
     val df = Seq(
