@@ -55,8 +55,8 @@ object Queries {
   private val q1Sql = """
     SELECT l_returnflag, l_linestatus,
            sum(l_quantity) AS sum_qty,
-           sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS sum_price_cents,
-           sum(CAST(round(l_extendedprice*100,0) AS BIGINT) * (100 - CAST(round(l_discount*100,0) AS BIGINT))) AS sum_disc_price_c4,
+           CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+           CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT) * (100 - CAST(round(l_discount*100,0) AS BIGINT))) AS BIGINT) AS sum_disc_price_c4,
            count(*) AS n
     FROM lineitem WHERE l_shipdate <= '1998-09-02'
     GROUP BY l_returnflag, l_linestatus"""
@@ -689,9 +689,15 @@ items:
     Dedup.minHashPairs(T(s, dir, "documents"))
       .orderBy("id_a", "id_b")
 
-  /** Signature-build stage alone (perf probe; rows-only). */
+  /** Signature-build stage alone (perf probe; rows-only). The raw
+    * Array[Long] signature is digested to one deterministic scalar per
+    * row (xxhash64 over the array) — the driver's pandas row-sort cannot
+    * order ndarray cells, so array columns must never reach the gate.
+    */
   def minhashSigs(s: SparkSession, dir: String): DataFrame =
     Dedup.minHashSignatures(T(s, dir, "documents"))
+      .select(col("doc_id"), xxhash64(col("_sig")).as("sig_digest"),
+        size(col("_sig")).cast(IntegerType).as("sig_len"))
 
   /** SimHash near-dup candidates (rows-only check). */
   def simhashPairs(s: SparkSession, dir: String): DataFrame =
@@ -752,7 +758,10 @@ items:
       lit(null).cast(IntegerType).as("meta_height"),
       lit(null).cast(LongType).as("meta_duration_ms"))
     Multimodal.extractFeatures(media, new Multimodal.StubDecoder(16))
-      .select(col("media_id"), col("features"))
+      .select(col("media_id"),
+        // scalar digest: raw Array[Float] breaks the driver's row-sort
+        xxhash64(col("features")).as("feat_digest"),
+        size(col("features")).cast(IntegerType).as("n_features"))
   }
 
   // ------------------------------------------------------------------ events
@@ -769,7 +778,7 @@ items:
 
   private val eventsWindowSql = s"""
     SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
-           count(*) AS n, sum(${centsSql("value")}) AS value_cents
+           count(*) AS n, CAST(sum(${centsSql("value")}) AS BIGINT) AS value_cents
     FROM events GROUP BY 1, 2"""
 
   /** Gap-based sessionization (30-min inactivity) via window functions. */

@@ -146,18 +146,27 @@ object Ann {
     val sig = signBits(col(vecCol), planes)
     // persist: the signature pass runs once, not once per self-join side;
     // scatter: small-file corpora would otherwise compute on one task
-    val banded = Dedup.scatter(corpus).select(col(idCol), col(vecCol), sig.as("_sig"))
-      .select(col(idCol), col(vecCol), explode(transform(sequence(lit(0), lit(bands - 1)),
+    val sigs = Dedup.scatter(corpus).select(col(idCol), col(vecCol), sig.as("_sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // candidate generation on SLIM (id, band, key) rows only — band
+    // collisions can be ~1000× the surviving pair count, so the vectors
+    // must not ride through this join's shuffle (same shape as
+    // Dedup.minHashPairs)
+    val banded = sigs
+      .select(col(idCol), explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
           call_function("shiftright", col("_sig"), b * lit(r)).bitwiseAND(lit(mask)).as("key")))).as("_bk"))
-      .select(col(idCol), col(vecCol), col("_bk.band").as("_b"), col("_bk.key").as("_k"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = banded.select(col(idCol).as("id_a"), col(vecCol).as("_va"), col("_b"), col("_k"))
-    val b = banded.select(col(idCol).as("id_b"), col(vecCol).as("_vb"), col("_b"), col("_k"))
-    a.join(b, Seq("_b", "_k"))
+      .select(col(idCol), col("_bk.band").as("_b"), col("_bk.key").as("_k"))
+    val a = banded.select(col(idCol).as("id_a"), col("_b"), col("_k"))
+    val b = banded.select(col(idCol).as("id_b"), col("_b"), col("_k"))
+    val pairs = a.join(b, Seq("_b", "_k"))
       .where(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(first(cosine(col("_va"), col("_vb"))).as("cosine"))
+      .select("id_a", "id_b").distinct()
+    // re-attach vectors by id only for surviving distinct pairs
+    val va = sigs.select(col(idCol).as("id_a"), col(vecCol).as("_va"))
+    val vb = sigs.select(col(idCol).as("id_b"), col(vecCol).as("_vb"))
+    pairs.join(va, Seq("id_a")).join(vb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("_va"), col("_vb")).as("cosine"))
       .where(col("cosine") >= threshold)
   }
 

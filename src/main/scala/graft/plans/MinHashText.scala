@@ -31,7 +31,7 @@ final case class MinHashText(child: Expression, numHashes: Int, k: Int)
     MinHashText.compute(input.asInstanceOf[UTF8String], numHashes, k)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val obj = MinHashText.getClass.getName.stripSuffix("$") + ".MODULE$"
+    val obj = MinHashText.getClass.getName.stripSuffix("$")
     nullSafeCodeGen(ctx, ev, t =>
       s"${ev.value} = $obj.compute($t, $numHashes, $k);")
   }

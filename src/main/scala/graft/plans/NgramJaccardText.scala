@@ -26,7 +26,7 @@ final case class NgramJaccardText(left: Expression, right: Expression, k: Int)
     NgramJaccardText.compute(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String], k)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val obj = NgramJaccardText.getClass.getName.stripSuffix("$") + ".MODULE$"
+    val obj = NgramJaccardText.getClass.getName.stripSuffix("$")
     nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $obj.compute($a, $b, $k);")
   }
 }

@@ -23,7 +23,7 @@ final case class SimHashText(child: Expression) extends UnaryExpression {
     SimHashText.compute(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val obj = SimHashText.getClass.getName.stripSuffix("$") + ".MODULE$"
+    val obj = SimHashText.getClass.getName.stripSuffix("$")
     nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $obj.compute($t);")
   }
 }

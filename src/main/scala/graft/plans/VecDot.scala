@@ -30,7 +30,7 @@ final case class VecDot(left: Expression, right: Expression) extends BinaryExpre
       isFloat(left), isFloat(right))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val obj = VecDot.getClass.getName.stripSuffix("$") + ".MODULE$"
+    val obj = VecDot.getClass.getName.stripSuffix("$")
     val lf = isFloat(left)
     val rf = isFloat(right)
     nullSafeCodeGen(ctx, ev, (a, b) =>

@@ -56,6 +56,39 @@ class KernelSpec extends SparkSpec {
     assert(empty == 0.0)
   }
 
+  test("all four kernels compile under strict codegen (no interpreted fallback)") {
+    import spark.implicits._
+    // Regression for the MODULE$ Janino bug: doGenCode must emit a call
+    // the generated Java can compile (static forwarder on the companion
+    // class). With fallback=false a compile failure throws instead of
+    // silently knocking the stage out of whole-stage codegen.
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback")
+    val prevFactory = spark.conf.get("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      // repartition forces an exchange so the projection above it is
+      // planned inside WholeStageCodegen (local relations get collapsed)
+      // NB: count() would prune the kernel column and never run it —
+      // aggregate over the computed value so the kernel must evaluate
+      val docs = (1 to 20).map(i => (i.toLong, s"alpha beta gamma doc $i body"))
+        .toDF("doc_id", "text").repartition(2)
+      assert(Dedup.minHashSignatures(docs)
+        .agg(count(xxhash64(col("_sig")))).collect()(0).getLong(0) == 20)
+      assert(Dedup.simHashes(docs)
+        .agg(count(col("_sh"))).collect()(0).getLong(0) == 20)
+      assert(docs.select(Dedup.ngramJaccard(col("text"), col("text")).as("j"))
+        .agg(sum(col("j"))).collect()(0).getDouble(0) == 20.0)
+      val vecs = (1 to 20).map(i => (i.toLong, Seq(i.toFloat, 1.0f), Seq(1.0, i.toDouble)))
+        .toDF("id", "f", "d").repartition(2)
+      assert(vecs.select(Ann.dot(col("f"), col("d")).as("dot"))
+        .agg(count(col("dot"))).collect()(0).getLong(0) == 20)
+    } finally {
+      spark.conf.set("spark.sql.codegen.fallback", prevFallback)
+      spark.conf.set("spark.sql.codegen.factoryMode", prevFactory)
+    }
+  }
+
   test("kernels work in both codegen and interpreted paths") {
     import spark.implicits._
     // local relations exercise interpreted eval; a shuffled frame
