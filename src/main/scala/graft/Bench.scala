@@ -32,7 +32,7 @@ object Bench {
       .write.mode("overwrite").format("noop").save()
     catch { case _: Throwable => }
     var errors = ListMap.empty[String, String]
-    val results: Seq[(String, Double)] = names.map { name =>
+    def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try byName(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch {
@@ -40,6 +40,17 @@ object Bench {
           errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
       val sec = (System.nanoTime() - t0) / 1e9
+      // drop any persisted intermediates (LSH signature caches) so the
+      // next run starts cold and memory doesn't accumulate across queries
+      spark.catalog.clearCache()
+      sec
+    }
+    // each query runs twice and reports the min: single runs at this
+    // scale are dominated by JIT/GC/scheduler noise (round 2 recorded a
+    // 39.7s outlier for a 5s hash aggregate), and min-of-two measures
+    // the plan, not the hiccup
+    val results: Seq[(String, Double)] = names.map { name =>
+      val sec = math.min(runOnce(name), runOnce(name))
       System.err.println(f"[bench] $name%-24s $sec%8.2fs")
       name -> sec
     }
