@@ -318,7 +318,7 @@ object Queries {
 
   // ------------------------------------------------------------------ D1/D2
 
-  private val partClassYaml = """
+  private[graft] val partClassYaml = """
 defaults:
   levels: [1, 2]
   column_names: [Part_Class]
@@ -356,7 +356,7 @@ items:
     Classifier.addClassification(df, items, settings)
   }
 
-  private val d1Sql = """
+  private[graft] val d1Sql = """
     SELECT l_orderkey, l_linenumber,
            CAST(year(l_shipdate) AS INTEGER) AS Year,
            l_partkey AS Code,
@@ -873,6 +873,13 @@ items:
     ("events_window_agg", eventsWindowAgg _, Some(eventsWindowSql)),
     ("events_sessionize", eventsSessionize _, Some(eventsSessionizeSql)),
     ("topk", topK _, Some(topKSql)),
+    // engine path: metadata doc -> schema DAG -> clean -> pipeline -> cache
+    ("e1_load_table", EngineQueries.e1LoadTable _, Some(EngineQueries.e1Sql)),
+    ("c17_multiyear", EngineQueries.c17MultiYear _, Some(EngineQueries.c17Sql)),
+    ("e2_schema_table", EngineQueries.e2SchemaTable _, Some(EngineQueries.e2Sql)),
+    ("a9_cache", EngineQueries.a9Cache _, Some(EngineQueries.a9Sql)),
+    ("e14_external", EngineQueries.e14External _, Some(EngineQueries.e14Sql)),
+    ("e15_view", EngineQueries.e15View _, Some(Queries.d1Sql)),
   )
 
   /** Subset used by Bench at sf0.1 (representative of every operator
