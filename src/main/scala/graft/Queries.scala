@@ -689,6 +689,47 @@ items:
     Dedup.minHashPairs(T(s, dir, "documents"))
       .orderBy("id_a", "id_b")
 
+  /** The full near-duplicate pipeline with a DuckDB oracle: MinHash-LSH
+    * candidate generation -> exact n-gram-Jaccard verification at
+    * threshold 0.6. The oracle computes ALL true pairs >= 0.6 by brute
+    * force; the outputs agree because the testdata's pair-similarity
+    * distribution is bimodal (planted near-dups >= 0.9, background noise
+    * <= 0.07) and 32 bands of 2 rows give P(miss | j >= 0.9) ~= 1e-23 —
+    * LSH recall at the threshold is deterministic in practice, which is
+    * exactly the property a production dedup at 100 TB relies on.
+    */
+  def minhashNearDups(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val cands = Dedup.minHashCandidates(docs, bands = 32)
+    val a = docs.select(col("doc_id").as("id_a"), col("text").as("_ta"))
+    val b = docs.select(col("doc_id").as("id_b"), col("text").as("_tb"))
+    cands.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Dedup.ngramJaccard(col("_ta"), col("_tb")), 6).as("jaccard"))
+      .where(col("jaccard") >= 0.6)
+      .orderBy("id_a", "id_b")
+  }
+
+  private val minhashNearDupsSql = """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(regexp_replace(lower(text),'[^a-z0-9\s]+',' ','g')),'\s+'), x -> x <> '') AS toks
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(range(1, len(toks) - 1),
+                       i -> array_to_string(list_slice(toks, i, i+2), ' ')) END) AS sh
+      FROM t),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+                  THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                       / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+                  ELSE 1.0 END AS j
+      FROM s a JOIN s b ON a.doc_id < b.doc_id)
+    SELECT id_a, id_b, round(j, 6) AS jaccard FROM p WHERE round(j, 6) >= 0.6"""
+
   /** Signature-build stage alone (perf probe; rows-only). The raw
     * Array[Long] signature is digested to one deterministic scalar per
     * row (xxhash64 over the array) — the driver's pandas row-sort cannot
@@ -864,6 +905,7 @@ items:
     ("quality_score", qualityScore _, Some(qualityScoreSql)),
     ("ngram_jaccard", ngramJaccard _, Some(ngramJaccardSql)),
     ("minhash_pairs", minhashPairs _, None),
+    ("minhash_near_dups", minhashNearDups _, Some(minhashNearDupsSql)),
     ("minhash_sigs", minhashSigs _, None),
     ("simhash_pairs", simhashPairs _, None),
     ("ann_brute_topk", annBruteTopK _, Some(annBruteSql)),
@@ -891,7 +933,7 @@ items:
     "d2_attribute", "e5_select", "e10_weighted_avg", "e12_quantile", "e13_decile",
     "e7e8_cpi", "e9_equivalence",
     "dedup_exact", "text_stats", "lang_id", "quality_score", "ngram_jaccard",
-    "minhash_pairs", "simhash_pairs", "ann_brute_topk", "ann_lsh_topk",
+    "minhash_pairs", "minhash_near_dups", "simhash_pairs", "ann_brute_topk", "ann_lsh_topk",
     "ann_cosine_dedup", "multimodal_features",
     "events_window_agg", "events_sessionize", "topk")
 }

@@ -73,6 +73,30 @@ class Api(
   def addClassification(df: DataFrame, name: String): DataFrame =
     repo.addClassification(df, MStr(name))
 
+  /** E3 with the reference's classification-type auto-detect
+    * (api.py:313-325): when no explicit code column is given, the
+    * presence of the default commodity column ("Code") vs the default
+    * job column ("Job_Code") decides; when one IS given, a one-column
+    * magnitude probe decides — commodity codes are <= 10 000 for at
+    * least 90% of rows, occupation codes are larger. The probe is a
+    * single scalar aggregate over one column (the reference scans the
+    * same column), so it stays a bounded driver-side action at scale.
+    */
+  def addClassificationAuto(df: DataFrame, codeCol: Option[String] = None): DataFrame = {
+    val (classType, codeColumn) = codeCol match {
+      case Some(c) =>
+        val share = df.agg(
+          avg(when(col(c) <= 10000, 1.0).otherwise(0.0))).collect()(0)
+        val frac = if (share.isNullAt(0)) 0.0 else share.getDouble(0)
+        (if (frac < 0.9) "occupation" else "commodity") -> c
+      case None if df.columns.contains("Code")     => "commodity" -> "Code"
+      case None if df.columns.contains("Job_Code") => "occupation" -> "Job_Code"
+      case None => throw new IllegalArgumentException("Missing Code Column")
+    }
+    repo.addClassification(df,
+      Meta.map(Meta.k("name") -> MStr(classType), Meta.k("code_col") -> MStr(codeColumn)))
+  }
+
   /** E4 add_attribute. */
   def addAttribute(df: DataFrame, name: String): DataFrame =
     repo.addAttribute(df, MStr(name))
@@ -152,6 +176,10 @@ class Api(
       bins: Int = -1,
       out: String = "Quantile",
       equivalenceScale: Option[String] = None,
+      /** The quantile lookup is one row per household — broadcast by
+        * default; false lets AQE pick the join for fact-sized lookups.
+        */
+      broadcastQuantiles: Boolean = true,
   ): DataFrame = {
     val (tableName, valueCol) = variableTables(on)
     val years = df.select(col("Year").cast("int")).distinct().collect().map(_.getInt(0)).toSeq
@@ -163,7 +191,8 @@ class Api(
     val weighted = repo.addWeights(values)
     val q0 = Stats.addQuantile(weighted, "_values", "Weight", Seq("Year"), "_q")
     val q = if (bins > 0) q0.withColumn("_q", Stats.binQuantile(col("_q"), bins)) else q0
-    df.join(broadcast(q.select(col("Year"), col("ID"), col("_q").as(out))),
+    val lookup = q.select(col("Year"), col("ID"), col("_q").as(out))
+    df.join(if (broadcastQuantiles) broadcast(lookup) else lookup,
       Seq("Year", "ID"), "left")
   }
 

@@ -87,6 +87,20 @@ class TableRepo(
       householdMeta, externalWeights, depSize, config)
   }
 
+  /** Local metadata overrides merged RECURSIVELY over the packaged docs
+    * (the reference's local-metadata mechanism, metadata_reader.py:342-353
+    * with the leaf-level settings semantic of :215-253): a local doc can
+    * patch one column's type or one table's instructions without
+    * restating the whole entry — unlike [[withExtraSchemas]], which
+    * replaces top-level entries wholesale.
+    */
+  def withLocalOverrides(localTables: Meta = MNull, localSchema: Meta = MNull): TableRepo =
+    new TableRepo(
+      spark,
+      if (localTables.isNull) tablesMeta else Meta.deepMerge(tablesMeta, localTables),
+      if (localSchema.isNull) schemaMeta else Meta.deepMerge(schemaMeta, localSchema),
+      rawReader, classifications, householdMeta, externalWeights, depSize, config)
+
   /** Build one (table, year); None when the raw source is absent (the
     * reference drops empty tables from concats, data_engine.py:643-645).
     */

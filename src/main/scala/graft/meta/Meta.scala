@@ -79,6 +79,27 @@ object Meta {
   def k(s: String): MKey = SKey(s)
   def k(i: Long): MKey = IKey(i)
 
+  /** Recursive local-override merge: maps merge key-wise (override wins
+    * at leaves, base keys keep their order, new keys append in override
+    * order); any non-map override value replaces the base subtree.
+    *
+    * This is the settings-merge semantic of the reference — flattening
+    * nested dicts to leaf paths and updating leaf-by-leaf
+    * (metadata_reader.py:215-253) is exactly a recursive map merge — and
+    * a strict superset of its shallow per-document metadata update
+    * (metadata_reader.py:342-353): a local doc that replaces whole
+    * top-level entries behaves identically under either.
+    */
+  def deepMerge(base: Meta, overlay: Meta): Meta = (base, overlay) match {
+    case (a: MMap, b: MMap) =>
+      val merged = a.entries.map { case (k, v) =>
+        k -> b.entries.collectFirst { case (bk, bv) if bk == k => deepMerge(v, bv) }.getOrElse(v)
+      }
+      val added = b.entries.filterNot { case (bk, _) => a.keys.contains(bk) }
+      MMap(merged ++ added)
+    case (_, o) => o
+  }
+
   /** Parse a YAML document (snakeyaml ships with Spark) into a Meta tree. */
   def fromYaml(yaml: String): Meta = {
     val loaded = new org.yaml.snakeyaml.Yaml().load[Object](yaml)

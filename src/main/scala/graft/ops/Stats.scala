@@ -163,7 +163,10 @@ object Stats {
       acc.withColumn(c, col(c) / col(cpiCol) * lit(100)))
 
   /** E9 adjust_by_equivalence_scale: join the scale on (Year,ID), divide,
-    * drop (api.py:563-609).
+    * drop (api.py:563-609). The scale table is household-count-sized in
+    * the reference, so broadcast is the default; pass
+    * broadcastScale=false when it is fact-sized (the same escape hatch
+    * as [[addWeight]]) and AQE picks the join strategy.
     */
   def adjustByEquivalenceScale(
       df: DataFrame,
@@ -171,8 +174,10 @@ object Stats {
       columns: Seq[String],
       scale: String = "Per_Capita",
       keys: Seq[String] = Seq("Year", "ID"),
+      broadcastScale: Boolean = true,
   ): DataFrame = {
-    val joined = df.join(broadcast(scaleTable.select((keys.map(col) :+ col(scale)): _*)), keys, "left")
+    val slim = scaleTable.select((keys.map(col) :+ col(scale)): _*)
+    val joined = df.join(if (broadcastScale) broadcast(slim) else slim, keys, "left")
     columns.foldLeft(joined)((acc, c) => acc.withColumn(c, col(c) / col(scale)))
       .drop(scale)
   }

@@ -76,6 +76,44 @@ instructions:
     assert(avg.getAs[Double]("Gross_Expenditure") == 4092.0)
   }
 
+  test("addClassificationAuto detects commodity vs occupation (E3)") {
+    import spark.implicits._
+    import graft.engine.{RepoConfig, TableRepo}
+    val commodityDoc = Meta.fromYaml("""
+defaults:
+  levels: [1]
+  column_names: [Commodity]
+items:
+  food: {level: 1, code: {start: 0, end: 10000}}
+""")
+    val occupationDoc = Meta.fromYaml("""
+defaults:
+  levels: [1]
+  column_names: [Occupation]
+items:
+  farmer: {level: 1, code: {start: 0, end: 2000000}}
+""")
+    val repo = new TableRepo(spark, MNull, MNull, (_, _) => None,
+      classifications = Map("commodity" -> commodityDoc, "occupation" -> occupationDoc))
+    val a = new Api(spark, repo)
+
+    // default commodity column present -> commodity
+    val dfC = Seq((1400, 123L), (1400, 9999L)).toDF("Year", "Code")
+    assert(a.addClassificationAuto(dfC).columns.contains("Commodity"))
+    // default job column present -> occupation
+    val dfJ = Seq((1400, 654321L)).toDF("Year", "Job_Code")
+    assert(a.addClassificationAuto(dfJ).columns.contains("Occupation"))
+    // explicit code column: magnitude probe decides
+    val big = Seq((1400, 150000L), (1400, 220000L)).toDF("Year", "MyCode")
+    assert(a.addClassificationAuto(big, Some("MyCode")).columns.contains("Occupation"))
+    val small = Seq((1400, 12L), (1400, 700L)).toDF("Year", "MyCode")
+    assert(a.addClassificationAuto(small, Some("MyCode")).columns.contains("Commodity"))
+    // no recognizable column -> the reference's error
+    intercept[IllegalArgumentException] {
+      a.addClassificationAuto(Seq((1400, 1L)).toDF("Year", "X"))
+    }
+  }
+
   test("addDecile bins by the total-expenditure distribution and joins back") {
     val a = api()
     val tot = a.loadTable("Total_Expenditure", Seq(1400))
@@ -84,5 +122,9 @@ instructions:
     // weights: U1=2,U2=3,R1=4,R2=1; sorted by value: R2(360,w1) R1(1800,w4) U1(4800,w2) U2(7920,w3)
     // cum/total: R2 .1 -> decile 2? floor(0.1*10)+1 = 2; R1 .5 -> 6; U1 .7 -> 8; U2 1.0 -> 10
     assert(deciles == Map(R2 -> 2, R1 -> 6, U1 -> 8, U2 -> 10))
+    // broadcast escape hatch: same result with the hint disabled
+    val noBc = a.addQuantileOn(tot, bins = 10, out = "Decile", broadcastQuantiles = false)
+      .collect().map(r => r.getAs[Long]("ID") -> r.getAs[Int]("Decile")).toMap
+    assert(noBc == deciles)
   }
 }

@@ -108,6 +108,31 @@ class TableRepoSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.selectBy(hh, "Urban_Rural", "Urban").count() == 2)
   }
 
+  test("withLocalOverrides patches one leaf without restating the doc") {
+    // local override flips food's EXPENDITURE type float -> integer and
+    // changes Duration to 31; everything else (columns, DAG) untouched
+    val local = repo().withLocalOverrides(
+      localTables = Meta.fromYaml("""
+food:
+  columns:
+    EXPENDITURE: {type: integer}
+"""),
+      localSchema = Meta.fromYaml("""
+food:
+  instructions:
+    - add_year
+    - add_table_name
+    - create_column: {name: Duration, type: numerical, expression: 31}
+"""))
+    val food = local.table("food", Seq(1400))
+    assert(food.schema("Expenditure").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(food.where(col("Duration") === 31).count() == 4)
+    // untouched table unaffected
+    assert(local.table("durable", Seq(1400)).schema("Expenditure").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+  }
+
   test("A9 cache: cache_result table persists and is reused") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cache").toString
     val r = repo(cacheDir = Some(dir))

@@ -120,4 +120,39 @@ class MetaSpec extends AnyFunSuite {
     val pairs = YearParser.tableYearPairs(Seq("food", "other"), Seq(1383, 1384), avail)
     assert(pairs == List(("food", 1383), ("other", 1383), ("other", 1384)))
   }
+
+  test("deepMerge: recursive local override over a packaged doc") {
+    val packaged = Meta.fromYaml("""
+food:
+  settings: {missings: error}
+  columns:
+    CODE: {new_name: Code, type: unsigned}
+    VALUE: {new_name: Expenditure, type: float}
+other:
+  columns:
+    X: {new_name: X, type: string}
+""")
+    val local = Meta.fromYaml("""
+food:
+  columns:
+    VALUE: {type: integer}
+    NEW: {new_name: Extra, type: string}
+added:
+  columns: {}
+""")
+    val merged = Meta.deepMerge(packaged, local)
+    // untouched subtrees survive
+    assert(merged("food")("settings")("missings").asStr == "error")
+    assert(merged("food")("columns")("CODE")("new_name").asStr == "Code")
+    assert(merged("other")("columns")("X")("type").asStr == "string")
+    // leaf-level patch: type changed, sibling key kept
+    assert(merged("food")("columns")("VALUE")("type").asStr == "integer")
+    assert(merged("food")("columns")("VALUE")("new_name").asStr == "Expenditure")
+    // additions at any depth
+    assert(merged("food")("columns")("NEW")("new_name").asStr == "Extra")
+    assert(merged.has("added"))
+    // non-map override replaces the subtree wholesale
+    val repl = Meta.deepMerge(Meta.fromYaml("a: {b: 1}"), Meta.fromYaml("a: [1, 2]"))
+    assert(repl("a").asList.map(_.asLong) == Vector(1L, 2L))
+  }
 }

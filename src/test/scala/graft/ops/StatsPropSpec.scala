@@ -99,4 +99,17 @@ class StatsPropSpec extends SparkSpec {
     assert(q(1L) == 0.5 && q(2L) == 1.0)
     assert(q(3L) == 0.25 && q(4L) == 1.0)
   }
+
+  test("equivalence-scale broadcast escape hatch: identical results, no broadcast hint") {
+    import spark.implicits._
+    val df = Seq((1400, 1L, 100.0), (1400, 2L, 90.0)).toDF("Year", "ID", "x")
+    val scale = Seq((1400, 1L, 2.0), (1400, 2L, 3.0)).toDF("Year", "ID", "Per_Capita")
+    def rows(bc: Boolean) =
+      Stats.adjustByEquivalenceScale(df, scale, Seq("x"), broadcastScale = bc)
+        .collect().map(r => r.getAs[Long]("ID") -> r.getAs[Double]("x")).toMap
+    assert(rows(bc = true) == rows(bc = false))
+    val plan = Stats.adjustByEquivalenceScale(df, scale, Seq("x"), broadcastScale = false)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("ResolvedHint"), "broadcast hint must be absent when disabled")
+  }
 }
