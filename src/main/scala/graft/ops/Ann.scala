@@ -51,7 +51,8 @@ object Ann {
       queryIdCol: String = "query_id",
   ): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as(queryIdCol), col(vecCol).as("_qvec")))
-    val scored = corpus.select(col(idCol), col(vecCol))
+    // scatter: a single-file corpus would otherwise score on one task
+    val scored = Dedup.scatter(corpus.select(col(idCol), col(vecCol)))
       .crossJoin(q)
       .where(col(idCol) =!= col(queryIdCol))
       .select(col(queryIdCol), col(idCol).as("neighbor_id"),
@@ -103,22 +104,32 @@ object Ann {
     val r = numPlanes / bands
     val planes = hyperplanes(numPlanes, dim, seed)
     val mask = (1L << r) - 1
-    def banded(df: DataFrame, id: String, vecAs: String): DataFrame = {
+    // candidate generation on SLIM (id, band, key) rows: the corpus pass
+    // computes signatures and bucket keys only — no vectors ride the
+    // collision rows or the distinct shuffle (the minHashPairs shape)
+    def bandedSlim(df: DataFrame, id: String): DataFrame = {
       val sig = signBits(col(vecCol), planes)
-      df.select(col(idCol).as(id), col(vecCol).as(vecAs), sig.as("_sig"))
-        .select(col(id), col(vecAs), explode(transform(sequence(lit(0), lit(bands - 1)),
+      df.select(col(idCol).as(id), sig.as("_sig"))
+        .select(col(id), explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"),
             call_function("shiftright", col("_sig"), b * lit(r)).bitwiseAND(lit(mask)).as("key")))).as("_bk"))
-        .select(col(id), col(vecAs), col("_bk.band").as("_b"), col("_bk.key").as("_k"))
+        .select(col(id), col("_bk.band").as("_b"), col("_bk.key").as("_k"))
     }
-    val c = banded(corpus, "neighbor_id", "_cvec")
-    val q = banded(queries, queryIdCol, "_qvec")
-    val candidates = c.join(broadcast(q), Seq("_b", "_k"))
+    val c = bandedSlim(Dedup.scatter(corpus), "neighbor_id")
+    val q = bandedSlim(queries, queryIdCol)
+    val pairs = c.join(broadcast(q), Seq("_b", "_k"))
       .where(col("neighbor_id") =!= col(queryIdCol))
-      .groupBy(queryIdCol, "neighbor_id")
-      .agg(first(col("_cvec")).as("_cvec"), first(col("_qvec")).as("_qvec"))
-    val scored = candidates.select(col(queryIdCol), col("neighbor_id"),
-      cosine(col("_qvec"), col("_cvec")).as("cosine"))
+      .select(queryIdCol, "neighbor_id").distinct()
+    // vectors re-attach via broadcast of the (small: |queries| × bucket
+    // collisions) pair set — the corpus is re-scanned pruned to
+    // (id, vector) with no shuffle at all
+    val scored = Dedup.scatter(corpus)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("_cvec"))
+      .join(broadcast(pairs), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col(idCol).as(queryIdCol), col(vecCol).as("_qvec"))),
+        Seq(queryIdCol))
+      .select(col(queryIdCol), col("neighbor_id"),
+        cosine(col("_qvec"), col("_cvec")).as("cosine"))
     val win = Window.partitionBy(queryIdCol)
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(win)).where(col("rank") <= k)
