@@ -745,6 +745,28 @@ items:
     Dedup.simHashCandidates(T(s, dir, "documents"), maxDistance = 8)
       .orderBy("id_a", "id_b")
 
+  /** SimHash-bucketed near-dup pipeline with the SAME brute-force oracle
+    * as minhash_near_dups: quarter-bucket candidates -> exact
+    * n-gram-Jaccard verify at 0.6. SimHash is a deterministic function of
+    * the text (no seeds, no sampling), so "does every true near-dup pair
+    * share an 8-bit band" is a fixed property of the dataset — 8 bands
+    * pigeonhole-guarantee recall to Hamming distance 7, which covers the
+    * planted pairs — and the pipeline output equals the brute-force pair
+    * set exactly, run after run.
+    */
+  def simhashNearDups(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val cands = Dedup.simHashCandidates(docs, maxDistance = 16, bands = 8)
+      .select("id_a", "id_b")
+    val a = docs.select(col("doc_id").as("id_a"), col("text").as("_ta"))
+    val b = docs.select(col("doc_id").as("id_b"), col("text").as("_tb"))
+    cands.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Dedup.ngramJaccard(col("_ta"), col("_tb")), 6).as("jaccard"))
+      .where(col("jaccard") >= 0.6)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Brute-force exact cosine top-k (k=5, 3 query vectors). */
   def annBruteTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = T(s, dir, "embeddings")
@@ -908,6 +930,7 @@ items:
     ("minhash_near_dups", minhashNearDups _, Some(minhashNearDupsSql)),
     ("minhash_sigs", minhashSigs _, None),
     ("simhash_pairs", simhashPairs _, None),
+    ("simhash_near_dups", simhashNearDups _, Some(minhashNearDupsSql)),
     ("ann_brute_topk", annBruteTopK _, Some(annBruteSql)),
     ("ann_lsh_topk", annLshTopK _, None),
     ("ann_cosine_dedup", annCosineDedup _, None),
@@ -933,7 +956,8 @@ items:
     "d2_attribute", "e5_select", "e10_weighted_avg", "e12_quantile", "e13_decile",
     "e7e8_cpi", "e9_equivalence",
     "dedup_exact", "text_stats", "lang_id", "quality_score", "ngram_jaccard",
-    "minhash_pairs", "minhash_near_dups", "simhash_pairs", "ann_brute_topk", "ann_lsh_topk",
+    "minhash_pairs", "minhash_near_dups", "simhash_pairs", "simhash_near_dups",
+    "ann_brute_topk", "ann_lsh_topk",
     "ann_cosine_dedup", "multimodal_features",
     "events_window_agg", "events_sessionize", "topk")
 }

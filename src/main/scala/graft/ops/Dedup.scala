@@ -149,22 +149,33 @@ object Dedup {
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup candidates: bucket by the 4 16-bit quarters of the
-    * hash (any pair within Hamming distance 3 shares at least one exact
-    * quarter — pigeonhole), then verify distance ≤ maxDistance. Equi-join
-    * on bucket keys, never all-pairs.
+  /** SimHash near-dup candidates: bucket by the `bands` equal bit-slices
+    * of the 64-bit hash (any pair within Hamming distance `bands - 1`
+    * shares at least one exact slice — pigeonhole), then verify distance
+    * ≤ maxDistance. Equi-join on bucket keys, never all-pairs.
+    *
+    * Pick `bands` from the distance bound you need: 4×16-bit slices
+    * guarantee recall to distance 3; 8×8-bit to distance 7. More bands
+    * = stronger guarantee but smaller key space (2^(64/bands)) and so
+    * quadratically more bucket collisions — at corpus scale prefer few
+    * wide bands and catch the tail with a second pass, or cap bucket
+    * sizes (see scaladoc above on skew).
     */
   def simHashCandidates(
       df: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
       maxDistance: Int = 3,
+      bands: Int = 4,
   ): DataFrame = {
+    require(64 % bands == 0, s"bands=$bands must divide 64")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
     val hashed = simHashes(df, textCol, idCol)
     val banded = hashed.select(col(idCol), col("_sh"),
-      explode(transform(sequence(lit(0), lit(3)),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
         q => struct(q.as("q"),
-          call_function("shiftright", col("_sh"), q * lit(16)).bitwiseAND(lit(0xFFFFL)).as("key")))).as("_band"))
+          call_function("shiftright", col("_sh"), q * lit(width)).bitwiseAND(lit(mask)).as("key")))).as("_band"))
       .select(col(idCol), col("_sh"), col("_band.q").as("_q"), col("_band.key").as("_k"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.select(col(idCol).as("id_a"), col("_sh").as("_sh_a"), col("_q"), col("_k"))
