@@ -810,7 +810,11 @@ items:
 
   /** Multimodal plumbing in the gate: text bytes as an opaque binary
     * payload column, features extracted per-partition by the (stub)
-    * decoder — rows-only check; the decoder itself is deterministic.
+    * decoder via the mapPartitions path, then verified against a DuckDB
+    * oracle. The unnormalized stub histogram is integer-valued (exact in
+    * Float), so each bucket exports as a BIGINT the oracle recomputes
+    * from character codes (the docs are ASCII: byte == code point).
+    * Raw Array[Float] must never reach the gate (driver row-sort).
     */
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val media = T(s, dir, "documents").select(
@@ -820,11 +824,20 @@ items:
       lit(null).cast(IntegerType).as("meta_width"),
       lit(null).cast(IntegerType).as("meta_height"),
       lit(null).cast(LongType).as("meta_duration_ms"))
-    Multimodal.extractFeatures(media, new Multimodal.StubDecoder(16))
-      .select(col("media_id"),
-        // scalar digest: raw Array[Float] breaks the driver's row-sort
-        xxhash64(col("features")).as("feat_digest"),
-        size(col("features")).cast(IntegerType).as("n_features"))
+    val feats = Multimodal.extractFeatures(
+      media, new Multimodal.StubDecoder(16, normalize = false))
+    val buckets = (0 until 16).map(j =>
+      element_at(col("features"), j + 1).cast(LongType).as(s"c$j"))
+    feats.select(col("media_id") +: size(col("features")).cast(IntegerType).as("n_features") +: buckets: _*)
+  }
+
+  private val multimodalSql = {
+    val buckets = (0 until 16).map(j =>
+      s"len(list_filter(regexp_extract_all(text, '.'), c -> unicode(c) % 16 = $j)) AS c$j").mkString(",\n           ")
+    s"""
+    SELECT doc_id AS media_id, 16 AS n_features,
+           $buckets
+    FROM documents"""
   }
 
   // ------------------------------------------------------------------ events
@@ -934,7 +947,7 @@ items:
     ("ann_brute_topk", annBruteTopK _, Some(annBruteSql)),
     ("ann_lsh_topk", annLshTopK _, None),
     ("ann_cosine_dedup", annCosineDedup _, None),
-    ("multimodal_features", multimodalFeatures _, None),
+    ("multimodal_features", multimodalFeatures _, Some(multimodalSql)),
     ("events_window_agg", eventsWindowAgg _, Some(eventsWindowSql)),
     ("events_sessionize", eventsSessionize _, Some(eventsSessionizeSql)),
     ("topk", topK _, Some(topKSql)),

@@ -43,8 +43,12 @@ object Multimodal {
   /** STUB: a deterministic fake decoder — real image/audio codecs are not
     * available in this environment. Features are a byte-histogram sketch,
     * so tests exercise real Spark plumbing with reproducible outputs.
+    * With normalize=false the histogram stays raw integer counts
+    * (exactly representable in Float), which lets an external oracle
+    * reproduce the output bit-for-bit.
     */
-  final class StubDecoder(val featureDim: Int = 16) extends MediaDecoder {
+  final class StubDecoder(val featureDim: Int = 16, val normalize: Boolean = true)
+      extends MediaDecoder {
     def decodeFeatures(mime: String, payload: Array[Byte]): Array[Float] = {
       val out = new Array[Float](featureDim)
       if (payload != null) {
@@ -53,9 +57,11 @@ object Multimodal {
           out(java.lang.Byte.toUnsignedInt(payload(i)) % featureDim) += 1f
           i += 1
         }
-        val n = math.max(payload.length, 1).toFloat
-        var j = 0
-        while (j < featureDim) { out(j) /= n; j += 1 }
+        if (normalize) {
+          val n = math.max(payload.length, 1).toFloat
+          var j = 0
+          while (j < featureDim) { out(j) /= n; j += 1 }
+        }
       }
       out
     }
