@@ -710,8 +710,11 @@ items:
       .orderBy("id_a", "id_b")
   }
 
-  private val minhashNearDupsSql = """
-    WITH t AS (
+  /** Brute-force all-pairs true-Jaccard CTEs shared by the near-dup and
+    * cluster oracles (O(n²) is fine at oracle scale; the Spark side
+    * never does this).
+    */
+  private val nearDupPairCtes = """t AS (
       SELECT doc_id,
              list_filter(string_split_regex(trim(regexp_replace(lower(text),'[^a-z0-9\s]+',' ','g')),'\s+'), x -> x <> '') AS toks
       FROM documents),
@@ -727,7 +730,10 @@ items:
                   THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                        / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
                   ELSE 1.0 END AS j
-      FROM s a JOIN s b ON a.doc_id < b.doc_id)
+      FROM s a JOIN s b ON a.doc_id < b.doc_id)"""
+
+  private val minhashNearDupsSql = s"""
+    WITH $nearDupPairCtes
     SELECT id_a, id_b, round(j, 6) AS jaccard FROM p WHERE round(j, 6) >= 0.6"""
 
   /** Signature-build stage alone (perf probe; rows-only). The raw
@@ -840,6 +846,63 @@ items:
     FROM documents"""
   }
 
+  /** Exact duplicate clusters via iterative min-label propagation over
+    * the verified near-dup pair graph. The oracle recomputes connected
+    * components with a recursive transitive-closure CTE — chains must
+    * collapse to ONE minimum-id representative in both engines.
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val pairs = minhashNearDups(s, dir).select("id_a", "id_b")
+    Dedup.duplicateClusters(docs.select("doc_id"), pairs)
+      .orderBy("doc_id")
+  }
+
+  private val dedupClustersSql = s"""
+    WITH RECURSIVE $nearDupPairCtes,
+    e AS (
+      SELECT id_a AS a, id_b AS b FROM p WHERE round(j, 6) >= 0.6
+      UNION
+      SELECT id_b, id_a FROM p WHERE round(j, 6) >= 0.6),
+    reach(a, b) AS (
+      SELECT a, b FROM e
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+    SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+    FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+    GROUP BY d.doc_id"""
+
+  /** IVF ANN at full probe: write the corpus partitioned by its nearest
+    * centroid, then query probing EVERY cluster — the partition-pruned
+    * scan degenerates to the whole corpus and the result must equal the
+    * exact brute-force top-k, which is what the oracle computes. (Partial
+    * probes trade recall for pruning; their recall bound is AnnSpec's
+    * job, not an exact oracle's.)
+    */
+  def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val centroids = Ann.hyperplanes(4, 64, seed = 7L)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_gate").toString
+    Ann.ivfWrite(emb, tmp, centroids)
+    Ann.ivfTopK(tmp, emb.where(col("vec_id") < 3), centroids, k = 5, nProbe = 4)
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"),
+        col("rank").cast(IntegerType).as("rank"))
+  }
+
+  /** Two-phase salted aggregation: must equal the plain grouped sum (the
+    * salt only changes parallelism, never the result — sums are over
+    * exact integers).
+    */
+  def skewSaltedAgg(s: SparkSession, dir: String): DataFrame = {
+    val df = T(s, dir, "lineitem")
+      .select(col("l_returnflag"), cents(col("l_extendedprice")).as("price_cents"))
+    Skew.saltedSum(df, Seq("l_returnflag"), Seq("price_cents"), salt = 8)
+  }
+
+  private val skewSaltedSql = s"""
+    SELECT l_returnflag, CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS price_cents
+    FROM lineitem GROUP BY l_returnflag"""
+
   // ------------------------------------------------------------------ events
 
   /** Hourly tumbling-window aggregation over the events table.
@@ -948,6 +1011,9 @@ items:
     ("ann_lsh_topk", annLshTopK _, None),
     ("ann_cosine_dedup", annCosineDedup _, None),
     ("multimodal_features", multimodalFeatures _, Some(multimodalSql)),
+    ("dedup_clusters", dedupClusters _, Some(dedupClustersSql)),
+    ("ivf_topk", ivfTopK _, Some(annBruteSql)),
+    ("skew_salted_agg", skewSaltedAgg _, Some(skewSaltedSql)),
     ("events_window_agg", eventsWindowAgg _, Some(eventsWindowSql)),
     ("events_sessionize", eventsSessionize _, Some(eventsSessionizeSql)),
     ("topk", topK _, Some(topKSql)),
@@ -971,6 +1037,7 @@ items:
     "dedup_exact", "text_stats", "lang_id", "quality_score", "ngram_jaccard",
     "minhash_pairs", "minhash_near_dups", "simhash_pairs", "simhash_near_dups",
     "ann_brute_topk", "ann_lsh_topk",
-    "ann_cosine_dedup", "multimodal_features",
+    "ann_cosine_dedup", "ivf_topk", "dedup_clusters", "skew_salted_agg",
+    "multimodal_features",
     "events_window_agg", "events_sessionize", "topk")
 }

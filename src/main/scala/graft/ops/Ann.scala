@@ -66,7 +66,7 @@ object Ann {
   /** Deterministic pseudo-random unit hyperplanes (driver-side constants;
     * xorshift64* seeded by (plane, dim) so results are reproducible).
     */
-  private[ops] def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] =
+  private[graft] def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] =
     Array.tabulate(numPlanes, dim) { (p, d) =>
       var x = seed + p.toLong * 1000003L + d.toLong * 7919L
       x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
