@@ -814,6 +814,22 @@ items:
         col("rank").cast(IntegerType).as("rank"))
   }
 
+  /** The LSH top-k machinery at full recall: 16 bands of ONE bit each —
+    * a pair escapes candidacy only if all 16 sign bits differ (measure
+    * zero in practice; verified empty-miss on this data), so the banded
+    * join + pair dedup + vector re-attach + window pipeline must
+    * reproduce the exact brute-force top-k the oracle computes. The
+    * production operating point (fewer, wider bands) trades this recall
+    * for bucket locality; its recall curve is AnnSpec's job.
+    */
+  def annLshFullRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    Ann.lshTopK(emb, emb.where(col("vec_id") < 3), k = 5, dim = 64,
+      numPlanes = 16, bands = 16)
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"),
+        col("rank").cast(IntegerType).as("rank"))
+  }
+
   /** Multimodal plumbing in the gate: text bytes as an opaque binary
     * payload column, features extracted per-partition by the (stub)
     * decoder via the mapPartitions path, then verified against a DuckDB
@@ -920,6 +936,40 @@ items:
            count(*) AS n, CAST(sum(${centsSql("value")}) AS BIGINT) AS value_cents
     FROM events GROUP BY 1, 2"""
 
+  /** The SAME hourly aggregation executed by the Structured Streaming
+    * engine: file-source readStream over the events parquet, watermarked
+    * incremental aggregation, AvailableNow trigger draining the backlog
+    * as a real streaming query into a complete-mode memory sink. The
+    * result must equal the batch plan's (and the DuckDB oracle's) output
+    * exactly — batch/stream parity on the same input is the property
+    * that makes the streaming path trustworthy for backfills.
+    */
+  def eventsWindowStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val path = s"$dir/events.parquet"
+    val schema = s.read.parquet(path).schema
+    // the file stream source wants a directory (its arrival-monitoring
+    // unit); stage the single file into one
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_gate")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+      streamDir.resolve("events.parquet"))
+    val name = "events_stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val agg = s.readStream.schema(schema).parquet(streamDir.toString)
+      // ts arrives as nanos-long (nanosAsLong): derive an event-time
+      // column for windowing
+      .withColumn("_event_time", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("_event_time", "2 hours")
+      .groupBy(col("event_type"), window(col("_event_time"), "1 hour"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+      .select(col("event_type"),
+        unix_timestamp(col("window.start")).as("hour_epoch"),
+        col("n"), col("value_cents"))
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
   /** Gap-based sessionization (30-min inactivity) via window functions. */
   def eventsSessionize(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1015,7 +1065,9 @@ items:
     ("ivf_topk", ivfTopK _, Some(annBruteSql)),
     ("skew_salted_agg", skewSaltedAgg _, Some(skewSaltedSql)),
     ("events_window_agg", eventsWindowAgg _, Some(eventsWindowSql)),
+    ("events_window_stream", eventsWindowStream _, Some(eventsWindowSql)),
     ("events_sessionize", eventsSessionize _, Some(eventsSessionizeSql)),
+    ("ann_lsh_full_recall", annLshFullRecall _, Some(annBruteSql)),
     ("topk", topK _, Some(topKSql)),
     // engine path: metadata doc -> schema DAG -> clean -> pipeline -> cache
     ("e1_load_table", EngineQueries.e1LoadTable _, Some(EngineQueries.e1Sql)),
@@ -1039,5 +1091,5 @@ items:
     "ann_brute_topk", "ann_lsh_topk",
     "ann_cosine_dedup", "ivf_topk", "dedup_clusters", "skew_salted_agg",
     "multimodal_features",
-    "events_window_agg", "events_sessionize", "topk")
+    "events_window_agg", "events_window_stream", "events_sessionize", "topk")
 }
