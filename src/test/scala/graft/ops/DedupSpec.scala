@@ -57,6 +57,28 @@ class DedupSpec extends SparkSpec {
     assert(c.contains((1L, 4L)))
   }
 
+  test("simhash banding pigeonhole: candidates cover ALL pairs within distance bands-1") {
+    import spark.implicits._
+    // random-ish corpus: brute-force every pair's Hamming distance and
+    // assert the banded candidate set is a superset at the guaranteed
+    // bound (bands-1), for both 4x16 and 8x8 configurations
+    val corpus = (1 to 60).map(i =>
+      (i.toLong, s"shared base text ${"word " * (i % 7)} plus variant token$i and tail ${i % 5}"))
+      .toDF("doc_id", "text")
+    val sh = simHashes(corpus).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val allPairs = for {
+      a <- sh.keys.toSeq; b <- sh.keys.toSeq if a < b
+    } yield (a, b, java.lang.Long.bitCount(sh(a) ^ sh(b)))
+    for (bands <- Seq(4, 8)) {
+      val bound = bands - 1
+      val expected = allPairs.collect { case (a, b, d) if d <= bound => (a, b) }.toSet
+      val got = simHashCandidates(corpus, maxDistance = bound, bands = bands)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(expected.subsetOf(got),
+        s"bands=$bands missed ${expected.diff(got)} (pigeonhole violated)")
+    }
+  }
+
   test("keepRepresentatives drops near-dup copies, keeps first") {
     val pairs = minHashPairs(docs(), numHashes = 64, bands = 16)
       .where(col("est_jaccard") > 0.5).select("id_a", "id_b")
