@@ -970,6 +970,39 @@ items:
     s.table(name)
   }
 
+  /** Streaming exact dedup with a REAL duplicate load: the source
+    * directory holds TWO copies of the events file, so every event
+    * arrives twice and `dropDuplicatesWithinWatermark` must collapse
+    * the stream back to exactly the original rows — which is what the
+    * oracle (a plain SELECT over events) asserts.
+    */
+  def eventsDedupStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val path = s"$dir/events.parquet"
+    val schema = s.read.parquet(path).schema
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(path), streamDir.resolve("copy_a.parquet"))
+    java.nio.file.Files.copy(java.nio.file.Paths.get(path), streamDir.resolve("copy_b.parquet"))
+    val name = "events_dedup_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val stream = s.readStream.schema(schema).parquet(streamDir.toString)
+      // compare at microsecond precision: DuckDB reads TIMESTAMP(NANOS)
+      // parquet at us precision (epoch_us(ts) == ts DIV 1000)
+      .withColumn("ts_us", expr("ts DIV 1000"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val dd = graft.streaming.EventStreams.dedupEvents(stream, Seq("event_id"))
+    val q = dd.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+      .select(col("event_id"), col("ts_us"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+      .orderBy("event_id")
+  }
+
+  private val eventsDedupStreamSql = """
+    SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
+    FROM events"""
+
   /** Gap-based sessionization (30-min inactivity) via window functions. */
   def eventsSessionize(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1066,6 +1099,7 @@ items:
     ("skew_salted_agg", skewSaltedAgg _, Some(skewSaltedSql)),
     ("events_window_agg", eventsWindowAgg _, Some(eventsWindowSql)),
     ("events_window_stream", eventsWindowStream _, Some(eventsWindowSql)),
+    ("events_dedup_stream", eventsDedupStream _, Some(eventsDedupStreamSql)),
     ("events_sessionize", eventsSessionize _, Some(eventsSessionizeSql)),
     ("ann_lsh_full_recall", annLshFullRecall _, Some(annBruteSql)),
     ("topk", topK _, Some(topKSql)),
@@ -1091,5 +1125,6 @@ items:
     "ann_brute_topk", "ann_lsh_topk",
     "ann_cosine_dedup", "ivf_topk", "dedup_clusters", "skew_salted_agg",
     "multimodal_features",
-    "events_window_agg", "events_window_stream", "events_sessionize", "topk")
+    "events_window_agg", "events_window_stream", "events_dedup_stream",
+    "events_sessionize", "topk")
 }
