@@ -94,6 +94,25 @@ class AnnSpec extends SparkSpec {
     assert(recall > 0.2, s"ivf nProbe=2 recall $recall")
   }
 
+  test("no embedding vector ever enters a shuffle exchange (slim-join invariant)") {
+    // the scale property behind lshTopK / cosineNearDupPairs: candidate
+    // generation shuffles only (id, band, key) rows; vectors re-attach
+    // via broadcast. A vector-typed attribute inside any Exchange's
+    // output would silently multiply shuffle volume by the vector width.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def shuffledTypes(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e.output.map(_.dataType.simpleString)
+      }.flatten
+    val corpus = vecs(40)
+    val queries = vecs(3)
+    val lsh = Ann.lshTopK(corpus, queries, k = 3, dim = dim)
+    val dedup = Ann.cosineNearDupPairs(corpus, threshold = 0.2, dim = dim)
+    for ((name, types) <- Seq("lshTopK" -> shuffledTypes(lsh), "cosineNearDupPairs" -> shuffledTypes(dedup)))
+      assert(!types.exists(_.startsWith("array")),
+        s"$name shuffles an array column: $types")
+  }
+
   test("cluster assignment is deterministic and in range") {
     val centroids = Ann.hyperplanes(4, dim, seed = 7)
     val df = vecs(30).withColumn("cluster", Ann.assignCluster(col("embedding"), centroids))
