@@ -855,7 +855,9 @@ items:
 
   private val multimodalSql = {
     val buckets = (0 until 16).map(j =>
-      s"len(list_filter(regexp_extract_all(text, '.'), c -> unicode(c) % 16 = $j)) AS c$j").mkString(",\n           ")
+      // (?s) so '.' matches newline too — the Spark side histograms every
+      // byte, and a '\n' (bucket c10) must not silently vanish here
+      s"len(list_filter(regexp_extract_all(text, '(?s).'), c -> unicode(c) % 16 = $j)) AS c$j").mkString(",\n           ")
     s"""
     SELECT doc_id AS media_id, 16 AS n_features,
            $buckets
@@ -967,7 +969,13 @@ items:
     val q = agg.writeStream.format("memory").queryName(name)
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    s.table(name)
+    // the resolved plan holds the memory sink's rows, so the catalog name
+    // and staged source dir can be released immediately — repeated
+    // bench/gate runs must not accumulate sink tables or temp dirs
+    val out = s.table(name)
+    s.catalog.dropTempView(name)
+    deleteRecursively(streamDir.toFile)
+    out
   }
 
   /** Streaming exact dedup with a REAL duplicate load: the source
@@ -993,10 +1001,20 @@ items:
     val q = dd.writeStream.format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    s.table(name)
+    val out = s.table(name)
       .select(col("event_id"), col("ts_us"), col("user_id"), col("event_type"),
         col("value"), col("props"))
       .orderBy("event_id")
+    s.catalog.dropTempView(name)
+    deleteRecursively(streamDir.toFile)
+    out
+  }
+
+  /** Remove a staged temp directory once its streaming run has drained. */
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(): Unit
   }
 
   private val eventsDedupStreamSql = """

@@ -87,7 +87,9 @@ class Api(
       case Some(c) =>
         val share = df.agg(
           avg(when(col(c) <= 10000, 1.0).otherwise(0.0))).collect()(0)
-        val frac = if (share.isNullAt(0)) 0.0 else share.getDouble(0)
+        // empty/all-null probe: the reference's `NaN < 0.9` is False in
+        // pandas (api.py:313-325), so the null average means commodity
+        val frac = if (share.isNullAt(0)) 1.0 else share.getDouble(0)
         (if (frac < 0.9) "occupation" else "commodity") -> c
       case None if df.columns.contains("Code")     => "commodity" -> "Code"
       case None if df.columns.contains("Job_Code") => "occupation" -> "Job_Code"

@@ -173,10 +173,16 @@ object Ann {
     val pairs = a.join(b, Seq("_b", "_k"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    // re-attach vectors by id only for surviving distinct pairs
+    // re-attach vectors by id only for surviving distinct pairs; the
+    // broadcast side is always the pair-bounded one (first the slim pair
+    // set, then pair-count rows carrying one vector each — like
+    // lshTopK), so the planner can never pick a sort-merge join that
+    // would shuffle the full corpus vector column once pairs outgrow
+    // the auto-broadcast threshold
     val va = sigs.select(col(idCol).as("id_a"), col(vecCol).as("_va"))
     val vb = sigs.select(col(idCol).as("id_b"), col(vecCol).as("_vb"))
-    pairs.join(va, Seq("id_a")).join(vb, Seq("id_b"))
+    val withA = va.join(broadcast(pairs), Seq("id_a"))
+    vb.join(broadcast(withA), Seq("id_b"))
       .select(col("id_a"), col("id_b"), cosine(col("_va"), col("_vb")).as("cosine"))
       .where(col("cosine") >= threshold)
   }

@@ -12,19 +12,27 @@ import org.apache.spark.sql.types._
   */
 object TextOps {
 
+  /** Strip ALL leading/trailing whitespace. Spark's `trim` removes only
+    * ASCII spaces (0x20); text edged with tabs/newlines would survive it
+    * and `split` on \s+ (limit=-1) would then emit phantom empty edge
+    * tokens. One regexp_replace stays in codegen.
+    */
+  private def trimWs(text: Column): Column =
+    regexp_replace(text, "^\\s+|\\s+$", "")
+
   /** Whitespace tokenization as a Column (split on runs of whitespace,
     * dropping empty edge tokens so "a  b " -> ["a","b"]).
     *
-    * Split of TRIMMED text on \s+ can never produce empty tokens except
-    * for the empty string, so the empty-filter is a cheap CASE, not a
-    * higher-order `filter` lambda — HOFs have no doGenCode and would
-    * knock the whole projection out of whole-stage codegen (measured
-    * ~40× CPU on the text pre-filters at sf0.1). Repeated `tokens(t)`
-    * subtrees in one projection are shared by codegen subexpression
-    * elimination.
+    * Split of fully-TRIMMED text on \s+ can never produce empty tokens
+    * except for the empty string, so the empty-filter is a cheap CASE,
+    * not a higher-order `filter` lambda — HOFs have no doGenCode and
+    * would knock the whole projection out of whole-stage codegen
+    * (measured ~40× CPU on the text pre-filters at sf0.1). Repeated
+    * `tokens(t)` subtrees in one projection are shared by codegen
+    * subexpression elimination.
     */
   def tokens(text: Column): Column = {
-    val t = trim(text)
+    val t = trimWs(text)
     when(length(t) === 0, array().cast(ArrayType(StringType)))
       .otherwise(split(t, "\\s+"))
   }
@@ -39,7 +47,7 @@ object TextOps {
     * trimming removes the edge ones).
     */
   def subwordCount(text: Column): Column = {
-    val t = trim(text)
+    val t = trimWs(text)
     when(length(t) === 0, lit(0))
       .otherwise(size(split(t, "(?<=[a-zA-Z])(?=[^a-zA-Z])|(?<=[0-9])(?=[^0-9])|\\s+")))
   }

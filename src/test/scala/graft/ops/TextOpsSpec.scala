@@ -16,6 +16,19 @@ class TextOpsSpec extends SparkSpec {
     assert(r == Seq("a", "b", "c"))
   }
 
+  test("tokens and subwords drop tab/newline edges (non-space whitespace)") {
+    // Spark's trim() strips only 0x20 — the tokenizer must strip ALL
+    // whitespace before splitting or "foo\n" grows a phantom "" token
+    val r = one("\tfoo bar\n").select(
+      size(TextOps.tokens(col("text"))).as("n"),
+      TextOps.subwordCount(col("text")).as("sw")).collect()(0)
+    assert(r.getAs[Int]("n") == 2)
+    assert(r.getAs[Int]("sw") == 2)
+    val stats = TextOps.textStats(one("\tfoo  bar\n")).collect()(0)
+    assert(stats.getAs[Int]("n_tokens") == 2)
+    assert(stats.getAs[Int]("n_distinct_tokens") == 2)
+  }
+
   test("text stats") {
     val r = TextOps.textStats(one("one two two 3")).collect()(0)
     assert(r.getAs[Int]("n_tokens") == 4)
