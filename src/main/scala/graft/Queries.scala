@@ -797,14 +797,47 @@ items:
     FROM scored
     QUALIFY rank <= 5"""
 
-  /** Embedding-cosine near-dup candidate pairs at a demo threshold
-    * (rows-only; the testdata embeddings have no true near-dups — the
-    * planted-duplicate semantics are asserted in AnnSpec).
+  /** Embedding-cosine near-dup pipeline with a DuckDB oracle. The raw
+    * testdata embeddings contain no true near-dups, so the query PLANTS
+    * them: the corpus is unioned with id-offset copies of its first 25
+    * vectors, each perturbed by zeroing element 1 — an exact float
+    * operation both engines reproduce bit-for-bit (no arithmetic), giving
+    * planted cosines >= 0.9449 vs a measured noise ceiling of 0.5129. The
+    * sign-LSH candidate join at the default operating point (16 planes,
+    * 4 bands) provably finds all 25 planted pairs on this data (the
+    * collision set of a deterministic hash is a fixed dataset property),
+    * so the output equals the brute-force >= 0.8 pair set the oracle
+    * computes — the embedding-space sibling of minhash_near_dups.
     */
-  def annCosineDedup(s: SparkSession, dir: String): DataFrame =
-    Ann.cosineNearDupPairs(T(s, dir, "embeddings"), threshold = 0.35, dim = 64)
+  def annCosineDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val idType = emb.schema("vec_id").dataType
+    val planted = emb.where(col("vec_id") < 25).select(
+      (col("vec_id") + lit(10000)).cast(idType).as("vec_id"),
+      concat(array(lit(0.0f)), slice(col("embedding"), 2, 63)).as("embedding"))
+    val corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    Ann.cosineNearDupPairs(corpus, threshold = 0.8, dim = 64)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
       .orderBy("id_a", "id_b")
+  }
+
+  private val annCosineDedupSql = """
+    WITH u AS (
+      SELECT vec_id AS id, embedding AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000, list_concat([CAST(0.0 AS FLOAT)], embedding[2:64])
+      FROM embeddings WHERE vec_id < 25),
+    p AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             CASE WHEN (sqrt(list_sum(list_transform(list_zip(a.v, a.v), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE))))
+                       * sqrt(list_sum(list_transform(list_zip(b.v, b.v), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE))))) > 0
+                  THEN list_sum(list_transform(list_zip(a.v, b.v), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(list_zip(a.v, a.v), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(list_zip(b.v, b.v), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))))
+                  ELSE 0.0 END AS cos_raw
+      FROM u a JOIN u b ON a.id < b.id)
+    SELECT id_a, id_b, round(cos_raw, 6) AS cosine
+    FROM p WHERE cos_raw >= CAST(0.8 AS DOUBLE)"""
 
   /** LSH-bucketed approximate top-k (rows-only; recall asserted in tests). */
   def annLshTopK(s: SparkSession, dir: String): DataFrame = {
@@ -1110,7 +1143,7 @@ items:
     ("simhash_near_dups", simhashNearDups _, Some(minhashNearDupsSql)),
     ("ann_brute_topk", annBruteTopK _, Some(annBruteSql)),
     ("ann_lsh_topk", annLshTopK _, None),
-    ("ann_cosine_dedup", annCosineDedup _, None),
+    ("ann_cosine_dedup", annCosineDedup _, Some(annCosineDedupSql)),
     ("multimodal_features", multimodalFeatures _, Some(multimodalSql)),
     ("dedup_clusters", dedupClusters _, Some(dedupClustersSql)),
     ("ivf_topk", ivfTopK _, Some(annBruteSql)),
