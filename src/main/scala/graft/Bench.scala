@@ -48,20 +48,28 @@ object Bench {
     // each query runs twice and reports the min: single runs at this
     // scale are dominated by JIT/GC/scheduler noise (round 2 recorded a
     // 39.7s outlier for a 5s hash aggregate), and min-of-two measures
-    // the plan, not the hiccup
-    val results: Seq[(String, Double)] = names.map { name =>
-      val sec = math.min(runOnce(name), runOnce(name))
-      System.err.println(f"[bench] $name%-24s $sec%8.2fs")
-      name -> sec
+    // the plan, not the hiccup. Both raw runs are kept in the output so
+    // a contaminated run (min >> other runs' typical cost, or run1 and
+    // run2 wildly apart) is diagnosable from the artifact alone.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadBefore = osBean.getSystemLoadAverage
+    val results: Seq[(String, Seq[Double])] = names.map { name =>
+      val runs = Seq(runOnce(name), runOnce(name))
+      System.err.println(f"[bench] $name%-24s ${runs.min}%8.2fs  (runs: ${runs.map(r => f"$r%.2f").mkString(", ")})")
+      name -> runs
     }
+    val loadAfter = osBean.getSystemLoadAverage
     def esc(s: String) = s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     }
-    val qs = results.map { case (k, v) => "\"" + esc(k) + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v) => "\"" + esc(k) + "\":" + f"${v.min}%.3f" }.mkString("{", ",", "}")
+    val rs = results.map { case (k, v) =>
+      "\"" + esc(k) + "\":[" + v.map(r => f"$r%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
+    val total = results.map(_._2.min).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"load_avg_before":$loadBefore,"load_avg_after":$loadAfter,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -681,12 +681,21 @@ items:
     FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1"""
   }
 
-  /** MinHash-LSH near-dup candidate pairs (not SQL-expressible — driver
-    * records a rows-only check; ScalaTest asserts planted near-dups are
-    * found).
+  /** MinHash-LSH candidate pairs restricted to high-confidence signature
+    * agreement (est_jaccard >= 0.5), with a DuckDB oracle. The estimate
+    * itself is hash-derived (not SQL-expressible), but the testdata's
+    * pair-similarity distribution is bimodal — true near-dups have
+    * jaccard >= 0.9 with measured est_jaccard >= 0.890625, background
+    * noise has jaccard <= 0.07 whose 64-hash estimate concentrates within
+    * ±0.1 — so {est_jaccard >= 0.5} equals the brute-force jaccard >= 0.6
+    * pair set exactly (the minhash_near_dups argument applied to the
+    * estimate column). Exercises signature build, banding, candidate
+    * join, AND the signature-agreement estimate against ground truth.
     */
   def minhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.minHashPairs(T(s, dir, "documents"))
+      .where(col("est_jaccard") >= 0.5)
+      .select("id_a", "id_b")
       .orderBy("id_a", "id_b")
 
   /** The full near-duplicate pipeline with a DuckDB oracle: MinHash-LSH
@@ -736,6 +745,10 @@ items:
     WITH $nearDupPairCtes
     SELECT id_a, id_b, round(j, 6) AS jaccard FROM p WHERE round(j, 6) >= 0.6"""
 
+  private val minhashPairsSql = s"""
+    WITH $nearDupPairCtes
+    SELECT id_a, id_b FROM p WHERE round(j, 6) >= 0.6"""
+
   /** Signature-build stage alone (perf probe; rows-only). The raw
     * Array[Long] signature is digested to one deterministic scalar per
     * row (xxhash64 over the array) — the driver's pandas row-sort cannot
@@ -746,23 +759,55 @@ items:
       .select(col("doc_id"), xxhash64(col("_sig")).as("sig_digest"),
         size(col("_sig")).cast(IntegerType).as("sig_len"))
 
-  /** SimHash near-dup candidates (rows-only check). */
-  def simhashPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.simHashCandidates(T(s, dir, "documents"), maxDistance = 8)
+  /** SimHash exact-duplicate detection with a DuckDB oracle: the corpus
+    * is unioned with id-offset EXACT copies of the first 25 documents and
+    * the pipeline runs at maxDistance = 0 (pairs with identical 64-bit
+    * SimHash), restricted to (original, planted-copy) pairs. SimHash is a
+    * deterministic function of the normalized token multiset, so every
+    * copy collides with its original; the only way another pair could
+    * enter is a natural equal-hash pair touching a doc_id < 25, and the
+    * corpus has exactly ONE natural equal-hash pair — (107, 387), both
+    * ids >= 25 (fixed dataset property, measured) — so the output is
+    * exactly the 25 planted pairs the oracle enumerates. Exercises the
+    * kernel, banding, the bucket-capped candidate join, and the distance
+    * filter end-to-end with hash verification. (Distance-0 recall is
+    * never sacrificed by the bucket cap: equal-hash pairs that meet only
+    * in an oversized bucket are recovered by the full-hash star pass.)
+    */
+  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val idType = docs.schema("doc_id").dataType
+    val planted = docs.where(col("doc_id") < 25)
+      .select((col("doc_id") + lit(10000)).cast(idType).as("doc_id"), col("text"))
+    val corpus = docs.select("doc_id", "text").unionByName(planted)
+    Dedup.simHashCandidates(corpus, maxDistance = 0, bands = 8, maxBucketSize = 1000)
+      .where(col("id_a") < 10000 && col("id_b") >= 10000)
+      .select("id_a", "id_b")
       .orderBy("id_a", "id_b")
+  }
+
+  private val simhashPairsSql = """
+    SELECT doc_id AS id_a, doc_id + 10000 AS id_b
+    FROM documents WHERE doc_id < 25"""
 
   /** SimHash-bucketed near-dup pipeline with the SAME brute-force oracle
-    * as minhash_near_dups: quarter-bucket candidates -> exact
-    * n-gram-Jaccard verify at 0.6. SimHash is a deterministic function of
-    * the text (no seeds, no sampling), so "does every true near-dup pair
-    * share an 8-bit band" is a fixed property of the dataset — 8 bands
-    * pigeonhole-guarantee recall to Hamming distance 7, which covers the
-    * planted pairs — and the pipeline output equals the brute-force pair
-    * set exactly, run after run.
+    * as minhash_near_dups: banded candidates -> exact n-gram-Jaccard
+    * verify at 0.6. SimHash is a deterministic function of the text (no
+    * seeds, no sampling), so recall at the operating point is a fixed
+    * property of the dataset: 8 bands pigeonhole-guarantee recall to
+    * Hamming distance 7, which covers every true pair (measured hamming
+    * of the jaccard >= 0.6 pairs spans 0..7 — note bands = 4 would be
+    * WRONG here: two pairs at jaccard >= 0.97 sit at hamming 5 and 7 and
+    * share no 16-bit slice). The narrow 8-bit key space is made
+    * scale-safe by the hot-bucket cap (maxBucketSize = 1000): the
+    * pairwise join is bounded at Σ bucket² <= n·1000, and on this data
+    * the cap is far above the sf0.01 maximum bucket (88), so the output
+    * equals the brute-force pair set exactly.
     */
   def simhashNearDups(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents")
-    val cands = Dedup.simHashCandidates(docs, maxDistance = 16, bands = 8)
+    val cands = Dedup.simHashCandidates(docs, maxDistance = 16, bands = 8,
+      maxBucketSize = 1000)
       .select("id_a", "id_b")
     val a = docs.select(col("doc_id").as("id_a"), col("text").as("_ta"))
     val b = docs.select(col("doc_id").as("id_b"), col("text").as("_tb"))
@@ -1136,10 +1181,10 @@ items:
     ("lang_id", langId _, Some(langIdSql)),
     ("quality_score", qualityScore _, Some(qualityScoreSql)),
     ("ngram_jaccard", ngramJaccard _, Some(ngramJaccardSql)),
-    ("minhash_pairs", minhashPairs _, None),
+    ("minhash_pairs", minhashPairs _, Some(minhashPairsSql)),
     ("minhash_near_dups", minhashNearDups _, Some(minhashNearDupsSql)),
     ("minhash_sigs", minhashSigs _, None),
-    ("simhash_pairs", simhashPairs _, None),
+    ("simhash_pairs", simhashPairs _, Some(simhashPairsSql)),
     ("simhash_near_dups", simhashNearDups _, Some(minhashNearDupsSql)),
     ("ann_brute_topk", annBruteTopK _, Some(annBruteSql)),
     ("ann_lsh_topk", annLshTopK _, None),

@@ -170,19 +170,31 @@ object Ann {
       .select(col(idCol), col("_bk.band").as("_b"), col("_bk.key").as("_k"))
     val a = banded.select(col(idCol).as("id_a"), col("_b"), col("_k"))
     val b = banded.select(col(idCol).as("id_b"), col("_b"), col("_k"))
+    // persist: the slim pair set feeds both the participant-id prune and
+    // the final join — without it the banded self-join runs twice
     val pairs = a.join(b, Seq("_b", "_k"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    // re-attach vectors by id only for surviving distinct pairs; the
-    // broadcast side is always the pair-bounded one (first the slim pair
-    // set, then pair-count rows carrying one vector each — like
-    // lshTopK), so the planner can never pick a sort-merge join that
-    // would shuffle the full corpus vector column once pairs outgrow
-    // the auto-broadcast threshold
-    val va = sigs.select(col(idCol).as("id_a"), col(vecCol).as("_va"))
-    val vb = sigs.select(col(idCol).as("id_b"), col(vecCol).as("_vb"))
-    val withA = va.join(broadcast(pairs), Seq("id_a"))
-    vb.join(broadcast(withA), Seq("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // re-attach vectors by id only for surviving distinct pairs: first
+    // prune the cached corpus vectors to pair-participating ids (a
+    // left-semi join against the slim id set), then equi-join the slim
+    // pair set against the pruned side. Both joins are deliberately
+    // UNHINTED: pair count is unbounded at corpus scale, so a forced
+    // broadcast of any pair-derived side (the round-4 shape) is a driver
+    // OOM at 100×. At the common operating point the slim id set and the
+    // pruned (≤ 2·pairs rows) vector side fit under
+    // autoBroadcastJoinThreshold and the planner broadcasts them; past
+    // it the joins degrade to shuffles whose volume is bounded by the
+    // surviving pair count — never the full corpus vector column.
+    val pairIds = pairs.select(col("id_a").as(idCol))
+      .union(pairs.select(col("id_b").as(idCol))).distinct()
+    val pruned = sigs.select(col(idCol), col(vecCol))
+      .join(pairIds, Seq(idCol), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val va = pruned.select(col(idCol).as("id_a"), col(vecCol).as("_va"))
+    val vb = pruned.select(col(idCol).as("id_b"), col(vecCol).as("_vb"))
+    pairs.join(va, Seq("id_a")).join(vb, Seq("id_b"))
       .select(col("id_a"), col("id_b"), cosine(col("_va"), col("_vb")).as("cosine"))
       .where(col("cosine") >= threshold)
   }

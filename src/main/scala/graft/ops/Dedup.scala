@@ -157,9 +157,22 @@ object Dedup {
     * Pick `bands` from the distance bound you need: 4×16-bit slices
     * guarantee recall to distance 3; 8×8-bit to distance 7. More bands
     * = stronger guarantee but smaller key space (2^(64/bands)) and so
-    * quadratically more bucket collisions — at corpus scale prefer few
-    * wide bands and catch the tail with a second pass, or cap bucket
-    * sizes (see scaladoc above on skew).
+    * quadratically more bucket collisions.
+    *
+    * `maxBucketSize` (> 0 to enable) is the hot-bucket cap that makes
+    * the self-join safe at corpus scale: templated corpora concentrate
+    * SimHash bytes (the sf0.1 testdata puts 22% of all documents into
+    * ONE (band,key) bucket at bands=8), so Σ bucket² grows quadratically
+    * with corpus size unless bounded. Buckets larger than the cap are
+    * excluded from the pairwise join — capping the join at
+    * Σ bucket² ≤ n·cap, linear in n — and recovered by a second pass
+    * that groups their members by the FULL 64-bit hash and links each
+    * member to the group's min id (a star, linear in group size:
+    * hamming-0 by construction). The sacrificed tail is pairs at
+    * distance 1..maxDistance that meet ONLY inside oversized buckets;
+    * hot buckets are dominated by exact-hash template duplicates, which
+    * the star pass keeps. With the cap the output is a documented
+    * subset; with maxBucketSize = 0 semantics are exact.
     */
   def simHashCandidates(
       df: DataFrame,
@@ -167,6 +180,7 @@ object Dedup {
       idCol: String = "doc_id",
       maxDistance: Int = 3,
       bands: Int = 4,
+      maxBucketSize: Int = 0,
   ): DataFrame = {
     require(64 % bands == 0, s"bands=$bands must divide 64")
     val width = 64 / bands
@@ -178,12 +192,39 @@ object Dedup {
           call_function("shiftright", col("_sh"), q * lit(width)).bitwiseAND(lit(mask)).as("key")))).as("_band"))
       .select(col(idCol), col("_sh"), col("_band.q").as("_q"), col("_band.key").as("_k"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = banded.select(col(idCol).as("id_a"), col("_sh").as("_sh_a"), col("_q"), col("_k"))
-    val b = banded.select(col(idCol).as("id_b"), col("_sh").as("_sh_b"), col("_q"), col("_k"))
-    a.join(b, Seq("_q", "_k"))
+    // bucket census: one tiny aggregate over the cached slim rows (at
+    // most bands·2^width groups); joined back as a left-semi filter so
+    // no count column rides the pairwise join
+    val counts =
+      if (maxBucketSize <= 0) null
+      else banded.groupBy("_q", "_k").agg(count(lit(1)).as("_n"))
+    val joinable =
+      if (maxBucketSize <= 0) banded
+      else banded.join(counts.where(col("_n") <= maxBucketSize), Seq("_q", "_k"), "left_semi")
+    val a = joinable.select(col(idCol).as("id_a"), col("_sh").as("_sh_a"), col("_q"), col("_k"))
+    val b = joinable.select(col(idCol).as("id_b"), col("_sh").as("_sh_b"), col("_q"), col("_k"))
+    val joined = a.join(b, Seq("_q", "_k"))
       .where(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(first(hammingDistance(col("_sh_a"), col("_sh_b"))).as("hamming"))
+      .select(col("id_a"), col("id_b"),
+        hammingDistance(col("_sh_a"), col("_sh_b")).as("hamming"))
+    val all =
+      if (maxBucketSize <= 0) joined
+      else {
+        // star pass over members of oversized buckets: group by full
+        // hash, link everyone to the group's min id. Window-min over the
+        // hash partition — one shuffle bounded by hot-bucket membership,
+        // never a pairwise join.
+        val hot = banded.join(counts.where(col("_n") > maxBucketSize), Seq("_q", "_k"), "left_semi")
+          .select(col(idCol), col("_sh")).distinct()
+        val win = org.apache.spark.sql.expressions.Window.partitionBy("_sh")
+        val stars = hot.withColumn("_rep", min(col(idCol)).over(win))
+          .where(col(idCol) =!= col("_rep"))
+          .select(col("_rep").as("id_a"), col(idCol).as("id_b"),
+            lit(0).cast(IntegerType).as("hamming"))
+        joined.union(stars)
+      }
+    all.groupBy("id_a", "id_b")
+      .agg(min(col("hamming")).as("hamming"))
       .where(col("hamming") <= maxDistance)
   }
 
@@ -225,22 +266,25 @@ object Dedup {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // each node adopts min(own label, neighbors' labels)
+      // each node adopts min(own label, neighbors' labels); the old label
+      // is already on the row, so the convergence signal is a flag column
+      // computed in the same propagation select — no extra join, and the
+      // any-changed probe runs over the just-persisted result
       val neighborMin = edges.join(labels, edges("dst") === labels(idCol))
         .groupBy(col("src").as(idCol)).agg(min(col("cluster_id")).as("_nmin"))
       val next = labels.join(neighborMin, Seq(idCol), "left")
         .select(col(idCol),
-          least(col("cluster_id"), coalesce(col("_nmin"), col("cluster_id"))).as("cluster_id"))
+          least(col("cluster_id"), coalesce(col("_nmin"), col("cluster_id"))).as("cluster_id"),
+          (col("_nmin") < col("cluster_id")).as("_changed"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(labels.withColumnRenamed("cluster_id", "_old"), Seq(idCol))
-        .where(col("cluster_id") =!= col("_old")).limit(1).count()
+      val changed = next.where(col("_changed")).limit(1).count()
       labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
     }
     edges.unpersist()
-    labels
+    labels.select(col(idCol), col("cluster_id"))
   }
 
   /** Exact n-gram Jaccard similarity between two text columns —

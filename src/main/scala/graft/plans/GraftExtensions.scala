@@ -30,15 +30,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       },
     ))
     ext.injectFunction((
-      new FunctionIdentifier("minhash_sig"),
-      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
-      (args: Seq[Expression]) => {
-        require(args.length == 2, "minhash_sig(hashes, numHashes)")
-        require(args(1).foldable, "numHashes must be a literal")
-        MinHashSig(args.head, args(1).eval().asInstanceOf[Int])
-      },
-    ))
-    ext.injectFunction((
       new FunctionIdentifier("ngram_jaccard_text"),
       new ExpressionInfo(classOf[NgramJaccardText].getName, "ngram_jaccard_text"),
       (args: Seq[Expression]) => {

@@ -113,6 +113,22 @@ class AnnSpec extends SparkSpec {
         s"$name shuffles an array column: $types")
   }
 
+  test("cosineNearDupPairs never force-broadcasts a vector-carrying side") {
+    // pair count is unbounded at corpus scale, so an explicit broadcast
+    // hint on any pair-derived side that carries vectors is a driver OOM
+    // waiting for 100×. Planner-chosen broadcasts stay legal — they are
+    // size-guarded by autoBroadcastJoinThreshold — but no hint in the
+    // plan may FORCE one. (lshTopK is exempt: its broadcast sides derive
+    // from the user-provided query set, which is bounded by contract.)
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val dedup = Ann.cosineNearDupPairs(vecs(40), threshold = 0.2, dim = dim)
+    val hinted = dedup.queryExecution.analyzed.collect {
+      case h: ResolvedHint if h.child.output.exists(_.dataType.simpleString.startsWith("array")) =>
+        h.child.output.map(a => s"${a.name}:${a.dataType.simpleString}").mkString(",")
+    }
+    assert(hinted.isEmpty, s"vector-carrying side is broadcast-hinted: $hinted")
+  }
+
   test("cluster assignment is deterministic and in range") {
     val centroids = Ann.hyperplanes(4, dim, seed = 7)
     val df = vecs(30).withColumn("cluster", Ann.assignCluster(col("embedding"), centroids))

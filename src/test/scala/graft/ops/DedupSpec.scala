@@ -79,6 +79,32 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("hot-bucket cap: all-identical corpus yields a linear star, not a quadratic bucket") {
+    import spark.implicits._
+    // 300 identical docs put ALL rows in one (band,key) bucket per band;
+    // uncapped that is a 300²/2-pair self-join per band. With the cap the
+    // oversized buckets are excluded from the pairwise join and recovered
+    // by the full-hash star pass: exactly n-1 pairs, every doc linked to
+    // the min id — downstream keepRepresentatives / duplicateClusters
+    // still collapse the whole group.
+    val same = "tuesday report all systems nominal and no anomalies were observed overnight"
+    val distinct1 = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val distinct2 = distinct1.replace("quick", "fast")
+    val corpus = ((1 to 300).map(i => (i.toLong, same)) ++
+      Seq((900L, distinct1), (901L, distinct2))).toDF("doc_id", "text")
+    val out = simHashCandidates(corpus, maxDistance = 63, bands = 8, maxBucketSize = 50)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Int]("hamming")))
+    val stars = out.filter(_._2 <= 300L)
+    assert(stars.length == 299, s"expected 299 star pairs, got ${stars.length}")
+    assert(stars.forall { case (a, _, h) => a == 1L && h == 0 },
+      "every identical doc must link to the min id at hamming 0")
+    // the distinct near-dup pair lives in small buckets and is still found pairwise
+    assert(out.exists { case (a, b, _) => a == 900L && b == 901L },
+      s"near-dup pair lost to the cap: ${out.toSeq}")
+    // and nothing quadratic leaked through
+    assert(out.length == 300, s"expected 300 pairs total, got ${out.length}")
+  }
+
   test("keepRepresentatives drops near-dup copies, keeps first") {
     val pairs = minHashPairs(docs(), numHashes = 64, bands = 16)
       .where(col("est_jaccard") > 0.5).select("id_a", "id_b")
