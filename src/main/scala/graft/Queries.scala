@@ -589,6 +589,128 @@ items:
     JOIN (SELECT Year, ID, Members AS Per_Capita FROM ($c13Sql)) s
       ON f.Year = s.Year AND f.ID = s.ID"""
 
+  // ------------------------------------------------- composed ISC flagship
+
+  /** The composed end-to-end flagship, mirroring the reference's golden
+    * test (tests/test_package/package/test_by_examples.py:7-69): ONE plan
+    * chaining clean projection -> C12 household join -> C9 pandas-query
+    * filter -> D1 year-versioned classification -> C10 household
+    * groupby-sum (pandas-chain parser) -> D2 ID-digit area decode -> E6
+    * add_weight -> per-(Year, class, area) weighted means divided by the
+    * AREA-level total weight (the reference's weights_sum semantics:
+    * households with no surviving expenditure still weigh the
+    * denominator), plus the reference's "Total" class row. One DuckDB
+    * oracle checks the whole composition, so inter-operator drift
+    * (naming, null handling, year versioning across steps) is gated —
+    * not just each link.
+    *
+    * Plan shape at scale: the fact table flows through pure projections
+    * (filter, classification expression, area decode) into one hash
+    * aggregate; the household registry joins twice, both broadcast
+    * (bounded: one row per household); the Total row is a second
+    * aggregation over the already-reduced per-household frame.
+    */
+  def iscSummary(s: SparkSession, dir: String): DataFrame = {
+    // household registry (the weight table): one row per order, with a
+    // synthetic 10-digit household ID whose second digit encodes area
+    val households = T(s, dir, "orders").select(
+      year(col("o_orderdate")).as("Year"),
+      col("o_orderkey").as("ID"),
+      (lit(3000000000L) + (col("o_orderkey") * 987654321L) % 1000000000L).as("HID"),
+      (lit(1L) + col("o_orderkey") % 7L).as("Weight"))
+    // D2: decode Urban_Rural from the HID digit (0-4 urban, 5-9 rural)
+    val urVersions = Seq(IdDecoder.AttrVersion(1995, 2002, 10, 1, 2,
+      (0L to 9L).map(d => d -> (if (d < 5) "Urban" else "Rural")).toMap))
+    val registry = IdDecoder.addAttribute(households, urVersions,
+      IdDecoder.Settings("Urban_Rural", idCol = "HID")).drop("HID")
+    // expenditures fact: cents-exact clean projection of lineitem
+    val exp0 = T(s, dir, "lineitem").select(
+      col("l_orderkey").as("ID"),
+      col("l_partkey").as("Code"),
+      cents(col("l_extendedprice")).as("Gross_C"),
+      (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("Net_C"))
+    // C9 filter through the pandas-query parser
+    val filtered = Pipeline.run(exp0,
+      Seq(Pipeline.ApplyFilter(Seq("Gross_C > 1000000"))), ctx(0, "exp"))
+    // C12: attach the household's survey year
+    val fact = filtered.join(broadcast(registry.select("ID", "Year")), Seq("ID"))
+    // D1: year-versioned classification of the commodity code
+    val meta = Meta.fromYaml(partClassYaml)
+    val items = Classifier.compile(meta, 1995 to 2001,
+      resolver = ResolverSettings(yearRange = (1350, 2100)))
+    val classified = Classifier.addClassification(fact, items,
+      Classifier.settingsFromMeta(meta)).drop("Part_Class_2")
+    // C10: household-level groupby-sum via the pandas-chain parser
+    val hh = Pipeline.run(classified,
+      Seq(Pipeline.parsePandasFunction(
+        """table.groupby(["Year", "ID", "Part_Class_1"])[["Gross_C", "Net_C"]].sum().reset_index()""")),
+      ctx(0, "exp"))
+    // E6: attach area + weight from the registry (broadcast)
+    val withW = Stats.addWeight(hh, registry)
+    // weighted sums per (Year, class, area) + the reference's Total row
+    def wsum(df: DataFrame, keys: Seq[String]) =
+      df.groupBy(keys.map(col): _*).agg(
+        sum(col("Gross_C") * col("Weight")).as("WG"),
+        sum(col("Net_C") * col("Weight")).as("WN"))
+    val num = wsum(withW, Seq("Year", "Part_Class_1", "Urban_Rural"))
+      .unionByName(wsum(withW, Seq("Year", "Urban_Rural"))
+        .withColumn("Part_Class_1", lit("Total")))
+    // denominator: total weight per (Year, area) over ALL households
+    val den = registry.groupBy("Year", "Urban_Rural").agg(sum("Weight").as("WSum"))
+    num.join(broadcast(den), Seq("Year", "Urban_Rural"))
+      .select(col("Year"), col("Part_Class_1"), col("Urban_Rural"),
+        (col("WG").cast(DoubleType) / col("WSum").cast(DoubleType)).as("Gross_Mean"),
+        (col("WN").cast(DoubleType) / col("WSum").cast(DoubleType)).as("Net_Mean"))
+      .orderBy("Year", "Part_Class_1", "Urban_Rural")
+  }
+
+  private val iscSummarySql = """
+    WITH hh0 AS (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS Year,
+             o_orderkey AS ID,
+             1 + o_orderkey % 7 AS Weight,
+             CASE WHEN (3000000000 + (o_orderkey * 987654321) % 1000000000) % 1000000000 // 100000000 < 5
+                  THEN 'Urban' ELSE 'Rural' END AS Urban_Rural
+      FROM orders),
+    exp0 AS (
+      SELECT l_orderkey AS ID, l_partkey AS Code,
+             CAST(round(l_extendedprice*100,0) AS BIGINT) AS Gross_C,
+             CAST(round(l_extendedprice*100,0) AS BIGINT)
+               * (100 - CAST(round(l_discount*100,0) AS BIGINT)) AS Net_C
+      FROM lineitem
+      WHERE CAST(round(l_extendedprice*100,0) AS BIGINT) > 1000000),
+    fact AS (
+      SELECT e.ID, h.Year, e.Gross_C, e.Net_C,
+             CASE WHEN e.Code < 1000 THEN 'small'
+                  WHEN h.Year < 1998 AND e.Code >= 1000 AND e.Code < 1900 THEN 'large'
+                  WHEN h.Year >= 1998 AND e.Code >= 1000 AND e.Code < 2000 THEN 'large'
+                  ELSE 'other' END AS Part_Class_1
+      FROM exp0 e JOIN hh0 h USING (ID)),
+    hh AS (
+      SELECT Year, ID, Part_Class_1,
+             CAST(sum(Gross_C) AS BIGINT) AS Gross_C,
+             CAST(sum(Net_C) AS BIGINT) AS Net_C
+      FROM fact GROUP BY 1, 2, 3),
+    w AS (
+      SELECT h.Year, h.Part_Class_1, b.Urban_Rural,
+             h.Gross_C * b.Weight AS WGross, h.Net_C * b.Weight AS WNet
+      FROM hh h LEFT JOIN hh0 b USING (Year, ID)),
+    num AS (
+      SELECT Year, Part_Class_1, Urban_Rural,
+             CAST(sum(WGross) AS BIGINT) AS WG, CAST(sum(WNet) AS BIGINT) AS WN
+      FROM w GROUP BY 1, 2, 3
+      UNION ALL
+      SELECT Year, 'Total', Urban_Rural,
+             CAST(sum(WGross) AS BIGINT), CAST(sum(WNet) AS BIGINT)
+      FROM w GROUP BY 1, 3),
+    den AS (
+      SELECT Year, Urban_Rural, CAST(sum(Weight) AS BIGINT) AS WSum
+      FROM hh0 GROUP BY 1, 2)
+    SELECT n.Year, n.Part_Class_1, n.Urban_Rural,
+           CAST(n.WG AS DOUBLE) / CAST(d.WSum AS DOUBLE) AS Gross_Mean,
+           CAST(n.WN AS DOUBLE) / CAST(d.WSum AS DOUBLE) AS Net_Mean
+    FROM num n JOIN den d USING (Year, Urban_Rural)"""
+
   // ------------------------------------------------- LLM data-pipeline ops
 
   /** Exact dedup by normalized-content fingerprint. */
@@ -1176,6 +1298,7 @@ items:
     ("e12b_weighted_median", e12bWeightedMedian _, Some(e12bSql)),
     ("e7e8_cpi", e7e8Cpi _, Some(e7e8Sql)),
     ("e9_equivalence", e9Equivalence _, Some(e9Sql)),
+    ("isc_summary", iscSummary _, Some(iscSummarySql)),
     ("dedup_exact", dedupExact _, Some(dedupExactSql)),
     ("text_stats", textStats _, Some(textStatsSql)),
     ("lang_id", langId _, Some(langIdSql)),
@@ -1215,7 +1338,7 @@ items:
     "q1_agg", "b1_clean", "c7_numeric", "c8_categorical", "c10_groupby_sum",
     "c12_join", "c13_members", "d1_classification", "d1_expr_classification",
     "d2_attribute", "e5_select", "e10_weighted_avg", "e12_quantile", "e13_decile",
-    "e7e8_cpi", "e9_equivalence",
+    "e7e8_cpi", "e9_equivalence", "isc_summary",
     "dedup_exact", "text_stats", "lang_id", "quality_score", "ngram_jaccard",
     "minhash_pairs", "minhash_near_dups", "simhash_pairs", "simhash_near_dups",
     "ann_brute_topk", "ann_lsh_topk",
