@@ -57,7 +57,9 @@ OrdCached:
   cache_result: true
 """
 
-  private def repo(s: SparkSession, dir: String, cacheDir: Option[String] = None): TableRepo =
+  private def repo(
+      s: SparkSession, dir: String, cacheDir: Option[String] = None,
+      availability: Map[String, Argham] = Map.empty): TableRepo =
     new TableRepo(
       s,
       tablesMeta = Meta.fromYaml(tablesYaml),
@@ -70,7 +72,8 @@ OrdCached:
         if (name == "ord") Some(new java.io.File(s"$dir/orders.parquet").length) else None,
       config = RepoConfig(
         resolver = ResolverSettings(yearRange = (1350, 2100)),
-        cacheDir = cacheDir),
+        cacheDir = cacheDir,
+        availability = availability),
     )
 
   // ------------------------------------------------------------------ E1
@@ -103,6 +106,28 @@ OrdCached:
     SELECT 1996, o_orderkey, o_custkey, o_totalprice FROM orders WHERE year(o_orderdate) = 1996
     UNION ALL
     SELECT 1997, o_orderkey, o_custkey, o_totalprice FROM orders WHERE year(o_orderdate) = 1997"""
+
+  // ----------------------------------------------------------------- E18
+
+  /** E18 table-year availability: the fixture declares `ord` available
+    * only for [1995, 1997) (an Argham half-open range, the reference's
+    * `{start, end}` year-spec notation); a 1995-1998 load then silently
+    * skips 1997 and 1998 — `create_table_year_pairs` drops unavailable
+    * (table, year) pairs instead of erroring (parsing_utils.py:104-143).
+    * The oracle is the two surviving years only.
+    */
+  def e18Availability(s: SparkSession, dir: String): DataFrame =
+    new Api(s, repo(s, dir, availability =
+      Map("ord" -> Argham(Meta.fromYaml("{start: 1995, end: 1997}")))))
+      .loadTable("ord", "1995-1998", "processed", YearParser.YearBounds(1995, 2001))
+
+  private[graft] val e18Sql = """
+    SELECT o_orderkey AS OrderKey, o_custkey AS CustKey,
+           o_totalprice AS Total, 1995 AS Year
+    FROM orders WHERE year(o_orderdate) = 1995
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice, 1996
+    FROM orders WHERE year(o_orderdate) = 1996"""
 
   // ------------------------------------------------------------------ E2
 

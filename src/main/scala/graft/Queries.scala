@@ -606,9 +606,15 @@ items:
     *
     * Plan shape at scale: the fact table flows through pure projections
     * (filter, classification expression, area decode) into one hash
-    * aggregate; the household registry joins twice, both broadcast
-    * (bounded: one row per household); the Total row is a second
-    * aggregation over the already-reduced per-household frame.
+    * aggregate; the household registry — one row per household, so it
+    * GROWS WITH THE FACT DATA — joins twice, both deliberately
+    * UNHINTED: AQE broadcasts while the registry fits under
+    * autoBroadcastJoinThreshold and degrades to a shuffle join past it,
+    * instead of a forced-broadcast driver OOM at 100×. Only `den`
+    * (per Year×area — genuinely bounded) is broadcast-hinted. The Total
+    * row is a second aggregation over the already-reduced per-household
+    * frame. IscPlanSpec asserts no ResolvedHint sits over a
+    * fact-derived side.
     */
   def iscSummary(s: SparkSession, dir: String): DataFrame = {
     // household registry (the weight table): one row per order, with a
@@ -633,7 +639,7 @@ items:
     val filtered = Pipeline.run(exp0,
       Seq(Pipeline.ApplyFilter(Seq("Gross_C > 1000000"))), ctx(0, "exp"))
     // C12: attach the household's survey year
-    val fact = filtered.join(broadcast(registry.select("ID", "Year")), Seq("ID"))
+    val fact = filtered.join(registry.select("ID", "Year"), Seq("ID"))
     // D1: year-versioned classification of the commodity code
     val meta = Meta.fromYaml(partClassYaml)
     val items = Classifier.compile(meta, 1995 to 2001,
@@ -645,8 +651,9 @@ items:
       Seq(Pipeline.parsePandasFunction(
         """table.groupby(["Year", "ID", "Part_Class_1"])[["Gross_C", "Net_C"]].sum().reset_index()""")),
       ctx(0, "exp"))
-    // E6: attach area + weight from the registry (broadcast)
-    val withW = Stats.addWeight(hh, registry)
+    // E6: attach area + weight from the registry (unhinted — the
+    // registry is fact-sized; AQE picks broadcast only while it fits)
+    val withW = Stats.addWeight(hh, registry, broadcastWeights = false)
     // weighted sums per (Year, class, area) + the reference's Total row
     def wsum(df: DataFrame, keys: Seq[String]) =
       df.groupBy(keys.map(col): _*).agg(
@@ -1329,6 +1336,7 @@ items:
     ("a9_cache", EngineQueries.a9Cache _, Some(EngineQueries.a9Sql)),
     ("e14_external", EngineQueries.e14External _, Some(EngineQueries.e14Sql)),
     ("e15_view", EngineQueries.e15View _, Some(Queries.d1Sql)),
+    ("e18_availability", EngineQueries.e18Availability _, Some(EngineQueries.e18Sql)),
   )
 
   /** Subset used by Bench at sf0.1 (representative of every operator

@@ -36,6 +36,12 @@ final case class RepoConfig(
     cacheDir: Option[String] = None,
     /** Tables NOT safe to broadcast in C12 joins. */
     factTables: Set[String] = Set.empty,
+    /** E18 (table, year) availability: table name -> Argham year spec
+      * (parsing_utils.py:104-143). Unavailable years are silently
+      * skipped from loads; tables absent from the map are available for
+      * all years.
+      */
+    availability: Map[String, Argham] = Map.empty,
 )
 
 class TableRepo(
@@ -58,19 +64,26 @@ class TableRepo(
 
   // ------------------------------------------------------------------ build
 
+  /** E18: the requested years restricted to the table's availability
+    * spec — the reference's `create_table_year_pairs` silently drops
+    * unavailable (table, year) pairs (parsing_utils.py:104-143).
+    */
+  private def availableYears(name: String, years: Seq[Int]): Seq[Int] =
+    YearParser.tableYearPairs(Seq(name), years, config.availability).map(_._2)
+
   def table(name: String, years: Seq[Int]): DataFrame = {
-    val parts = years.flatMap(y => load(name, y))
+    val parts = availableYears(name, years).flatMap(y => load(name, y))
     require(parts.nonEmpty, s"table $name has no data for years $years")
     CleanOps.unionAll(parts)
   }
 
   /** E1 `form="raw"`: the raw source verbatim. */
   def rawTable(name: String, years: Seq[Int]): DataFrame =
-    CleanOps.unionAll(years.flatMap(y => rawReader(name, y)))
+    CleanOps.unionAll(availableYears(name, years).flatMap(y => rawReader(name, y)))
 
   /** E1 `form="cleaned"`: typed/renamed, values untouched — no pipeline. */
   def cleanedTable(name: String, years: Seq[Int]): DataFrame =
-    CleanOps.unionAll(years.flatMap { y =>
+    CleanOps.unionAll(availableYears(name, years).flatMap { y =>
       rawReader(name, y).map(raw =>
         CleanOps.cleanTable(raw, CleanOps.compileSpec(tablesMeta(name), y)))
     })
