@@ -25,12 +25,18 @@ class Api(
     /** CPI lookup (keys ++ "CPI" column) for add_cpi/adjust_by_cpi. */
     cpi: Option[DataFrame] = None,
     cpiKeys: Seq[String] = Seq("Urban_Rural", "Year"),
-    /** Default nominal columns deflated by adjustByCpi when none given
-      * (config/default_settings.yaml:84-91).
+    /** Layered runtime settings (default years, default column names,
+      * nominal columns) — packaged defaults unless the user overlays a
+      * config doc via [[Settings.apply]] (`setup_config` semantics,
+      * hbsir/__init__.py:35-48, metadata_reader.py:216-256).
       */
-    nominalColumns: Seq[String] = Seq(
-      "Expenditure", "Gross_Expenditure", "Net_Expenditure", "Income", "Price"),
+    settings: Settings = Settings.default,
 ) {
+
+  /** Default nominal columns deflated by adjustByCpi when none given
+    * (config/default_settings.yaml:80-87, via the settings overlay).
+    */
+  def nominalColumns: Seq[String] = settings.nominalColumns
 
   /** E12/E13 value-source aliases (quantile.py:52-60). */
   private val variableTables = Map(
@@ -58,8 +64,11 @@ class Api(
                 bounds: YearParser.YearBounds): DataFrame =
     loadTable(name, YearParser.parse(years, bounds), form)
 
+  /** Year bounds default to the settings overlay's `first_year`/
+    * `last_year` (default_settings.yaml:40-41).
+    */
   def loadTable(name: String, years: String): DataFrame =
-    loadTable(name, years, "processed", YearParser.DefaultBounds)
+    loadTable(name, years, "processed", settings.yearBounds)
 
   /** E2 create_table_with_schema: register an ad-hoc schema document
     * (table_list + instructions) and build it (api.py:194-257).
@@ -150,9 +159,11 @@ class Api(
 
   // -------------------------------------------------------------- statistics
 
-  /** E10 weighted_average. */
-  def weightedAverage(df: DataFrame, columns: Seq[String], weightCol: String = "Weight"): DataFrame =
-    Stats.weightedAverage(df, columns, weightCol)
+  /** E10 weighted_average; the weight column defaults from the settings
+    * overlay (default_settings.yaml:78).
+    */
+  def weightedAverage(df: DataFrame, columns: Seq[String], weightCol: String = null): DataFrame =
+    Stats.weightedAverage(df, columns, Option(weightCol).getOrElse(settings.weightCol))
 
   /** E11 average_table: auto-adds Weight when absent (average.py:64-112). */
   def averageTable(
@@ -161,10 +172,11 @@ class Api(
       groupby: Seq[String] = Seq.empty,
       weighted: Boolean = true,
   ): DataFrame = {
+    val wc = settings.weightCol
     val withW =
-      if (!weighted || df.columns.contains("Weight")) df
+      if (!weighted || df.columns.contains(wc)) df
       else repo.addWeights(df)
-    Stats.averageTable(withW, columns, groupby, "Weight", weighted)
+    Stats.averageTable(withW, columns, groupby, wc, weighted)
   }
 
   /** E12/E13 add_quantile/decile/percentile on a named total variable:

@@ -114,6 +114,45 @@ items:
     }
   }
 
+  test("settings overlay: user doc over package doc over packaged defaults") {
+    // packaged defaults
+    val d = Settings.default
+    assert(d.yearBounds == YearParser.YearBounds(1363, 1401))
+    assert(d.weightCol == "Weight" && d.idCol == "ID")
+    assert(d.nominalColumns.contains("Gross_Expenditure"))
+    assert(d.groupbyColumns == Seq("Year", "Urban_Rural"))
+    // precedence: user (rightmost) > package > default, merged per leaf
+    val s = Settings.fromYaml(
+      "last_year: 1399\ncolumns: {weight: W}",        // package-level overlay
+      "columns: {weight: W2}\nnominal_columns: [Expenditure]") // user overlay
+    assert(s.yearBounds == YearParser.YearBounds(1363, 1399)) // package survives
+    assert(s.weightCol == "W2")                               // user wins the leaf
+    assert(s.idCol == "ID")                                   // untouched leaf keeps default
+    assert(s.nominalColumns == Seq("Expenditure"))
+  }
+
+  test("settings overlay changes adjustByCpi's default column set") {
+    import spark.implicits._
+    val cpi = Seq(("Urban", 1400, 100.0), ("Rural", 1400, 50.0))
+      .toDF("Urban_Rural", "Year", "CPI")
+    def gross(a: Api) = {
+      val tot = a.loadTable("Total_Expenditure", Seq(1400))
+      a.adjustByCpi(tot).collect()
+        .map(r => r.getAs[Long]("ID") -> r.getAs[Double]("Gross_Expenditure")).toMap
+    }
+    // defaults: Gross_Expenditure is nominal -> deflated (Rural CPI 50 doubles)
+    val base = new Api(spark, HbsFixtures.repo(spark), cpi = Some(cpi))
+    assert(gross(base)(R1) == 3600.0)
+    // user overlay drops it from nominal_columns -> untouched by default call
+    val overlaid = new Api(spark, HbsFixtures.repo(spark), cpi = Some(cpi),
+      settings = Settings.fromYaml("nominal_columns: [Expenditure]"))
+    assert(gross(overlaid)(R1) == 1800.0)
+    // default-years leaf drives the year-string entry point
+    val bounded = new Api(spark, HbsFixtures.repo(spark), cpi = Some(cpi),
+      settings = Settings.fromYaml("first_year: 1400\nlast_year: 1400"))
+    assert(bounded.loadTable("Total_Expenditure", "all").count() == 4)
+  }
+
   test("addDecile bins by the total-expenditure distribution and joins back") {
     val a = api()
     val tot = a.loadTable("Total_Expenditure", Seq(1400))
