@@ -919,6 +919,29 @@ items:
     SELECT doc_id AS id_a, doc_id + 10000 AS id_b
     FROM documents WHERE doc_id < 25"""
 
+  /** The planted-copy query again, but with `maxBucketSize` = 50 —
+    * BELOW sf0.01's largest (band,key) bucket (88 members) — so the
+    * hot-bucket census, the capped pairwise join, AND the star +
+    * sorted-neighbor recovery passes all execute under hash
+    * verification, not just in DedupSpec. The oracle is identical:
+    * planted copies have hamming-0 hashes, and hamming-0 recall is
+    * complete under the cap (pairwise for cool buckets, the full-hash
+    * star for hot ones — each copy's equal-hash group is exactly
+    * {original, copy}, giving the (a, a+10000) link verbatim; the one
+    * natural equal-hash pair (107, 387) is cut by the id-range filter).
+    */
+  def simhashPairsCapped(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val idType = docs.schema("doc_id").dataType
+    val planted = docs.where(col("doc_id") < 25)
+      .select((col("doc_id") + lit(10000)).cast(idType).as("doc_id"), col("text"))
+    val corpus = docs.select("doc_id", "text").unionByName(planted)
+    Dedup.simHashCandidates(corpus, maxDistance = 0, bands = 8, maxBucketSize = 50)
+      .where(col("id_a") < 10000 && col("id_b") >= 10000)
+      .select("id_a", "id_b")
+      .orderBy("id_a", "id_b")
+  }
+
   /** SimHash-bucketed near-dup pipeline with the SAME brute-force oracle
     * as minhash_near_dups: banded candidates -> exact n-gram-Jaccard
     * verify at 0.6. SimHash is a deterministic function of the text (no
@@ -1315,6 +1338,7 @@ items:
     ("minhash_near_dups", minhashNearDups _, Some(minhashNearDupsSql)),
     ("minhash_sigs", minhashSigs _, None),
     ("simhash_pairs", simhashPairs _, Some(simhashPairsSql)),
+    ("simhash_pairs_capped", simhashPairsCapped _, Some(simhashPairsSql)),
     ("simhash_near_dups", simhashNearDups _, Some(minhashNearDupsSql)),
     ("ann_brute_topk", annBruteTopK _, Some(annBruteSql)),
     ("ann_lsh_topk", annLshTopK _, None),

@@ -165,14 +165,24 @@ object Dedup {
     * ONE (band,key) bucket at bands=8), so Σ bucket² grows quadratically
     * with corpus size unless bounded. Buckets larger than the cap are
     * excluded from the pairwise join — capping the join at
-    * Σ bucket² ≤ n·cap, linear in n — and recovered by a second pass
-    * that groups their members by the FULL 64-bit hash and links each
-    * member to the group's min id (a star, linear in group size:
-    * hamming-0 by construction). The sacrificed tail is pairs at
-    * distance 1..maxDistance that meet ONLY inside oversized buckets;
-    * hot buckets are dominated by exact-hash template duplicates, which
-    * the star pass keeps. With the cap the output is a documented
-    * subset; with maxBucketSize = 0 semantics are exact.
+    * Σ bucket² ≤ n·cap, linear in n — and recovered by two linear
+    * passes over the oversized buckets' members:
+    *
+    *   1. a FULL-HASH STAR: members grouped by the full 64-bit hash,
+    *      everyone linked to the group's min id — hamming-0 recall
+    *      inside hot buckets is COMPLETE (as rep->member links, which
+    *      close transitively), linear in group size;
+    *   2. a SORTED-NEIGHBOR pass: within each oversized bucket, members
+    *      sorted by full hash and each compared to its next
+    *      `neighborWindow` neighbors (the sorted-window technique of
+    *      Manku et al.'s SimHash dedup) — recovers hamming
+    *      1..maxDistance pairs whose remaining bits sort nearby, at
+    *      cost hot-membership × window, linear in n.
+    *
+    * The residual sacrificed tail is pairs at distance 1..maxDistance
+    * that meet ONLY inside oversized buckets AND sort more than
+    * `neighborWindow` apart there. With the cap the output is a
+    * documented subset; with maxBucketSize = 0 semantics are exact.
     */
   def simHashCandidates(
       df: DataFrame,
@@ -181,6 +191,7 @@ object Dedup {
       maxDistance: Int = 3,
       bands: Int = 4,
       maxBucketSize: Int = 0,
+      neighborWindow: Int = 8,
   ): DataFrame = {
     require(64 % bands == 0, s"bands=$bands must divide 64")
     val width = 64 / bands
@@ -210,18 +221,37 @@ object Dedup {
     val all =
       if (maxBucketSize <= 0) joined
       else {
-        // star pass over members of oversized buckets: group by full
-        // hash, link everyone to the group's min id. Window-min over the
-        // hash partition — one shuffle bounded by hot-bucket membership,
-        // never a pairwise join.
+        import org.apache.spark.sql.expressions.Window
         val hot = banded.join(counts.where(col("_n") > maxBucketSize), Seq("_q", "_k"), "left_semi")
-          .select(col(idCol), col("_sh")).distinct()
-        val win = org.apache.spark.sql.expressions.Window.partitionBy("_sh")
-        val stars = hot.withColumn("_rep", min(col(idCol)).over(win))
+        // pass 1 — full-hash star: group hot members by the full hash,
+        // link everyone to the group's min id. Window-min over the hash
+        // partition — one shuffle bounded by hot-bucket membership,
+        // never a pairwise join; hamming-0 recall is complete.
+        val hotDocs = hot.select(col(idCol), col("_sh")).distinct()
+        val starWin = Window.partitionBy("_sh")
+        val stars = hotDocs.withColumn("_rep", min(col(idCol)).over(starWin))
           .where(col(idCol) =!= col("_rep"))
           .select(col("_rep").as("id_a"), col(idCol).as("id_b"),
             lit(0).cast(IntegerType).as("hamming"))
-        joined.union(stars)
+        // pass 2 — sorted neighbors: within each oversized bucket, order
+        // members by full hash and compare each to its next
+        // `neighborWindow` neighbors (lead() over one window sort — a
+        // single shuffle bounded by hot membership, output bounded by
+        // membership × window). Recovers hamming 1..k pairs the capped
+        // join sacrificed, when their non-band bits sort them nearby.
+        val sortWin = Window.partitionBy("_q", "_k").orderBy(col("_sh"), col(idCol))
+        val leads = array((1 to neighborWindow).map(i =>
+          lead(struct(col(idCol).as("nid"), col("_sh").as("nsh")), i).over(sortWin)): _*)
+        // window exprs are illegal inside a generator: project the lead
+        // array first, explode in a second select
+        val neighbors = hot.select(col(idCol), col("_sh"), leads.as("_leads"))
+          .select(col(idCol), col("_sh"), explode(col("_leads")).as("_nb"))
+          .where(col("_nb.nid").isNotNull)
+          .select(
+            least(col(idCol), col("_nb.nid")).as("id_a"),
+            greatest(col(idCol), col("_nb.nid")).as("id_b"),
+            hammingDistance(col("_sh"), col("_nb.nsh")).as("hamming"))
+        joined.union(stars).union(neighbors)
       }
     all.groupBy("id_a", "id_b")
       .agg(min(col("hamming")).as("hamming"))

@@ -92,17 +92,46 @@ class DedupSpec extends SparkSpec {
     val distinct2 = distinct1.replace("quick", "fast")
     val corpus = ((1 to 300).map(i => (i.toLong, same)) ++
       Seq((900L, distinct1), (901L, distinct2))).toDF("doc_id", "text")
-    val out = simHashCandidates(corpus, maxDistance = 63, bands = 8, maxBucketSize = 50)
+    val window = 8
+    val out = simHashCandidates(corpus, maxDistance = 63, bands = 8, maxBucketSize = 50,
+      neighborWindow = window)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Int]("hamming")))
-    val stars = out.filter(_._2 <= 300L)
-    assert(stars.length == 299, s"expected 299 star pairs, got ${stars.length}")
-    assert(stars.forall { case (a, _, h) => a == 1L && h == 0 },
-      "every identical doc must link to the min id at hamming 0")
+    // the star links EVERY identical doc to the min id at hamming 0
+    val stars = out.filter { case (a, b, _) => a == 1L && b <= 300L }
+    assert(stars.length == 299, s"expected 299 star links, got ${stars.length}")
+    assert(stars.forall(_._3 == 0), "star links must be hamming 0")
     // the distinct near-dup pair lives in small buckets and is still found pairwise
     assert(out.exists { case (a, b, _) => a == 900L && b == 901L },
-      s"near-dup pair lost to the cap: ${out.toSeq}")
-    // and nothing quadratic leaked through
-    assert(out.length == 300, s"expected 300 pairs total, got ${out.length}")
+      s"near-dup pair lost to the cap: ${out.length} pairs")
+    // nothing quadratic leaked through: star (n-1) + sorted-neighbor
+    // (≤ n·window) + the pairwise pair — linear in n, NOT 300²/2 = 44850
+    assert(out.length <= 299 + 302 * window + 1,
+      s"cap failed to bound the join: ${out.length} pairs")
+  }
+
+  test("hot-bucket sorted-neighbor pass recovers a hamming 1..k pair the cap would sacrifice") {
+    import spark.implicits._
+    // 300 identical docs make every one of their 8 (band,key) buckets hot
+    // (> cap). A near-variant doc shares the hot buckets on its unchanged
+    // bands and is ALONE in its others — so the capped pairwise join can
+    // never see it, and the full-hash star skips it (different hash).
+    // Only the sorted-neighbor pass inside the hot buckets can link it.
+    val same = "tuesday report all systems nominal and no anomalies were observed overnight"
+    val variant = same + " almost"
+    val corpus = ((1 to 300).map(i => (i.toLong, same)) :+ (500L, variant))
+      .toDF("doc_id", "text")
+    // deterministic kernel -> the variant's hamming distance is a fixed
+    // property of the two texts; measure it rather than hardcode
+    val hashes = simHashes(corpus).where(col("doc_id").isin(1L, 500L))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("_sh")).toMap
+    val h = java.lang.Long.bitCount(hashes(1L) ^ hashes(500L))
+    assert(h >= 1, "variant text must not simhash-collide for this test to bite")
+    val out = simHashCandidates(corpus, maxDistance = h, bands = 8, maxBucketSize = 50,
+      neighborWindow = 4)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Int]("hamming")))
+    val variantPairs = out.filter { case (a, b, _) => a == 500L || b == 500L }
+    assert(variantPairs.nonEmpty, s"hamming-$h pair inside the hot bucket was sacrificed")
+    assert(variantPairs.forall(_._3 == h), s"recovered pair must carry hamming $h")
   }
 
   test("keepRepresentatives drops near-dup copies, keeps first") {
