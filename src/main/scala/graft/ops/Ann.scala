@@ -192,6 +192,13 @@ object Ann {
     val pruned = sigs.select(col(idCol), col(vecCol))
       .join(pairIds, Seq(idCol), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the pair-bounded pruned vectors, then release the
+    // FULL-CORPUS vector cache eagerly — at scale `sigs` is by far the
+    // largest cached intermediate (every vector + signature), and
+    // nothing downstream needs it once `pruned` is on disk/memory. The
+    // extra count() job is bounded by pair participants.
+    pruned.count()
+    sigs.unpersist()
     val va = pruned.select(col(idCol).as("id_a"), col(vecCol).as("_va"))
     val vb = pruned.select(col(idCol).as("id_b"), col(vecCol).as("_vb"))
     pairs.join(va, Seq("id_a")).join(vb, Seq("id_b"))

@@ -19,10 +19,19 @@ object Dedup {
     * cores) the work serializes onto one task. Scatter to the session's
     * parallelism first — at real corpus scale the input already has
     * enough partitions and this no-ops.
+    *
+    * The partition estimate comes from the optimizer's size statistics
+    * (sizeInBytes / files.maxPartitionBytes — exactly how the file scan
+    * itself splits), NOT from `df.rdd`: building the RDD materializes a
+    * physical plan + lineage per call, which round-4/5 profiling showed
+    * as pure overhead on every signature stage.
     */
   private[ops] def scatter(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val maxPartBytes = spark.sessionState.conf.filesMaxPartitionBytes
+    val estParts = (df.queryExecution.optimizedPlan.stats.sizeInBytes / maxPartBytes).toLong + 1
+    if (estParts < target) df.repartition(target) else df
   }
 
   /** Word k-shingles of the normalized text (k consecutive tokens joined
