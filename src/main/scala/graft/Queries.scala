@@ -743,6 +743,78 @@ items:
            CAST(length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g')) AS INT) AS n_punct
     FROM documents"""
 
+  /** PII redaction as a pure codegen projection: PII surface forms are
+    * PLANTED onto every 5th document (the synthetic corpus has none), so
+    * both the hit and the no-op paths are hash-verified. The same
+    * RE2-compatible patterns run in Spark (Java regex) and DuckDB (RE2).
+    */
+  def piiRedact(s: SparkSession, dir: String): DataFrame = {
+    val planted = when(col("doc_id") % 5 === 0,
+      concat(col("text"),
+        lit(" contact bob@example.com call 555-123-4567 ip 10.0.0.1")))
+      .otherwise(col("text"))
+    T(s, dir, "documents").select(col("doc_id"),
+      Curation.redactPii(planted).as("redacted"))
+  }
+
+  private val piiRedactSql = s"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(
+             CASE WHEN doc_id % 5 = 0
+                  THEN text || ' contact bob@example.com call 555-123-4567 ip 10.0.0.1'
+                  ELSE text END,
+             '${Curation.EmailPattern}', '<EMAIL>', 'g'),
+             '${Curation.PhonePattern}', '<PHONE>', 'g'),
+             '${Curation.Ipv4Pattern}', '<IP>', 'g') AS redacted
+    FROM documents"""
+
+  /** Benchmark-contamination check: documents sharing >= 5 distinct
+    * 3-shingles with a probe set (the first 5 documents stand in for a
+    * benchmark suite). Probe side broadcast — benchmark-bounded.
+    */
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val probes = docs.where(col("doc_id") < 5)
+      .select(col("doc_id").as("probe_id"), col("text"))
+    Curation.contaminationCheck(docs, probes, k = 3, minShared = 5)
+      .orderBy("doc_id", "probe_id")
+  }
+
+  private val contaminationSql = """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(regexp_replace(lower(text),'[^a-z0-9\s]+',' ','g')),'\s+'), x -> x <> '') AS toks
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(range(1, len(toks) - 1),
+                       i -> array_to_string(list_slice(toks, i, i+2), ' ')) END) AS sh
+      FROM t),
+    du AS (SELECT doc_id, unnest(sh) AS g FROM s),
+    pu AS (SELECT doc_id AS probe_id, unnest(sh) AS g FROM s WHERE doc_id < 5)
+    SELECT du.doc_id, pu.probe_id, count(*) AS n_shared
+    FROM du JOIN pu ON du.g = pu.g
+    GROUP BY 1, 2 HAVING count(*) >= 5"""
+
+  /** Token-budget shard packing per source stratum (greedy sequential
+    * fill at 2000 tokens); exclusive-prefix-sum window, one shuffle by
+    * stratum.
+    */
+  def packShards(s: SparkSession, dir: String): DataFrame =
+    Curation.packShards(T(s, dir, "documents"), budget = 2000L)
+      .select("doc_id", "source", "n_tokens", "shard")
+
+  private val packShardsSql = """
+    WITH t AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split_regex(regexp_replace(text,'^\s+|\s+$','','g'),'\s+'), x -> x <> '')) AS n_tokens
+      FROM documents)
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 2000.0) AS INT) AS shard
+    FROM t"""
+
   /** Language-ID heuristic (stopword-hit argmax). */
   def langId(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "documents").select(col("doc_id"), col("lang"),
@@ -1331,6 +1403,9 @@ items:
     ("isc_summary", iscSummary _, Some(iscSummarySql)),
     ("dedup_exact", dedupExact _, Some(dedupExactSql)),
     ("text_stats", textStats _, Some(textStatsSql)),
+    ("pii_redact", piiRedact _, Some(piiRedactSql)),
+    ("contamination", contamination _, Some(contaminationSql)),
+    ("pack_shards", packShards _, Some(packShardsSql)),
     ("lang_id", langId _, Some(langIdSql)),
     ("quality_score", qualityScore _, Some(qualityScoreSql)),
     ("ngram_jaccard", ngramJaccard _, Some(ngramJaccardSql)),
@@ -1372,6 +1447,7 @@ items:
     "d2_attribute", "e5_select", "e10_weighted_avg", "e12_quantile", "e13_decile",
     "e7e8_cpi", "e9_equivalence", "isc_summary",
     "dedup_exact", "text_stats", "lang_id", "quality_score", "ngram_jaccard",
+    "pii_redact", "contamination", "pack_shards",
     "minhash_pairs", "minhash_near_dups", "simhash_pairs", "simhash_near_dups",
     "ann_brute_topk", "ann_lsh_topk",
     "ann_cosine_dedup", "ivf_topk", "dedup_clusters", "skew_salted_agg",

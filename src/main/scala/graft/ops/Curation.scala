@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Training-data curation operators beyond near-dup detection: PII
+  * redaction, benchmark-contamination checks, and token-budget shard
+  * packing. Like the rest of the text layer these are pure projections
+  * / bounded joins — no UDFs, no driver loops — so they compose into
+  * the same one-pass curation pipelines at corpus scale.
+  */
+object Curation {
+
+  /** Regex redaction of the classic PII surface forms — emails, NANP-ish
+    * phone numbers, IPv4 addresses — each replaced by a stable tag
+    * token. Patterns deliberately stay in the RE2-compatible subset (no
+    * lookaround, no backrefs) so the same pattern text runs identically
+    * under Java regex (Spark codegen) and RE2-based engines, and the
+    * operator remains a plain codegen'd projection.
+    *
+    * Order matters and is fixed: emails first (an email contains no
+    * phone/IP match inside once replaced), then phones, then IPs.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  val Ipv4Pattern  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  def redactPii(text: Column): Column = {
+    val e = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val p = regexp_replace(e, PhonePattern, "<PHONE>")
+    regexp_replace(p, Ipv4Pattern, "<IP>")
+  }
+
+  /** Benchmark-contamination check: which corpus documents share at
+    * least `minShared` distinct word k-shingles with a benchmark probe
+    * document (n-gram-overlap contamination, the decontamination test of
+    * GPT-3/C4-style pipelines). Returns (docIdCol, probe_id, n_shared).
+    *
+    * Plan shape: both sides explode to DISTINCT (id, shingle) rows; the
+    * join is a shingle-keyed equi join with the PROBE side broadcast —
+    * benchmark suites are bounded by contract (thousands of items, not
+    * corpus-sized), which is what makes this safe at 100 TB: the corpus
+    * side streams through map-side hash lookups, no shuffle of corpus
+    * shingles at all. The aggregate that counts shared shingles is then
+    * a hash agg on (doc, probe) — bounded by actual contamination hits.
+    */
+  def contaminationCheck(
+      docs: DataFrame,
+      probes: DataFrame,
+      k: Int = 3,
+      minShared: Int = 5,
+      docIdCol: String = "doc_id",
+      probeIdCol: String = "probe_id",
+      textCol: String = "text",
+  ): DataFrame = {
+    def shingleRows(df: DataFrame, idCol: String, outId: String) =
+      df.select(col(idCol).as(outId),
+        explode(array_distinct(Dedup.shingles(col(textCol), k))).as("_sh"))
+    val d = shingleRows(docs, docIdCol, docIdCol)
+    val p = shingleRows(probes, probeIdCol, probeIdCol)
+    d.join(broadcast(p), Seq("_sh"))
+      .groupBy(docIdCol, probeIdCol)
+      .agg(count(lit(1)).cast(LongType).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
+  /** Token-budget shard packing: within each `stratumCol` group, walk
+    * documents in `orderCol` order and assign each to training shard
+    * `floor(exclusive-prefix-token-sum / budget)` — the greedy
+    * sequential packing used to build fixed-budget training shards.
+    * Returns the input plus (n_tokens, shard).
+    *
+    * One window (sum over rows unbounded-preceding) per stratum: the
+    * shuffle is by stratum key and the sort is within partitions.
+    * Packing is deliberately PER-STRATUM — a single global ordering
+    * would funnel the whole corpus through one partition's sort, so at
+    * scale the stratum (source, language, date-bucket…) IS the
+    * parallelism unit, exactly how shard builders operate.
+    */
+  def packShards(
+      df: DataFrame,
+      budget: Long,
+      stratumCol: String = "source",
+      orderCol: String = "doc_id",
+      textCol: String = "text",
+  ): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val win = Window.partitionBy(stratumCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tokens", TextOps.tokenCount(col(textCol)).cast(LongType))
+      .withColumn("shard",
+        floor((sum(col("n_tokens")).over(win) - col("n_tokens")) / lit(budget))
+          .cast(IntegerType))
+  }
+}

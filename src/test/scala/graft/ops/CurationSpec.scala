@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+
+  test("redactPii replaces emails, phones, IPv4s and leaves clean text alone") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "reach me at jane.doe+x@sub.example.org thanks"),
+      (2L, "call 555-123-4567 or 800.555.0100 now"),
+      (3L, "host 192.168.1.254 is down"),
+      (4L, "perfectly clean prose with no identifiers"),
+    ).toDF("id", "text").select(col("id"), Curation.redactPii(col("text")).as("r"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) == "reach me at <EMAIL> thanks")
+    assert(m(2L) == "call <PHONE> or <PHONE> now")
+    assert(m(3L) == "host <IP> is down")
+    assert(m(4L) == "perfectly clean prose with no identifiers")
+  }
+
+  test("contaminationCheck finds n-gram overlap with a probe, skips unrelated docs") {
+    import spark.implicits._
+    val probeText = "the quick brown fox jumps over the lazy dog"
+    val docs = Seq(
+      (10L, s"prefix words then $probeText and a suffix"), // contains the probe verbatim
+      (11L, "completely different content about spark catalyst plans"),
+    ).toDF("doc_id", "text")
+    val probes = Seq((1L, probeText)).toDF("probe_id", "text")
+    val hits = Curation.contaminationCheck(docs, probes, k = 3, minShared = 5)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("probe_id"), r.getAs[Long]("n_shared")))
+    assert(hits.length == 1)
+    val (d, p, n) = hits.head
+    // the probe has 7 3-shingles, all present verbatim in doc 10
+    assert(d == 10L && p == 1L && n == 7L)
+  }
+
+  test("packShards fills 10-token shards greedily per stratum") {
+    import spark.implicits._
+    // srcA docs: 4, 5, 4, 9 tokens -> exclusive prefix sums 0,4,9,13 -> shards 0,0,0,1
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, "A", words(4)), (2L, "A", words(5)), (3L, "A", words(4)), (4L, "A", words(9)),
+      (5L, "B", words(11)), (6L, "B", words(2)),
+    ).toDF("doc_id", "source", "text")
+    val out = Curation.packShards(df, budget = 10L).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_tokens"), r.getAs[Int]("shard"))).toMap
+    assert(out(1L) == (4L, 0) && out(2L) == (5L, 0) && out(3L) == (4L, 0))
+    assert(out(4L) == (9L, 1), "13 tokens already consumed -> second shard")
+    // stratum B packs independently: 0 -> shard 0, then 11 consumed -> shard 1
+    assert(out(5L) == (11L, 0) && out(6L) == (2L, 1))
+  }
+}
