@@ -797,6 +797,33 @@ items:
     FROM du JOIN pu ON du.g = pu.g
     GROUP BY 1, 2 HAVING count(*) >= 5"""
 
+  /** Deterministic hash sampling at 25% — reproducible (seedless) and
+    * portable: the same md5-prefix decision evaluates identically in
+    * Spark and DuckDB, which is exactly what the oracle verifies.
+    */
+  def hashSample(s: SparkSession, dir: String): DataFrame =
+    Curation.hashSample(T(s, dir, "documents"), 0.25).select("doc_id", "source")
+
+  private val hashSampleSql = s"""
+    SELECT doc_id, source FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${Curation.hashSampleThreshold(0.25)}'"""
+
+  /** Source-weighted data mixing: keep all of src0, half of src1, a
+    * fifth of src2, drop every other source.
+    */
+  def mixSources(s: SparkSession, dir: String): DataFrame =
+    Curation.mixSources(T(s, dir, "documents"),
+      Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.2))
+      .select("doc_id", "source")
+
+  private val mixSourcesSql = s"""
+    SELECT doc_id, source FROM documents
+    WHERE CASE
+      WHEN source = 'src0' THEN TRUE
+      WHEN source = 'src1' THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${Curation.hashSampleThreshold(0.5)}'
+      WHEN source = 'src2' THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${Curation.hashSampleThreshold(0.2)}'
+      ELSE FALSE END"""
+
   /** Token-budget shard packing per source stratum (greedy sequential
     * fill at 2000 tokens); exclusive-prefix-sum window, one shuffle by
     * stratum.
@@ -1406,6 +1433,8 @@ items:
     ("pii_redact", piiRedact _, Some(piiRedactSql)),
     ("contamination", contamination _, Some(contaminationSql)),
     ("pack_shards", packShards _, Some(packShardsSql)),
+    ("hash_sample", hashSample _, Some(hashSampleSql)),
+    ("mix_sources", mixSources _, Some(mixSourcesSql)),
     ("lang_id", langId _, Some(langIdSql)),
     ("quality_score", qualityScore _, Some(qualityScoreSql)),
     ("ngram_jaccard", ngramJaccard _, Some(ngramJaccardSql)),

@@ -66,6 +66,45 @@ object Curation {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Deterministic hash sampling: keep a row iff the md5 of its key,
+    * read as a fixed-width hex prefix, falls below `fraction` of the
+    * hash space. No RNG, no seed state: the decision is a pure function
+    * of the key, so the sample is identical across executors, retries,
+    * partial re-runs, and engines (md5 of the decimal string is
+    * portable) — the property that matters when a 100 TB sample must be
+    * reproducible and auditable. Selectivity error vs `fraction` is
+    * ±2^-32 (8 hex digits).
+    */
+  def hashSampleThreshold(fraction: Double): String = {
+    require(fraction >= 0 && fraction <= 1, "fraction in [0,1]")
+    f"${math.floor(fraction * 4294967296.0).toLong min 0xFFFFFFFFL}%08x"
+  }
+
+  def hashSamplePredicate(key: Column, fraction: Double): Column =
+    if (fraction >= 1.0) lit(true) // 'ffffffff' prefix must not be dropped at rate 1
+    else substring(md5(key.cast("string").cast("binary")), 1, 8) < lit(hashSampleThreshold(fraction))
+
+  def hashSample(df: DataFrame, fraction: Double, keyCol: String = "doc_id"): DataFrame =
+    df.where(hashSamplePredicate(col(keyCol), fraction))
+
+  /** Source-weighted data mixing: per-source deterministic sampling
+    * rates (the "data mixture" step of a training pipeline — e.g. keep
+    * 100% of wiki, 30% of web). A source absent from `rates` is dropped
+    * (rate 0). One codegen'd CASE over [[hashSamplePredicate]]: no
+    * shuffle, no RNG, same reproducibility contract as [[hashSample]].
+    */
+  def mixSources(
+      df: DataFrame,
+      rates: Map[String, Double],
+      sourceCol: String = "source",
+      keyCol: String = "doc_id",
+  ): DataFrame = {
+    val pred = rates.foldLeft(lit(false)) { case (acc, (src, rate)) =>
+      when(col(sourceCol) === lit(src), hashSamplePredicate(col(keyCol), rate)).otherwise(acc)
+    }
+    df.where(pred)
+  }
+
   /** Token-budget shard packing: within each `stratumCol` group, walk
     * documents in `orderCol` order and assign each to training shard
     * `floor(exclusive-prefix-token-sum / budget)` — the greedy

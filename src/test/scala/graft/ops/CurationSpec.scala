@@ -36,6 +36,32 @@ class CurationSpec extends SparkSpec {
     assert(d == 10L && p == 1L && n == 7L)
   }
 
+  test("hashSample is deterministic, key-stable, and close to the target rate") {
+    import spark.implicits._
+    val df = (0L until 4000L).toDF("doc_id")
+    val a = Curation.hashSample(df, 0.25).collect().map(_.getLong(0)).toSet
+    val b = Curation.hashSample(df, 0.25).collect().map(_.getLong(0)).toSet
+    assert(a == b, "same keys, same fraction -> identical sample")
+    assert(math.abs(a.size / 4000.0 - 0.25) < 0.03, s"rate off: ${a.size}/4000")
+    // monotone: a smaller fraction selects a subset of a larger one
+    val small = Curation.hashSample(df, 0.10).collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(a))
+    // boundary rates
+    assert(Curation.hashSample(df, 1.0).count() == 4000L)
+    assert(Curation.hashSample(df, 0.0).count() == 0L)
+  }
+
+  test("mixSources applies per-source rates and drops unlisted sources") {
+    import spark.implicits._
+    val df = (0L until 3000L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    val out = Curation.mixSources(df, Map("src0" -> 1.0, "src1" -> 0.5))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val bySrc = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc("src0") == 1000, "rate-1.0 source kept whole")
+    assert(math.abs(bySrc("src1") / 1000.0 - 0.5) < 0.06)
+    assert(!bySrc.contains("src2"), "unlisted source dropped")
+  }
+
   test("packShards fills 10-token shards greedily per stratum") {
     import spark.implicits._
     // srcA docs: 4, 5, 4, 9 tokens -> exclusive prefix sums 0,4,9,13 -> shards 0,0,0,1
