@@ -38,9 +38,13 @@ object Curation {
     * document (n-gram-overlap contamination, the decontamination test of
     * GPT-3/C4-style pipelines). Returns (docIdCol, probe_id, n_shared).
     *
-    * Plan shape: both sides explode to DISTINCT (id, shingle) rows; the
-    * join is a shingle-keyed equi join with the PROBE side broadcast —
-    * benchmark suites are bounded by contract (thousands of items, not
+    * Plan shape: both sides explode to DISTINCT (id, shingle-hash) rows
+    * through the native `shingle_hashes` kernel (graft.plans.ShingleText
+    * — the HOF shingle expression evaluates interpreted and cost ~26 s
+    * for 5000 docs at sf0.1; the kernel is sub-second, and 8-byte hash
+    * keys replace shingle strings in every exchange). The join is a
+    * hash-keyed equi join with the PROBE side broadcast — benchmark
+    * suites are bounded by contract (thousands of items, not
     * corpus-sized), which is what makes this safe at 100 TB: the corpus
     * side streams through map-side hash lookups, no shuffle of corpus
     * shingles at all. The aggregate that counts shared shingles is then
@@ -57,7 +61,7 @@ object Curation {
   ): DataFrame = {
     def shingleRows(df: DataFrame, idCol: String, outId: String) =
       df.select(col(idCol).as(outId),
-        explode(array_distinct(Dedup.shingles(col(textCol), k))).as("_sh"))
+        explode(call_function("shingle_hashes", col(textCol), lit(k))).as("_sh"))
     val d = shingleRows(docs, docIdCol, docIdCol)
     val p = shingleRows(probes, probeIdCol, probeIdCol)
     d.join(broadcast(p), Seq("_sh"))

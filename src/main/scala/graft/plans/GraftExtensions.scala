@@ -55,6 +55,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       },
     ))
     ext.injectFunction((
+      new FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleText].getName, "shingle_hashes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "shingle_hashes(text, k)")
+        require(args(1).foldable, "k must be a literal")
+        ShingleText(args.head, args(1).eval().asInstanceOf[Int])
+      },
+    ))
+    ext.injectFunction((
       new FunctionIdentifier("minhash_text"),
       new ExpressionInfo(classOf[MinHashText].getName, "minhash_text"),
       (args: Seq[Expression]) => {

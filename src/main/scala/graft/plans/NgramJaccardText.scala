@@ -35,7 +35,7 @@ object NgramJaccardText {
 
   private val SEED = 0x9E3779B97F4A7C15L
 
-  private def tokenHashes(text: UTF8String): Array[Long] = {
+  private[plans] def tokenHashes(text: UTF8String): Array[Long] = {
     val bytes = text.getBytes
     var out = new Array[Long](16)
     var n = 0
@@ -59,7 +59,7 @@ object NgramJaccardText {
     java.util.Arrays.copyOf(out, n)
   }
 
-  private def shingleSet(toks: Array[Long], k: Int): java.util.HashSet[java.lang.Long] = {
+  private[plans] def shingleSet(toks: Array[Long], k: Int): java.util.HashSet[java.lang.Long] = {
     val set = new java.util.HashSet[java.lang.Long]()
     if (toks.length <= k) {
       var sh = SEED

@@ -83,10 +83,31 @@ class KernelSpec extends SparkSpec {
         .toDF("id", "f", "d").repartition(2)
       assert(vecs.select(Ann.dot(col("f"), col("d")).as("dot"))
         .agg(count(col("dot"))).collect()(0).getLong(0) == 20)
+      assert(docs.select(call_function("shingle_hashes", col("text"), lit(3)).as("sh"))
+        .agg(count(xxhash64(col("sh")))).collect()(0).getLong(0) == 20)
     } finally {
       spark.conf.set("spark.sql.codegen.fallback", prevFallback)
       spark.conf.set("spark.sql.codegen.factoryMode", prevFactory)
     }
+  }
+
+  test("shingle_hashes kernel agrees with ngram_jaccard's sets") {
+    import spark.implicits._
+    // |A∩B|/|A∪B| computed from the exploded hash arrays must equal the
+    // pairwise kernel — same tokenizer, same rolling hash
+    val a = "the quick brown fox jumps over the lazy dog"
+    val b = "a quick brown fox jumps over a sleeping dog"
+    val df = Seq((a, b)).toDF("a", "b")
+    val j = df.select(Dedup.ngramJaccard(col("a"), col("b"))).collect()(0).getDouble(0)
+    val Array(sa, sb) = df.select(
+      call_function("shingle_hashes", col("a"), lit(3)),
+      call_function("shingle_hashes", col("b"), lit(3))).collect()(0)
+      .toSeq.map(_.asInstanceOf[scala.collection.Seq[Long]].toSet).toArray
+    assert(j == (sa & sb).size.toDouble / (sa | sb).size)
+    // arrays are distinct + sorted (deterministic dumps)
+    val arr = df.select(call_function("shingle_hashes", col("a"), lit(3)))
+      .collect()(0).getSeq[Long](0)
+    assert(arr == arr.distinct.sorted)
   }
 
   test("kernels work in both codegen and interpreted paths") {
