@@ -1236,6 +1236,45 @@ items:
         col("rank").cast(IntegerType).as("rank"))
   }
 
+  /** One Lloyd centroid-training step for IVF, per-dimension means
+    * exploded. Deterministic because the sums run over scaled integers
+    * (x 2^24) — order-independent — and every float op (cosine
+    * assignment, final division) has the identical expression shape in
+    * the DuckDB oracle, whose centroids are spliced in as full-precision
+    * double literals (Double.toString round-trips).
+    */
+  def kmeansStep(s: SparkSession, dir: String): DataFrame =
+    Ann.kmeansMeans(T(s, dir, "embeddings"), Ann.hyperplanes(4, 64, seed = 7L))
+      .orderBy("cluster", "pos")
+
+  private val kmeansStepSql = {
+    val cs = Ann.hyperplanes(4, 64, seed = 7L)
+    val values = cs.zipWithIndex
+      .map { case (c, i) => s"($i, [${c.mkString(", ")}]::DOUBLE[])" }.mkString(", ")
+    def dotSql(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))"
+    val normProd = s"(sqrt(${dotSql("e.embedding", "e.embedding")}) * sqrt(${dotSql("c.cvec", "c.cvec")}))"
+    s"""
+    WITH c(cid, cvec) AS (VALUES $values),
+    a AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             CASE WHEN $normProd > 0
+                  THEN ${dotSql("e.embedding", "c.cvec")} / $normProd
+                  ELSE 0.0 END AS sim
+      FROM embeddings e CROSS JOIN c),
+    best AS (
+      SELECT vec_id, embedding, cid
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn FROM a)
+      WHERE rn = 1),
+    m AS (
+      SELECT cid AS cluster, CAST(i - 1 AS INT) AS pos,
+             CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 16777216.0) AS BIGINT) AS sv
+      FROM best, range(1, 65) t(i))
+    SELECT cluster, pos, count(*) AS n,
+           CAST(sum(sv) AS DOUBLE) / count(*) / 16777216.0 AS mean
+    FROM m GROUP BY 1, 2"""
+  }
+
   /** Two-phase salted aggregation: must equal the plain grouped sum (the
     * salt only changes parallelism, never the result — sums are over
     * exact integers).
@@ -1450,6 +1489,7 @@ items:
     ("multimodal_features", multimodalFeatures _, Some(multimodalSql)),
     ("dedup_clusters", dedupClusters _, Some(dedupClustersSql)),
     ("ivf_topk", ivfTopK _, Some(annBruteSql)),
+    ("kmeans_step", kmeansStep _, Some(kmeansStepSql)),
     ("skew_salted_agg", skewSaltedAgg _, Some(skewSaltedSql)),
     ("events_window_agg", eventsWindowAgg _, Some(eventsWindowSql)),
     ("events_window_stream", eventsWindowStream _, Some(eventsWindowSql)),
@@ -1479,7 +1519,7 @@ items:
     "pii_redact", "contamination", "pack_shards",
     "minhash_pairs", "minhash_near_dups", "simhash_pairs", "simhash_near_dups",
     "ann_brute_topk", "ann_lsh_topk",
-    "ann_cosine_dedup", "ivf_topk", "dedup_clusters", "skew_salted_agg",
+    "ann_cosine_dedup", "ivf_topk", "kmeans_step", "dedup_clusters", "skew_salted_agg",
     "multimodal_features",
     "events_window_agg", "events_window_stream", "events_dedup_stream",
     "events_sessionize", "topk")

@@ -229,6 +229,67 @@ object Ann {
     transform(slice(array_sort(array(scored: _*)), 1, nProbe), s => s.getField("id"))
   }
 
+  /** Per-dimension cluster means after one Lloyd assignment — the IVF
+    * centroid-training step, exploded as (cluster, pos, n, mean).
+    *
+    * Plan shape: assignment is the codegen'd [[assignCluster]]
+    * projection; the mean runs EXPLODED — posexplode(vec) -> hash agg on
+    * (cluster, pos) with map-side combine — so no vector array rides
+    * the shuffle, no higher-order aggregate evaluates interpreted, and
+    * the shuffle carries k x dim rows per map partition. Sums are over
+    * SCALED INTEGERS (x 2^24): integer addition is order-independent,
+    * so the result is bit-identical across partitionings and retries —
+    * floating-point accumulation would drift with shuffle order.
+    */
+  def kmeansMeans(
+      corpus: DataFrame,
+      centroids: Array[Array[Double]],
+      vecCol: String = "embedding",
+  ): DataFrame = {
+    val scale = 1L << 24
+    Dedup.scatter(corpus)
+      // assignment in its own projection: a generator select strips the
+      // struct-field aliases assignCluster's argmax relies on
+      .select(assignCluster(col(vecCol), centroids).as("cluster"), col(vecCol))
+      .select(col("cluster"), posexplode(col(vecCol)).as(Seq("pos", "_v")))
+      .groupBy("cluster", "pos")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("_v").cast(DoubleType) * lit(scale.toDouble)).cast(LongType)).as("_s"))
+      .select(col("cluster"), col("pos"), col("n"),
+        (col("_s").cast(DoubleType) / col("n") / lit(scale.toDouble)).as("mean"))
+  }
+
+  /** One Lloyd iteration: new centroid array per cluster (clusters that
+    * lost every member keep their previous centroid, the standard
+    * empty-cluster fallback). The collect is k x dim rows — centroid
+    * metadata, not data.
+    */
+  def kmeansStep(
+      corpus: DataFrame,
+      centroids: Array[Array[Double]],
+      vecCol: String = "embedding",
+  ): Array[Array[Double]] = {
+    val dim = centroids.head.length
+    val means = kmeansMeans(corpus, centroids, vecCol).collect()
+    val out = centroids.map(_.clone())
+    means.foreach { r =>
+      out(r.getAs[Int]("cluster"))(r.getAs[Int]("pos")) = r.getAs[Double]("mean")
+    }
+    require(means.isEmpty || means.map(_.getAs[Int]("pos")).max < dim, "dim mismatch")
+    out
+  }
+
+  /** Iterated [[kmeansStep]] — train IVF centroids from a (sampled)
+    * corpus; pair with [[ivfWrite]] for the at-rest layout.
+    */
+  def trainCentroids(
+      corpus: DataFrame,
+      init: Array[Array[Double]],
+      iterations: Int,
+      vecCol: String = "embedding",
+  ): Array[Array[Double]] =
+    (1 to iterations).foldLeft(init)((c, _) => kmeansStep(corpus, c, vecCol))
+
   /** Write the corpus partitioned by IVF cluster — ANN's at-rest layout:
     * query-time probes become partition-pruned scans.
     */

@@ -129,6 +129,29 @@ class AnnSpec extends SparkSpec {
     assert(hinted.isEmpty, s"vector-carrying side is broadcast-hinted: $hinted")
   }
 
+  test("kmeansStep moves centroids to cluster means; trainCentroids converges") {
+    import spark.implicits._
+    // two tight groups on opposite axes (cosine separates them cleanly)
+    def around(base: Array[Double], i: Int) =
+      base.zipWithIndex.map { case (v, d) => (v + (if (d == i % dim) 0.001 * i else 0.0)).toFloat }.toSeq
+    val cA = Array.tabulate(dim)(d => if (d == 0) 1.0 else 0.01)
+    val cB = Array.tabulate(dim)(d => if (d == 1) 1.0 else 0.01)
+    val df = ((0 until 20).map(i => (i.toLong, around(cA, i))) ++
+      (20 until 40).map(i => (i.toLong, around(cB, i)))).toDF("vec_id", "embedding")
+    // init centroids NEAR the groups but off their means
+    val init = Array(cA.map(_ * 0.5), cB.map(_ * 0.5))
+    val step1 = Ann.kmeansStep(df, init)
+    // each new centroid ~ its group mean: dominant axis ≈ 1.0, not 0.5
+    assert(math.abs(step1(0)(0) - 1.0) < 0.01, s"centroid 0 axis0 = ${step1(0)(0)}")
+    assert(math.abs(step1(1)(1) - 1.0) < 0.01, s"centroid 1 axis1 = ${step1(1)(1)}")
+    // a further iteration is a fixed point (assignment unchanged)
+    val step2 = Ann.kmeansStep(df, step1)
+    def flat(c: Array[Array[Double]]): Seq[Double] = c.toSeq.flatMap(_.toSeq)
+    assert(flat(step1).zip(flat(step2)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    assert(flat(Ann.trainCentroids(df, init, 3)).zip(flat(step2))
+      .forall { case (a, b) => math.abs(a - b) < 1e-12 })
+  }
+
   test("cluster assignment is deterministic and in range") {
     val centroids = Ann.hyperplanes(4, dim, seed = 7)
     val df = vecs(30).withColumn("cluster", Ann.assignCluster(col("embedding"), centroids))
