@@ -269,9 +269,14 @@ object Dedup {
             hammingDistance(col("_sh"), col("_nb.nsh")).as("hamming"))
         joined.union(stars).union(neighbors)
       }
-    all.groupBy("id_a", "id_b")
+    // hamming is a pure function of the two full hashes, so every copy
+    // of a pair (one per shared band) carries the SAME distance — filter
+    // BEFORE the dedup aggregate: far collisions (the vast majority on
+    // narrow band keys) never enter the shuffle, and the groupBy only
+    // dedups surviving near pairs
+    all.where(col("hamming") <= maxDistance)
+      .groupBy("id_a", "id_b")
       .agg(min(col("hamming")).as("hamming"))
-      .where(col("hamming") <= maxDistance)
   }
 
   /** Keep one representative per near-duplicate cluster: drop every row
