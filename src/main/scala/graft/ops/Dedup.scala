@@ -135,12 +135,25 @@ object Dedup {
       .select(col(idCol), col("_band.band").as("_b"), col("_band.key").as("_k"))
     val a = banded.select(col(idCol).as("id_a"), col("_b"), col("_k"))
     val b = banded.select(col(idCol).as("id_b"), col("_b"), col("_k"))
+    // persist: the pair set feeds both the participant-id prune and the
+    // final estimate join
     val candidates = a.join(b, Seq("_b", "_k"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    // signature agreement only for surviving distinct pairs
-    val sa = sigs.select(col(idCol).as("id_a"), col("_sig").as("_sig_a"))
-    val sb = sigs.select(col(idCol).as("id_b"), col("_sig").as("_sig_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // signature agreement only for surviving distinct pairs: prune the
+    // cached signatures to pair participants, materialize the
+    // pair-bounded result, then release the FULL-CORPUS signature cache
+    // eagerly (the largest cached intermediate — same discipline as
+    // Ann.cosineNearDupPairs)
+    val pairIds = candidates.select(col("id_a").as(idCol))
+      .union(candidates.select(col("id_b").as(idCol))).distinct()
+    val pruned = sigs.join(pairIds, Seq(idCol), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pruned.count()
+    sigs.unpersist()
+    val sa = pruned.select(col(idCol).as("id_a"), col("_sig").as("_sig_a"))
+    val sb = pruned.select(col(idCol).as("id_b"), col("_sig").as("_sig_b"))
     val agree = aggregate(
       zip_with(col("_sig_a"), col("_sig_b"), (x, y) => when(x === y, 1L).otherwise(0L)),
       lit(0L), (acc, x) => acc + x)

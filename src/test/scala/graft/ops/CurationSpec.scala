@@ -36,6 +36,20 @@ class CurationSpec extends SparkSpec {
     assert(d == 10L && p == 1L && n == 7L)
   }
 
+  test("contamination plan: probe side broadcast, corpus side never hinted") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val docs = (0L until 100L).map(i => (i, s"some document body number $i with words")).toDF("doc_id", "text")
+    val probes = Seq((1L, "benchmark item text")).toDF("probe_id", "text")
+    val out = Curation.contaminationCheck(docs, probes)
+    val hints = out.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    // exactly one hint, and it must be the probe side (carries probe_id),
+    // never the corpus (which is unbounded at 100 TB)
+    assert(hints.length == 1, s"expected exactly the probe-side hint, got ${hints.length}")
+    assert(hints.head.child.output.exists(_.name == "probe_id"),
+      "the broadcast hint must sit on the benchmark/probe side")
+  }
+
   test("hashSample is deterministic, key-stable, and close to the target rate") {
     import spark.implicits._
     val df = (0L until 4000L).toDF("doc_id")
