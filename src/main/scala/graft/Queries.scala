@@ -847,29 +847,34 @@ items:
     T(s, dir, "documents").select(col("doc_id"), col("lang"),
       TextOps.languageId(col("text")).as("pred_lang"))
 
-  private val langIdSql = {
+  /** The language-ID CASE expression over a `text` column — shared by
+    * the lang_id oracle and the composed curation-pipeline oracle.
+    */
+  private val langIdCaseSql = {
     def score(words: Seq[String]) =
       s"len(list_intersect(list_distinct(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')), [${words.map(w => s"'$w'").mkString(",")}]))"
     val m = TextOps.defaultMarkers.toMap
     val sEn = score(m("en")); val sDe = score(m("de")); val sEs = score(m("es")); val sFr = score(m("fr"))
-    s"""
-    SELECT doc_id, lang,
-           CASE WHEN ($sEn + $sDe + $sEs + $sFr) = 0 THEN 'und'
+    s"""CASE WHEN ($sEn + $sDe + $sEs + $sFr) = 0 THEN 'und'
                 WHEN $sEn >= greatest($sDe, $sEs, $sFr) THEN 'en'
                 WHEN $sDe >= greatest($sEs, $sFr) THEN 'de'
                 WHEN $sEs >= $sFr THEN 'es'
-                ELSE 'fr' END AS pred_lang
-    FROM documents"""
+                ELSE 'fr' END"""
   }
+
+  private val langIdSql = s"""
+    SELECT doc_id, lang, $langIdCaseSql AS pred_lang
+    FROM documents"""
 
   /** Quality scoring. */
   def qualityScore(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "documents").select(col("doc_id"),
       TextOps.qualityScore(col("text")).as("quality"))
 
-  private val qualityScoreSql = """
-    SELECT doc_id,
-      round(greatest(0.0,
+  /** The rounded quality expression over a `text` column — shared by the
+    * quality_score oracle and the composed curation-pipeline oracle.
+    */
+  private val qualityExprSql = """round(greatest(0.0,
         (((0.4 * least(length(text)/500.0, 1.0))
          + (0.3 * (CASE WHEN len(list_filter(string_split_regex(trim(text),'\s+'), x -> x <> '')) > 0
                         THEN len(list_distinct(list_filter(string_split_regex(trim(text),'\s+'), x -> x <> '')))
@@ -880,7 +885,10 @@ items:
                                    ELSE 0.0 END) BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END)))
         - (0.3 * (CASE WHEN length(text) > 0
                        THEN (length(text) - length(regexp_replace(text,'[0-9]','','g'))) / CAST(length(text) AS DOUBLE)
-                       ELSE 0.0 END))), 6) AS quality
+                       ELSE 0.0 END))), 6)"""
+
+  private val qualityScoreSql = s"""
+    SELECT doc_id, $qualityExprSql AS quality
     FROM documents"""
 
   /** N-gram Jaccard between consecutive documents (bounded pair set). */
@@ -951,10 +959,10 @@ items:
     * cluster oracles (O(n²) is fine at oracle scale; the Spark side
     * never does this).
     */
-  private val nearDupPairCtes = """t AS (
+  private def nearDupPairCtes(src: String): String = s"""t AS (
       SELECT doc_id,
-             list_filter(string_split_regex(trim(regexp_replace(lower(text),'[^a-z0-9\s]+',' ','g')),'\s+'), x -> x <> '') AS toks
-      FROM documents),
+             list_filter(string_split_regex(trim(regexp_replace(lower(text),'[^a-z0-9\\s]+',' ','g')),'\\s+'), x -> x <> '') AS toks
+      FROM $src),
     s AS (
       SELECT doc_id,
              list_distinct(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
