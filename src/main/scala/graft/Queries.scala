@@ -978,11 +978,11 @@ items:
       FROM s a JOIN s b ON a.doc_id < b.doc_id)"""
 
   private val minhashNearDupsSql = s"""
-    WITH $nearDupPairCtes
+    WITH ${nearDupPairCtes("documents")}
     SELECT id_a, id_b, round(j, 6) AS jaccard FROM p WHERE round(j, 6) >= 0.6"""
 
   private val minhashPairsSql = s"""
-    WITH $nearDupPairCtes
+    WITH ${nearDupPairCtes("documents")}
     SELECT id_a, id_b FROM p WHERE round(j, 6) >= 0.6"""
 
   /** Signature-build stage alone (perf probe; rows-only). The raw
@@ -1214,7 +1214,7 @@ items:
   }
 
   private val dedupClustersSql = s"""
-    WITH RECURSIVE $nearDupPairCtes,
+    WITH RECURSIVE ${nearDupPairCtes("documents")},
     e AS (
       SELECT id_a AS a, id_b AS b FROM p WHERE round(j, 6) >= 0.6
       UNION
