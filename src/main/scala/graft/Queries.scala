@@ -1010,12 +1010,43 @@ items:
     * never sacrificed by the bucket cap: equal-hash pairs that meet only
     * in an oversized bucket are recovered by the full-hash star pass.)
     */
-  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val docs = T(s, dir, "documents")
+  /** Planted-copy corpus shared by the simhash pair gates: the first 25
+    * documents unioned back in as exact copies at doc_id + 10000. */
+  private def plantedCorpus(docs: DataFrame): DataFrame = {
     val idType = docs.schema("doc_id").dataType
     val planted = docs.where(col("doc_id") < 25)
       .select((col("doc_id") + lit(10000)).cast(idType).as("doc_id"), col("text"))
-    val corpus = docs.select("doc_id", "text").unionByName(planted)
+    docs.select("doc_id", "text").unionByName(planted)
+  }
+
+  /** The simhash pair oracles enumerate exactly the 25 planted pairs;
+    * that equality holds ONLY if every equal-hash group touching a
+    * planted id is exactly {a, a+10000} — a ≥3-member group would make
+    * the hot-bucket star pass emit rep→member links instead of the full
+    * pairwise set, and a natural doc sharing a planted hash would add a
+    * (natural, copy) row the oracle doesn't list. The fixture satisfies
+    * this today (the one natural equal-hash pair is (107, 387), both
+    * outside the planted range); assert it per run so a future
+    * fixture/seed change fails LOUDLY here rather than as a confusing
+    * gate hash diff.
+    */
+  private def assertPlantedHashIsolation(corpus: DataFrame): Unit = {
+    val bad = Dedup.simHashes(corpus)
+      .groupBy("_sh")
+      .agg(min("doc_id").as("lo"), max("doc_id").as("hi"), count(lit(1)).as("n"))
+      .where((col("lo") < 25 || col("hi") >= 10000) &&
+        !(col("n") === 2 && col("lo") < 25 && col("hi") === col("lo") + 10000))
+      .limit(1).collect()
+    require(bad.isEmpty,
+      s"simhash planted-pair oracle precondition violated: equal-hash group " +
+        s"(lo=${bad.head.get(0)}, hi=${bad.head.get(1)}, n=${bad.head.get(2)}) " +
+        "touches the planted id range but is not an {a, a+10000} pair")
+  }
+
+  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val corpus = plantedCorpus(docs)
+    assertPlantedHashIsolation(corpus)
     Dedup.simHashCandidates(corpus, maxDistance = 0, bands = 8, maxBucketSize = 1000)
       .where(col("id_a") < 10000 && col("id_b") >= 10000)
       .select("id_a", "id_b")
@@ -1039,10 +1070,8 @@ items:
     */
   def simhashPairsCapped(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents")
-    val idType = docs.schema("doc_id").dataType
-    val planted = docs.where(col("doc_id") < 25)
-      .select((col("doc_id") + lit(10000)).cast(idType).as("doc_id"), col("text"))
-    val corpus = docs.select("doc_id", "text").unionByName(planted)
+    val corpus = plantedCorpus(docs)
+    assertPlantedHashIsolation(corpus)
     Dedup.simHashCandidates(corpus, maxDistance = 0, bands = 8, maxBucketSize = 50)
       .where(col("id_a") < 10000 && col("id_b") >= 10000)
       .select("id_a", "id_b")

@@ -88,15 +88,21 @@ class Api(
     * job column ("Job_Code") decides; when one IS given, a one-column
     * magnitude probe decides — commodity codes are <= 10 000 for at
     * least 90% of rows, occupation codes are larger. The reference
-    * scans the full column (api.py:313-325); here the probe is bounded
-    * to the first 100k values — code magnitude is homogeneous within a
-    * table, so the decision is identical, and the probe stays a
-    * constant-cost driver action no matter the table size.
+    * scans the full column (api.py:313-325); so do we while the
+    * optimizer-estimated input is small (exact and deterministic). Past
+    * that, the probe is bounded to 100k values, which makes it a
+    * constant-cost action at any table size but samples whichever
+    * partitions answer first — sound ONLY under the hard precondition
+    * that code magnitude is homogeneous within a table (true of every
+    * reference table; callers introducing mixed-magnitude code columns
+    * must pass the classification explicitly).
     */
   def addClassificationAuto(df: DataFrame, codeCol: Option[String] = None): DataFrame = {
     val (classType, codeColumn) = codeCol match {
       case Some(c) =>
-        val share = df.select(col(c)).limit(100000).agg(
+        val small = df.select(col(c)).queryExecution.optimizedPlan.stats.sizeInBytes <= (64L << 20)
+        val probe = if (small) df.select(col(c)) else df.select(col(c)).limit(100000)
+        val share = probe.agg(
           avg(when(col(c) <= 10000, 1.0).otherwise(0.0))).collect()(0)
         // empty/all-null probe: the reference's `NaN < 0.9` is False in
         // pandas (api.py:313-325), so the null average means commodity
