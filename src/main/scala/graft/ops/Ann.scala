@@ -149,6 +149,7 @@ object Ann {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       seed: Long = 42L,
+      handle: StorageHandle = StorageHandle.unmanaged,
   ): DataFrame = {
     require(numPlanes % bands == 0, "bands must divide numPlanes")
     val r = numPlanes / bands
@@ -157,8 +158,8 @@ object Ann {
     val sig = signBits(col(vecCol), planes)
     // persist: the signature pass runs once, not once per self-join side;
     // scatter: small-file corpora would otherwise compute on one task
-    val sigs = Dedup.scatter(corpus).select(col(idCol), col(vecCol), sig.as("_sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = handle.persist(
+      Dedup.scatter(corpus).select(col(idCol), col(vecCol), sig.as("_sig")))
     // candidate generation on SLIM (id, band, key) rows only — band
     // collisions can be ~1000× the surviving pair count, so the vectors
     // must not ride through this join's shuffle (same shape as
@@ -172,10 +173,9 @@ object Ann {
     val b = banded.select(col(idCol).as("id_b"), col("_b"), col("_k"))
     // persist: the slim pair set feeds both the participant-id prune and
     // the final join — without it the banded self-join runs twice
-    val pairs = a.join(b, Seq("_b", "_k"))
+    val pairs = handle.persist(a.join(b, Seq("_b", "_k"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select("id_a", "id_b").distinct())
     // re-attach vectors by id only for surviving distinct pairs: first
     // prune the cached corpus vectors to pair-participating ids (a
     // left-semi join against the slim id set), then equi-join the slim
@@ -189,16 +189,18 @@ object Ann {
     // surviving pair count — never the full corpus vector column.
     val pairIds = pairs.select(col("id_a").as(idCol))
       .union(pairs.select(col("id_b").as(idCol))).distinct()
-    val pruned = sigs.select(col(idCol), col(vecCol))
-      .join(pairIds, Seq(idCol), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // materialize the pair-bounded pruned vectors, then release the
-    // FULL-CORPUS vector cache eagerly — at scale `sigs` is by far the
-    // largest cached intermediate (every vector + signature), and
-    // nothing downstream needs it once `pruned` is on disk/memory. The
-    // extra count() job is bounded by pair participants.
-    pruned.count()
-    sigs.unpersist()
+    val pruned = handle.persist(sigs.select(col(idCol), col(vecCol))
+      .join(pairIds, Seq(idCol), "left_semi"))
+    // Unmanaged: materialize the pair-bounded pruned vectors, then
+    // release the FULL-CORPUS vector cache eagerly — at scale `sigs` is
+    // by far the largest cached intermediate (every vector + signature),
+    // and nothing downstream needs it once `pruned` is on disk/memory;
+    // the extra count() job is bounded by pair participants. A managed
+    // handle stays fully lazy and defers release to the caller.
+    if (!handle.managed) {
+      pruned.count()
+      sigs.unpersist()
+    }
     val va = pruned.select(col(idCol).as("id_a"), col(vecCol).as("_va"))
     val vb = pruned.select(col(idCol).as("id_b"), col(vecCol).as("_vb"))
     pairs.join(va, Seq("id_a")).join(vb, Seq("id_b"))
@@ -270,12 +272,14 @@ object Ann {
       vecCol: String = "embedding",
   ): Array[Array[Double]] = {
     val dim = centroids.head.length
+    val k = centroids.length
     val means = kmeansMeans(corpus, centroids, vecCol).collect()
+    require(means.isEmpty || means.map(_.getAs[Int]("pos")).max < dim, "dim mismatch")
+    require(means.isEmpty || means.map(_.getAs[Int]("cluster")).max < k, "cluster index out of range")
     val out = centroids.map(_.clone())
     means.foreach { r =>
       out(r.getAs[Int]("cluster"))(r.getAs[Int]("pos")) = r.getAs[Double]("mean")
     }
-    require(means.isEmpty || means.map(_.getAs[Int]("pos")).max < dim, "dim mismatch")
     out
   }
 

@@ -30,8 +30,17 @@ object Dedup {
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
     val maxPartBytes = spark.sessionState.conf.filesMaxPartitionBytes
-    val estParts = (df.queryExecution.optimizedPlan.stats.sizeInBytes / maxPartBytes).toLong + 1
-    if (estParts < target) df.repartition(target) else df
+    val sizeBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // Plans without real stats report defaultSizeInBytes (Long.MaxValue):
+    // the estimate is meaningless there, so fall back to the physical
+    // partition-count probe (costs an RDD lineage, but file scans always
+    // carry real stats so this branch is rare). Compare as BigInt: join
+    // estimates can exceed Long range and .toLong would wrap negative.
+    val few =
+      if (sizeBytes >= BigInt(spark.sessionState.conf.defaultSizeInBytes))
+        df.rdd.getNumPartitions < target
+      else sizeBytes / maxPartBytes + 1 < target
+    if (few) df.repartition(target) else df
   }
 
   /** Word k-shingles of the normalized text (k consecutive tokens joined
@@ -108,8 +117,9 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       k: Int = 3,
+      handle: StorageHandle = StorageHandle.unmanaged,
   ): DataFrame =
-    minHashPairs(df, textCol, idCol, numHashes, bands, k).select("id_a", "id_b")
+    minHashPairs(df, textCol, idCol, numHashes, bands, k, handle).select("id_a", "id_b")
 
   /** Candidate pairs with the MinHash Jaccard estimate (fraction of
     * agreeing signature positions).
@@ -121,12 +131,12 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       k: Int = 3,
+      handle: StorageHandle = StorageHandle.unmanaged,
   ): DataFrame = {
     // persist signatures: computed once, reused by both join sides and
     // the estimate join (one small row per document — the thing you'd
     // write to disk at corpus scale)
-    val sigs = minHashSignatures(df, textCol, idCol, numHashes, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = handle.persist(minHashSignatures(df, textCol, idCol, numHashes, k))
     // candidate generation on SLIM rows (id, band, key) only: band
     // collisions at low jaccard can be ~1000× the final pair count, so
     // the wide signature arrays must not ride through this join
@@ -137,21 +147,22 @@ object Dedup {
     val b = banded.select(col(idCol).as("id_b"), col("_b"), col("_k"))
     // persist: the pair set feeds both the participant-id prune and the
     // final estimate join
-    val candidates = a.join(b, Seq("_b", "_k"))
+    val candidates = handle.persist(a.join(b, Seq("_b", "_k"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select("id_a", "id_b").distinct())
     // signature agreement only for surviving distinct pairs: prune the
-    // cached signatures to pair participants, materialize the
-    // pair-bounded result, then release the FULL-CORPUS signature cache
-    // eagerly (the largest cached intermediate — same discipline as
-    // Ann.cosineNearDupPairs)
+    // cached signatures to pair participants. Unmanaged mode materializes
+    // the pair-bounded result and releases the FULL-CORPUS signature
+    // cache eagerly (the largest cached intermediate — same discipline as
+    // Ann.cosineNearDupPairs); a managed handle stays lazy and defers
+    // every release to the caller.
     val pairIds = candidates.select(col("id_a").as(idCol))
       .union(candidates.select(col("id_b").as(idCol))).distinct()
-    val pruned = sigs.join(pairIds, Seq(idCol), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    pruned.count()
-    sigs.unpersist()
+    val pruned = handle.persist(sigs.join(pairIds, Seq(idCol), "left_semi"))
+    if (!handle.managed) {
+      pruned.count()
+      sigs.unpersist()
+    }
     val sa = pruned.select(col(idCol).as("id_a"), col("_sig").as("_sig_a"))
     val sb = pruned.select(col(idCol).as("id_b"), col("_sig").as("_sig_b"))
     val agree = aggregate(
@@ -221,17 +232,17 @@ object Dedup {
       bands: Int = 4,
       maxBucketSize: Int = 0,
       neighborWindow: Int = 8,
+      handle: StorageHandle = StorageHandle.unmanaged,
   ): DataFrame = {
     require(64 % bands == 0, s"bands=$bands must divide 64")
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
     val hashed = simHashes(df, textCol, idCol)
-    val banded = hashed.select(col(idCol), col("_sh"),
+    val banded = handle.persist(hashed.select(col(idCol), col("_sh"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         q => struct(q.as("q"),
           call_function("shiftright", col("_sh"), q * lit(width)).bitwiseAND(lit(mask)).as("key")))).as("_band"))
-      .select(col(idCol), col("_sh"), col("_band.q").as("_q"), col("_band.key").as("_k"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col(idCol), col("_sh"), col("_band.q").as("_q"), col("_band.key").as("_k")))
     // bucket census: one tiny aggregate over the cached slim rows (at
     // most bands·2^width groups); joined back as a left-semi filter so
     // no count column rides the pairwise join
