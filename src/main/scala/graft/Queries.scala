@@ -891,6 +891,82 @@ items:
     SELECT doc_id, $qualityExprSql AS quality
     FROM documents"""
 
+  /** The composed curation FLAGSHIP: the full training-data intake flow
+    * as ONE Catalyst plan with ONE end-to-end DuckDB oracle —
+    * PII-redact → language-ID gate → quality gate → exact dedup (full
+    * stats via min_by on the kept representative) → deterministic 50%
+    * hash-sample. This is the LLM-pipeline sibling of `isc_summary`:
+    * every stage is individually gate-proven, and this row proves the
+    * COMPOSITION — filters and projections fuse into the scan, the only
+    * shuffle is the fingerprint hash-aggregate, and the sample predicate
+    * costs one md5 on the already-reduced representative set. At 100 TB
+    * the shape is: codegen'd scan-side projections, one map-combined
+    * shuffle keyed by content hash, then a cheap reduced-side filter —
+    * no second pass over the corpus anywhere.
+    */
+  def curationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val planted = when(col("doc_id") % 5 === 0,
+      concat(col("text"),
+        lit(" contact bob@example.com call 555-123-4567 ip 10.0.0.1")))
+      .otherwise(col("text"))
+    // The one-element explode is a GENERATOR BARRIER: CollapseProject
+    // cannot merge projections through a Generate node, so the redacted
+    // text is computed ONCE per row and every downstream expression
+    // (lang-ID, quality, tokens, fingerprint) references the attribute.
+    // Without it the optimizer inlines the redaction subtree into every
+    // consumer — ~50 copies in the fused Filter+Project — and the
+    // generated method blows past Janino's limits, knocking the whole
+    // stage out of codegen. The barrier costs nothing: no shuffle, one
+    // array alloc per row, and the stage stays whole-stage-codegen'd.
+    val redacted = docs.select(col("doc_id"),
+      explode(array(Curation.redactPii(planted))).as("text"))
+    val scored = redacted
+      .withColumn("pred_lang", TextOps.languageId(col("text")))
+      .withColumn("quality", TextOps.qualityScore(col("text")))
+      .withColumn("n_tokens", TextOps.tokenCount(col("text")).cast(IntegerType))
+    val kept = scored.where(col("pred_lang") === "en" && col("quality") >= 0.45)
+    val deduped = kept
+      .groupBy(TextOps.fingerprint(col("text")).as("fingerprint"))
+      .agg(
+        min(col("doc_id")).as("doc_id"),
+        count(lit(1)).as("dup_count"),
+        min_by(col("quality"), col("doc_id")).as("quality"),
+        min_by(col("n_tokens"), col("doc_id")).as("n_tokens"))
+    Curation.hashSample(deduped, 0.5)
+      .select("doc_id", "dup_count", "quality", "n_tokens")
+  }
+
+  private val curationPipelineSql = s"""
+    WITH red AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(
+               CASE WHEN doc_id % 5 = 0
+                    THEN text || ' contact bob@example.com call 555-123-4567 ip 10.0.0.1'
+                    ELSE text END,
+               '${Curation.EmailPattern}', '<EMAIL>', 'g'),
+               '${Curation.PhonePattern}', '<PHONE>', 'g'),
+               '${Curation.Ipv4Pattern}', '<IP>', 'g') AS text
+      FROM documents),
+    scored AS (
+      SELECT doc_id, text,
+             $langIdCaseSql AS pred_lang,
+             $qualityExprSql AS quality,
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS INT) AS n_tokens
+      FROM red),
+    kept AS (
+      SELECT * FROM scored WHERE pred_lang = 'en' AND quality >= CAST(0.45 AS DOUBLE)),
+    dd AS (
+      SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+             min(doc_id) AS doc_id,
+             count(*) AS dup_count,
+             min_by(quality, doc_id) AS quality,
+             min_by(n_tokens, doc_id) AS n_tokens
+      FROM kept GROUP BY 1)
+    SELECT doc_id, dup_count, quality, n_tokens
+    FROM dd
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${Curation.hashSampleThreshold(0.5)}'"""
+
   /** N-gram Jaccard between consecutive documents (bounded pair set). */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents")
@@ -1511,6 +1587,7 @@ items:
     ("pack_shards", packShards _, Some(packShardsSql)),
     ("hash_sample", hashSample _, Some(hashSampleSql)),
     ("mix_sources", mixSources _, Some(mixSourcesSql)),
+    ("curation_pipeline", curationPipeline _, Some(curationPipelineSql)),
     ("lang_id", langId _, Some(langIdSql)),
     ("quality_score", qualityScore _, Some(qualityScoreSql)),
     ("ngram_jaccard", ngramJaccard _, Some(ngramJaccardSql)),
@@ -1553,7 +1630,7 @@ items:
     "d2_attribute", "e5_select", "e10_weighted_avg", "e12_quantile", "e13_decile",
     "e7e8_cpi", "e9_equivalence", "isc_summary",
     "dedup_exact", "text_stats", "lang_id", "quality_score", "ngram_jaccard",
-    "pii_redact", "contamination", "pack_shards",
+    "pii_redact", "contamination", "pack_shards", "curation_pipeline",
     "minhash_pairs", "minhash_near_dups", "simhash_pairs", "simhash_near_dups",
     "ann_brute_topk", "ann_lsh_topk",
     "ann_cosine_dedup", "ivf_topk", "kmeans_step", "dedup_clusters", "skew_salted_agg",
