@@ -1173,11 +1173,17 @@ items:
     val cands = Dedup.simHashCandidates(docs, maxDistance = 16, bands = 8,
       maxBucketSize = 1000)
       .select("id_a", "id_b")
-    val a = docs.select(col("doc_id").as("id_a"), col("text").as("_ta"))
-    val b = docs.select(col("doc_id").as("id_b"), col("text").as("_tb"))
+    // SimHash's 8-bit band keys are unselective: ~1.5 M candidate pairs
+    // for 60 k docs at sf0.1 (~50 pairs per doc). Shingle each document
+    // ONCE (codegen'd kernel, sorted-distinct hash array) and verify
+    // each pair with a merge-walk jaccard — re-tokenizing both texts per
+    // pair via ngram_jaccard_text costs ~50× the shingle work per doc.
+    val sh = docs.select(col("doc_id"), Dedup.shingleHashes(col("text")).as("_sh"))
+    val a = sh.select(col("doc_id").as("id_a"), col("_sh").as("_sha"))
+    val b = sh.select(col("doc_id").as("id_b"), col("_sh").as("_shb"))
     cands.join(a, Seq("id_a")).join(b, Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(Dedup.ngramJaccard(col("_ta"), col("_tb")), 6).as("jaccard"))
+        round(Dedup.jaccardHashes(col("_sha"), col("_shb")), 6).as("jaccard"))
       .where(col("jaccard") >= 0.6)
       .orderBy("id_a", "id_b")
   }

@@ -371,4 +371,20 @@ object Dedup {
     */
   def ngramJaccard(textA: Column, textB: Column, k: Int = 3): Column =
     call_function("ngram_jaccard_text", textA, textB, lit(k))
+
+  /** The sorted-distinct k-shingle hash array of a text — the
+    * precomputed verify-side input for [[jaccardHashes]]. One codegen'd
+    * kernel call per row (graft.plans.ShingleText).
+    */
+  def shingleHashes(text: Column, k: Int = 3): Column =
+    call_function("shingle_hashes", text, lit(k))
+
+  /** Exact Jaccard over two [[shingleHashes]] arrays: a merge walk, no
+    * per-pair tokenization. Equal by construction to
+    * `ngramJaccard(textA, textB, k)` on the source texts — use this when
+    * documents participate in many candidate pairs, so each document is
+    * shingled once instead of once per pair.
+    */
+  def jaccardHashes(a: Column, b: Column): Column =
+    call_function("jaccard_hashes", a, b)
 }

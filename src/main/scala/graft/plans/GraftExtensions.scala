@@ -64,6 +64,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       },
     ))
     ext.injectFunction((
+      new FunctionIdentifier("jaccard_hashes"),
+      new ExpressionInfo(classOf[JaccardHashes].getName, "jaccard_hashes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "jaccard_hashes(a, b)")
+        JaccardHashes(args.head, args(1))
+      },
+    ))
+    ext.injectFunction((
       new FunctionIdentifier("minhash_text"),
       new ExpressionInfo(classOf[MinHashText].getName, "minhash_text"),
       (args: Seq[Expression]) => {

@@ -80,4 +80,36 @@ object RawSources {
   /** A8: CSV sink (header, overwrite) — the Access-extract side channel. */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Bucketed-and-sorted at-rest layout: write `df` as an external table
+    * hash-bucketed (and sorted within buckets) by `keys`. Two tables
+    * written with the SAME keys and bucket count join with ZERO exchange
+    * — the sort-merge join reads co-bucketed files directly — and
+    * aggregations keyed by `keys` skip their shuffle too.
+    *
+    * This is the 100 TB answer for the engine's hottest join pattern:
+    * every ISC-style query joins fact rows to per-household frames on
+    * (ID, Year). Bucketing the processed layer by household ID turns
+    * that recurring multi-TB shuffle into a one-time cost at write time,
+    * amortized across every downstream query. Pick `numBuckets` so one
+    * bucket ≈ one task's worth of data at the target scale (buckets are
+    * the parallelism floor for bucket-local reads).
+    *
+    * Bucketing requires the table catalog (`saveAsTable`); `path` keeps
+    * the data external so the layout is an explicit on-disk contract,
+    * not a managed-warehouse implementation detail.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      path: String,
+      keys: Seq[String],
+      numBuckets: Int,
+  ): Unit = {
+    require(keys.nonEmpty, "bucketing needs at least one key column")
+    df.write.mode("overwrite").format("parquet").option("path", path)
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+  }
 }
