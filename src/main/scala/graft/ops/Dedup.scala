@@ -313,53 +313,125 @@ object Dedup {
   def keepRepresentatives(df: DataFrame, pairs: DataFrame, idCol: String = "doc_id"): DataFrame =
     df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
 
-  /** Exact duplicate-cluster labeling by iterative min-label propagation
-    * over the candidate-pair graph: every connected component converges
-    * to its minimum id (alternating large-star rounds; components of
-    * diameter d need ~log d iterations). Returns (idCol, cluster_id).
-    * Use when chains matter (a~b~c must collapse to ONE representative
-    * exactly); [[keepRepresentatives]] is the cheaper single-pass
-    * approximation.
+  /** One large-star round: every node u links each STRICTLY LARGER
+    * neighbor to the minimum of its closed neighborhood
+    * min(Γ(u) ∪ {u}). Edges come in canonical (big, small) orientation
+    * and leave the same way (the emitted (v, m) always has m < v).
+    */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val bidir = edges.select(col("_eu").as("u"), col("_ev").as("v"))
+      .union(edges.select(col("_ev").as("u"), col("_eu").as("v")))
+    val m = bidir.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+    bidir.join(m, Seq("u"))
+      .where(col("v") > col("u"))
+      .select(col("v").as("_eu"), col("m").as("_ev"))
+      .where(col("_eu") =!= col("_ev"))
+      .distinct()
+  }
+
+  /** One small-star round: every node u links its SMALLER neighbors —
+    * and itself — to the minimum of those neighbors. Input and output
+    * are canonical (big, small) edges.
+    */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    // canonical edges already point big -> small, so the smaller
+    // neighborhood of u is exactly its outgoing edge list
+    val m = edges.groupBy("_eu").agg(min(col("_ev")).as("m"))
+    val withM = edges.join(m, Seq("_eu"))
+    withM.select(col("_ev").as("_eu"), col("m").as("_ev"))
+      .union(withM.select(col("_eu"), col("m").as("_ev")))
+      .where(col("_eu") =!= col("_ev"))
+      .distinct()
+  }
+
+  /** Exact duplicate-cluster labeling via alternating
+    * LARGE-STAR / SMALL-STAR rounds over the candidate-pair graph
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    * each round rewires edges toward the component minimum while
+    * preserving connectivity, and the edge set converges to a star
+    * forest — every node linked directly to its component's minimum id —
+    * in O(log² n) rounds REGARDLESS OF DIAMETER (plain neighbor-min
+    * propagation needs O(diameter) rounds, which silently truncates on
+    * chain-shaped crawl-boilerplate clusters). Returns
+    * (idCol, cluster_id). Use when chains matter (a~b~c must collapse to
+    * ONE representative exactly); [[keepRepresentatives]] is the cheaper
+    * single-pass approximation.
     *
-    * Each iteration is two shuffles on the pair table (bounded by
-    * candidate count, not corpus size); intermediate labels are
-    * persisted and unpersisted per round.
+    * Each round is a constant number of shuffles bounded by the CURRENT
+    * edge count — which only shrinks: both operations map every edge to
+    * (node, smaller-label) and dedup, so hot components collapse toward
+    * their star early. Intermediate edge sets are persisted and
+    * unpersisted per round.
+    *
+    * Convergence is verified EXACTLY (equal cardinality + empty
+    * set-difference between consecutive rounds); if `maxIter` rounds pass
+    * without a fixed point this THROWS rather than returning
+    * partially-merged labels — at the default 24 rounds the bound
+    * log²(n) makes that unreachable for any physically storable graph,
+    * so a throw means a logic bug, never data scale.
     */
   def duplicateClusters(
       ids: DataFrame,
       pairs: DataFrame,
       idCol: String = "doc_id",
-      maxIter: Int = 10,
+      maxIter: Int = 24,
+      handle: StorageHandle = StorageHandle.unmanaged,
   ): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    // undirected edge list both ways + self-loops
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = ids.select(col(idCol), col(idCol).as("cluster_id"))
+    // canonical (big, small) edge list, self-loops dropped
+    var edges = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("_eu"),
+        least(col("id_a"), col("id_b")).as("_ev"))
+      .where(col("_eu") =!= col("_ev"))
+      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // each node adopts min(own label, neighbors' labels); the old label
-      // is already on the row, so the convergence signal is a flag column
-      // computed in the same propagation select — no extra join, and the
-      // any-changed probe runs over the just-persisted result
-      val neighborMin = edges.join(labels, edges("dst") === labels(idCol))
-        .groupBy(col("src").as(idCol)).agg(min(col("cluster_id")).as("_nmin"))
-      val next = labels.join(neighborMin, Seq(idCol), "left")
-        .select(col(idCol),
-          least(col("cluster_id"), coalesce(col("_nmin"), col("cluster_id"))).as("cluster_id"),
-          (col("_nmin") < col("cluster_id")).as("_changed"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = next.where(col("_changed")).limit(1).count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
+      val next = smallStar(largeStar(edges)).persist(StorageLevel.MEMORY_AND_DISK)
+      // exact fixed-point test: |next| == |edges| and next \ edges = ∅
+      // together mean set equality (two jobs over pair-bounded frames,
+      // both persisted — no hash-checksum false convergence). count()
+      // also materializes `next`'s cache, so unpersisting the previous
+      // round's frame below never triggers lineage recompute.
+      converged = next.count() == edges.count() &&
+        next.except(edges).limit(1).count() == 0
+      edges.unpersist()
+      edges = next
       iter += 1
     }
-    edges.unpersist()
-    labels.select(col(idCol), col("cluster_id"))
+    if (!converged) {
+      edges.unpersist()
+      throw new IllegalStateException(
+        s"duplicateClusters did not reach a star forest in $maxIter " +
+          "large-star/small-star rounds — this indicates a logic bug, not " +
+          "data scale (the bound is O(log² n) rounds)")
+    }
+    // Verify the fixed point IS a star forest — centers never appear as
+    // leaves, and every leaf has exactly one parent. The fixed-point test
+    // above is necessary for convergence but this is the property the
+    // labels' correctness rests on (canonical orientation then makes each
+    // star's center its minimum, and connectivity preservation per round
+    // makes each star a full component): two bounded probe jobs over the
+    // persisted final edges, failing LOUDLY rather than ever emitting
+    // split components.
+    val leafAsCenter = edges
+      .join(edges.select(col("_eu").as("_ev")).distinct(), Seq("_ev"), "left_semi")
+      .limit(1).count()
+    val multiParent = edges.groupBy("_eu").agg(count(lit(1)).as("_n"))
+      .where(col("_n") > 1).limit(1).count()
+    require(leafAsCenter == 0 && multiParent == 0,
+      "duplicateClusters converged to a non-star-forest edge set — logic bug")
+    // The converged star forest backs the returned (lazy) plan, so it
+    // must STAY persisted past this call: hand it to the caller's handle
+    // (managed mode releases it on handle.release(); the unmanaged
+    // default keeps it for the session — it is already materialized and
+    // pair-bounded, far smaller than the iteration inputs just dropped).
+    val stars = handle.persist(edges).groupBy(col("_eu").as(idCol))
+      .agg(min(col("_ev")).as("_root"))
+    ids.select(col(idCol))
+      .join(stars, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("_root"), col(idCol)).as("cluster_id"))
   }
 
   /** Exact n-gram Jaccard similarity between two text columns —

@@ -154,6 +154,36 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("duplicate clusters: diameter far beyond the round count still labels exactly") {
+    import spark.implicits._
+    // a path graph of diameter 40 (0-1-2-...-40) — the shape that breaks
+    // O(diameter) neighbor-min propagation capped at ~10 rounds; the
+    // large-star/small-star alternation must collapse it in O(log² n)
+    // rounds to the single minimum. Ids are presented in reversed pair
+    // order so no accident of initial orientation can shortcut the test.
+    val n = 40
+    val ids = (0 to n).map(_.toLong).toDF("doc_id")
+    val pairs = (0 until n).map(i => ((i + 1).toLong, i.toLong)).toDF("id_a", "id_b")
+    val clusters = Dedup.duplicateClusters(ids, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.size == n + 1)
+    assert(clusters.values.forall(_ == 0L),
+      s"every node of the path must label 0, got: ${clusters.filter(_._2 != 0L)}")
+  }
+
+  test("duplicate clusters: managed handle releases the star-forest cache") {
+    import spark.implicits._
+    val ids = Seq(1L, 2L, 3L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val handle = StorageHandle()
+    val out = Dedup.duplicateClusters(ids, pairs, handle = handle).collect()
+    assert(out.map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    handle.release(blocking = true)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "release() must drop every cached frame the clustering pinned")
+  }
+
   test("exact ngram jaccard verifies candidates") {
     import spark.implicits._
     val df = docs().as("a").join(docs().as("b"),
