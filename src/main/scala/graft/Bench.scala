@@ -20,6 +20,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // subset-key co-partitioning (see Verify.scala): lets the
+      // bucketed-by-ID layout carry (Year, ID) joins without re-shuffle
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -45,16 +48,19 @@ object Bench {
       spark.catalog.clearCache()
       sec
     }
-    // each query runs twice and reports the min: single runs at this
-    // scale are dominated by JIT/GC/scheduler noise (round 2 recorded a
-    // 39.7s outlier for a 5s hash aggregate), and min-of-two measures
-    // the plan, not the hiccup. Both raw runs are kept in the output so
-    // a contaminated run (min >> other runs' typical cost, or run1 and
-    // run2 wildly apart) is diagnosable from the artifact alone.
+    // each query runs three times and reports the min: single runs at
+    // this scale are dominated by JIT/GC/scheduler noise (round 2
+    // recorded a 39.7s outlier for a 5s hash aggregate; round 7's
+    // driver runs showed 10s first-run outliers on a 0.2s query under
+    // machine load), and min-of-three measures the plan, not the
+    // hiccup — two samples were not enough when BOTH landed under
+    // contention. All raw runs are kept in the output so a contaminated
+    // run (min >> other runs' typical cost, or runs wildly apart) is
+    // diagnosable from the artifact alone.
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val loadBefore = osBean.getSystemLoadAverage
     val results: Seq[(String, Seq[Double])] = names.map { name =>
-      val runs = Seq(runOnce(name), runOnce(name))
+      val runs = Seq(runOnce(name), runOnce(name), runOnce(name))
       System.err.println(f"[bench] $name%-24s ${runs.min}%8.2fs  (runs: ${runs.map(r => f"$r%.2f").mkString(", ")})")
       name -> runs
     }

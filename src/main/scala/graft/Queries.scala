@@ -616,28 +616,44 @@ items:
     * frame. IscPlanSpec asserts no ResolvedHint sits over a
     * fact-derived side.
     */
-  def iscSummary(s: SparkSession, dir: String): DataFrame = {
-    // household registry (the weight table): one row per order, with a
-    // synthetic 10-digit household ID whose second digit encodes area
+  /** The household registry (the weight table): one row per order, with
+    * a synthetic 10-digit household ID whose second digit encodes area,
+    * decoded (D2) to Urban_Rural (0-4 urban, 5-9 rural).
+    */
+  private def iscRegistry(s: SparkSession, dir: String): DataFrame = {
     val households = T(s, dir, "orders").select(
       year(col("o_orderdate")).as("Year"),
       col("o_orderkey").as("ID"),
       (lit(3000000000L) + (col("o_orderkey") * 987654321L) % 1000000000L).as("HID"),
       (lit(1L) + col("o_orderkey") % 7L).as("Weight"))
-    // D2: decode Urban_Rural from the HID digit (0-4 urban, 5-9 rural)
     val urVersions = Seq(IdDecoder.AttrVersion(1995, 2002, 10, 1, 2,
       (0L to 9L).map(d => d -> (if (d < 5) "Urban" else "Rural")).toMap))
-    val registry = IdDecoder.addAttribute(households, urVersions,
+    IdDecoder.addAttribute(households, urVersions,
       IdDecoder.Settings("Urban_Rural", idCol = "HID")).drop("HID")
-    // expenditures fact: cents-exact clean projection of lineitem
+  }
+
+  /** Expenditures fact: cents-exact clean projection of lineitem with
+    * the C9 filter applied through the pandas-query parser.
+    */
+  private def iscFact(s: SparkSession, dir: String): DataFrame = {
     val exp0 = T(s, dir, "lineitem").select(
       col("l_orderkey").as("ID"),
       col("l_partkey").as("Code"),
       cents(col("l_extendedprice")).as("Gross_C"),
       (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("Net_C"))
-    // C9 filter through the pandas-query parser
-    val filtered = Pipeline.run(exp0,
+    Pipeline.run(exp0,
       Seq(Pipeline.ApplyFilter(Seq("Gross_C > 1000000"))), ctx(0, "exp"))
+  }
+
+  def iscSummary(s: SparkSession, dir: String): DataFrame =
+    iscCompose(iscRegistry(s, dir), iscFact(s, dir))
+
+  /** The flagship composition downstream of the registry/fact sources —
+    * shared verbatim by [[iscSummary]] (plain parquet scans) and
+    * [[iscSummaryBucketed]] (bucketed-by-ID at-rest layout), so the
+    * bucketed gate row proves the LAYOUT alone removes the shuffles.
+    */
+  private def iscCompose(registry: DataFrame, filtered: DataFrame): DataFrame = {
     // C12: attach the household's survey year
     val fact = filtered.join(registry.select("ID", "Year"), Seq("ID"))
     // D1: year-versioned classification of the commodity code
@@ -717,6 +733,54 @@ items:
            CAST(n.WG AS DOUBLE) / CAST(d.WSum AS DOUBLE) AS Gross_Mean,
            CAST(n.WN AS DOUBLE) / CAST(d.WSum AS DOUBLE) AS Net_Mean
     FROM num n JOIN den d USING (Year, Urban_Rural)"""
+
+  /** One-time (per JVM × fixture dir) bucketed materialization of the
+    * flagship's two sources: fact and registry written bucketed-and-
+    * sorted by ID ([[graft.sources.RawSources.writeBucketed]]) — the
+    * at-rest layout a production deployment would maintain for the
+    * engine's hottest join pattern (fact ⋈ per-household frames on the
+    * household ID, reference data_engine.py:439,785).
+    */
+  private val iscBucketedTables =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def iscBucketed(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val (factT, regT) = iscBucketedTables.computeIfAbsent(dir, d => {
+      val h = java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(d).toLong & 0xFFFFFFFFL)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_isc_bucketed_$h"
+      val (ft, rt) = (s"graft_isc_fact_$h", s"graft_isc_reg_$h")
+      graft.sources.RawSources.writeBucketed(
+        iscFact(s, d), ft, s"$base/fact", Seq("ID"), numBuckets = 16)
+      graft.sources.RawSources.writeBucketed(
+        iscRegistry(s, d), rt, s"$base/registry", Seq("ID"), numBuckets = 16)
+      (ft, rt)
+    })
+    (s.table(factT), s.table(regT))
+  }
+
+  /** The flagship over the BUCKETED at-rest layout: same composition,
+    * same oracle — the only change is the two sources. Both sides being
+    * co-bucketed (and sorted) by ID, EVERY household-keyed stage loses
+    * its exchange: the registry-attach join, the per-household
+    * aggregation (grouping keys ⊇ the bucket key), and the weight
+    * re-attach join all run bucket-local; the only shuffles left are
+    * the final bounded (Year, class, area) aggregates. At 100 TB this
+    * is the difference between shuffling the fact table 2-3× per query
+    * and shuffling a 48-row reduction — the write cost is paid ONCE and
+    * amortized over every downstream query (the first bench run pays
+    * it; warm runs measure the layout). BucketedIscPlanSpec asserts the
+    * no-household-shuffle property on the physical plan.
+    *
+    * The (Year, ID) weight join rides the ID-only bucketing via
+    * `spark.sql.requireAllClusterKeysForCoPartition=false` (set in the
+    * Verify/Bench sessions): hash(ID) co-partitions any join whose keys
+    * are a superset of {ID}, which the conservative default refuses.
+    */
+  def iscSummaryBucketed(s: SparkSession, dir: String): DataFrame = {
+    val (fact, registry) = iscBucketed(s, dir)
+    iscCompose(registry, fact)
+  }
 
   // ------------------------------------------------- LLM data-pipeline ops
 
@@ -1102,11 +1166,22 @@ items:
     * pairwise set, and a natural doc sharing a planted hash would add a
     * (natural, copy) row the oracle doesn't list. The fixture satisfies
     * this today (the one natural equal-hash pair is (107, 387), both
-    * outside the planted range); assert it per run so a future
-    * fixture/seed change fails LOUDLY here rather than as a confusing
-    * gate hash diff.
+    * outside the planted range); assert it so a future fixture/seed
+    * change fails LOUDLY here rather than as a confusing gate hash diff.
+    *
+    * The check is a fixture property, not a query property, so it is
+    * MEMOIZED per fixture dir: the first simhash pair gate built in a
+    * JVM pays the one bounded corpus pass; subsequent plan
+    * constructions over the same dir (the sibling capped query, bench
+    * re-runs) are free. Without this, BOTH pair queries re-ran the
+    * full-corpus job at every plan build (the eager-construction
+    * anti-pattern this repo otherwise bans from library code).
     */
-  private def assertPlantedHashIsolation(corpus: DataFrame): Unit = {
+  private val plantedIsolationChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def assertPlantedHashIsolation(corpus: DataFrame, dir: String): Unit = {
+    if (plantedIsolationChecked.contains(dir)) return
     val bad = Dedup.simHashes(corpus)
       .groupBy("_sh")
       .agg(min("doc_id").as("lo"), max("doc_id").as("hi"), count(lit(1)).as("n"))
@@ -1117,12 +1192,13 @@ items:
       s"simhash planted-pair oracle precondition violated: equal-hash group " +
         s"(lo=${bad.head.get(0)}, hi=${bad.head.get(1)}, n=${bad.head.get(2)}) " +
         "touches the planted id range but is not an {a, a+10000} pair")
+    plantedIsolationChecked.add(dir)
   }
 
   def simhashPairs(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents")
     val corpus = plantedCorpus(docs)
-    assertPlantedHashIsolation(corpus)
+    assertPlantedHashIsolation(corpus, dir)
     Dedup.simHashCandidates(corpus, maxDistance = 0, bands = 8, maxBucketSize = 1000)
       .where(col("id_a") < 10000 && col("id_b") >= 10000)
       .select("id_a", "id_b")
@@ -1147,7 +1223,7 @@ items:
   def simhashPairsCapped(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents")
     val corpus = plantedCorpus(docs)
-    assertPlantedHashIsolation(corpus)
+    assertPlantedHashIsolation(corpus, dir)
     Dedup.simHashCandidates(corpus, maxDistance = 0, bands = 8, maxBucketSize = 50)
       .where(col("id_a") < 10000 && col("id_b") >= 10000)
       .select("id_a", "id_b")
@@ -1586,6 +1662,7 @@ items:
     ("e7e8_cpi", e7e8Cpi _, Some(e7e8Sql)),
     ("e9_equivalence", e9Equivalence _, Some(e9Sql)),
     ("isc_summary", iscSummary _, Some(iscSummarySql)),
+    ("isc_summary_bucketed", iscSummaryBucketed _, Some(iscSummarySql)),
     ("dedup_exact", dedupExact _, Some(dedupExactSql)),
     ("text_stats", textStats _, Some(textStatsSql)),
     ("pii_redact", piiRedact _, Some(piiRedactSql)),
@@ -1634,7 +1711,7 @@ items:
     "q1_agg", "b1_clean", "c7_numeric", "c8_categorical", "c10_groupby_sum",
     "c12_join", "c13_members", "d1_classification", "d1_expr_classification",
     "d2_attribute", "e5_select", "e10_weighted_avg", "e12_quantile", "e13_decile",
-    "e7e8_cpi", "e9_equivalence", "isc_summary",
+    "e7e8_cpi", "e9_equivalence", "isc_summary", "isc_summary_bucketed",
     "dedup_exact", "text_stats", "lang_id", "quality_score", "ngram_jaccard",
     "pii_redact", "contamination", "pack_shards", "curation_pipeline",
     "minhash_pairs", "minhash_near_dups", "simhash_pairs", "simhash_near_dups",

@@ -19,6 +19,15 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS); read as nanos-long
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // allow reusing a subset-key hash partitioning for joins on a
+      // superset of those keys (e.g. bucketed-by-ID tables joining on
+      // (Year, ID)): the engine's at-rest layout buckets by the
+      // household ID alone, which co-partitions every (Year, ID) join
+      // correctly — the conservative default would re-shuffle both
+      // sides. Tradeoff (why Spark defaults to true): fewer partition
+      // keys can mean coarser key distribution; our bucket counts are
+      // sized for that.
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -223,6 +223,65 @@ class Api(
 
   def addPercentile(df: DataFrame, on: String = "Gross_Expenditure"): DataFrame =
     addQuantileOn(df, on, bins = 100, out = "Percentile")
+
+  // -------------------------------------------------------------- near-dups
+
+  /** Near-duplicate candidate pairs over a document corpus, with the
+    * persisted-intermediate lifecycle owned by the CALLER's `handle` —
+    * the user-facing consumer of the managed [[StorageHandle]] contract.
+    *
+    * Every near-dup pipeline persists signature and slim-pair frames
+    * that must outlive the returned plan's first action, so the library
+    * can never safely drop them itself. The contract here:
+    *
+    *   1. create a handle — `val h = StorageHandle()`;
+    *   2. build — `val pairs = api.nearDuplicatePairs(df, "minhash", h)`
+    *      (fully lazy: no Spark job runs until YOUR first action);
+    *   3. consume `pairs` (collect / write / join downstream);
+    *   4. `h.release()` — every cache the pipeline pinned is dropped.
+    *
+    * Methods: `"minhash"` — banded MinHash LSH over `textCol`, returns
+    * (id_a, id_b, est_jaccard); `"simhash"` — banded 64-bit SimHash with
+    * the hot-bucket cap, returns (id_a, id_b, hamming); `"cosine"` —
+    * sign-LSH over `vecCol` (dim required), returns (id_a, id_b,
+    * cosine >= threshold).
+    */
+  def nearDuplicatePairs(
+      df: DataFrame,
+      method: String,
+      handle: StorageHandle,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      vecCol: String = "embedding",
+      dim: Int = 0,
+      threshold: Double = 0.8,
+  ): DataFrame = method match {
+    case "minhash" =>
+      Dedup.minHashPairs(df, textCol, idCol, handle = handle)
+    case "simhash" =>
+      Dedup.simHashCandidates(df, textCol, idCol, maxDistance = 3, bands = 4,
+        maxBucketSize = 1000, handle = handle)
+    case "cosine" =>
+      require(dim > 0, "cosine near-dups need the embedding dimension (dim)")
+      Ann.cosineNearDupPairs(df, threshold, dim, idCol = idCol, vecCol = vecCol,
+        handle = handle)
+    case other =>
+      throw new IllegalArgumentException(
+        s"unknown near-dup method $other (expected minhash | simhash | cosine)")
+  }
+
+  /** Exact duplicate-cluster labels from near-dup pairs (large-star/
+    * small-star connected components), same handle contract as
+    * [[nearDuplicatePairs]]: the converged star forest stays cached
+    * behind the returned plan until `handle.release()`.
+    */
+  def duplicateClusters(
+      df: DataFrame,
+      pairs: DataFrame,
+      handle: StorageHandle,
+      idCol: String = "doc_id",
+  ): DataFrame =
+    Dedup.duplicateClusters(df.select(col(idCol)), pairs, idCol, handle = handle)
 }
 
 object Api {

@@ -42,6 +42,19 @@ final case class RepoConfig(
       * all years.
       */
     availability: Map[String, Argham] = Map.empty,
+    /** When non-empty, A9-cached tables whose schema contains every key
+      * are written BUCKETED AND SORTED by these keys
+      * ([[graft.sources.RawSources.writeBucketed]]) and read back through
+      * the catalog, so every downstream join or aggregation keyed by a
+      * superset of the keys skips its shuffle — the at-rest answer to
+      * the engine's hottest pattern (fact ⋈ per-household frames on
+      * (ID, Year), reference data_engine.py:439,785). Pick
+      * `cacheBucketCount` so one bucket ≈ one task's data at the target
+      * scale; it is the parallelism floor for bucket-local reads.
+      * Cached tables MISSING a key column fall back to plain parquet.
+      */
+    cacheBucketKeys: Seq[String] = Seq.empty,
+    cacheBucketCount: Int = 16,
 )
 
 class TableRepo(
@@ -189,15 +202,49 @@ class TableRepo(
   private def cachePath(name: String, year: Int): String =
     s"${config.cacheDir.get}/${name}_${year}_${fingerprint(name, year)}.parquet"
 
+  /** Catalog identifier for a bucketed cache entry. The fingerprint is
+    * part of the name, so a metadata/upstream change registers a NEW
+    * table rather than silently serving a stale layout.
+    */
+  private def cacheTableName(name: String, year: Int): String =
+    s"graft_cache_${name}_${year}_${fingerprint(name, year)}".toLowerCase
+
+  private def bucketKeysFor(df: DataFrame): Seq[String] =
+    if (config.cacheBucketKeys.nonEmpty &&
+      config.cacheBucketKeys.forall(df.columns.contains)) config.cacheBucketKeys
+    else Seq.empty
+
   private def readCache(name: String, year: Int): Option[DataFrame] = {
     val p = cachePath(name, year)
-    if (new java.io.File(p).exists) Some(spark.read.parquet(p)) else None
+    if (!new java.io.File(p).exists) None
+    else if (config.cacheBucketKeys.isEmpty) Some(spark.read.parquet(p))
+    else {
+      val t = cacheTableName(name, year)
+      if (spark.catalog.tableExists(t)) Some(spark.table(t))
+      else {
+        // a previous session wrote this entry; re-attach the bucket
+        // metadata IF the files carry every key (plain-parquet fallback
+        // entries — key column absent — read as plain parquet)
+        val schema = spark.read.parquet(p).schema
+        if (config.cacheBucketKeys.forall(k => schema.fieldNames.contains(k)))
+          Some(graft.sources.RawSources.registerBucketed(
+            spark, t, p, config.cacheBucketKeys, config.cacheBucketCount))
+        else Some(spark.read.parquet(p))
+      }
+    }
   }
 
   private def writeCache(df: DataFrame, name: String, year: Int): DataFrame = {
     val p = cachePath(name, year)
-    df.write.mode("overwrite").parquet(p)
-    spark.read.parquet(p)
+    val keys = bucketKeysFor(df)
+    if (keys.nonEmpty) {
+      graft.sources.RawSources.writeBucketed(
+        df, cacheTableName(name, year), p, keys, config.cacheBucketCount)
+      spark.table(cacheTableName(name, year))
+    } else {
+      df.write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    }
   }
 
   // ------------------------------------------------------------------ weights (E6)

@@ -361,7 +361,14 @@ object Dedup {
     * edge count — which only shrinks: both operations map every edge to
     * (node, smaller-label) and dedup, so hot components collapse toward
     * their star early. Intermediate edge sets are persisted and
-    * unpersisted per round.
+    * unpersisted per round, and each round's result is RE-ROOTED as a
+    * fresh leaf plan: the star-contraction expression references its
+    * input ~5× per round, so chaining rounds symbolically grows the
+    * Catalyst tree EXPONENTIALLY — canonicalization alone OOMs the
+    * driver near round 10, long before any data moves. The re-root
+    * (row-roundtrip to a LogicalRDD leaf) keeps every round's plan
+    * constant-size; unlike `localCheckpoint` its backing blocks are the
+    * explicit per-round persists, released deterministically, not on GC.
     *
     * Convergence is verified EXACTLY (equal cardinality + empty
     * set-difference between consecutive rounds); if `maxIter` rounds pass
@@ -378,6 +385,10 @@ object Dedup {
       handle: StorageHandle = StorageHandle.unmanaged,
   ): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // re-root: truncate the symbolic plan at a LogicalRDD leaf (see
+    // scaladoc). `.rdd` is lazy — no job runs until the round's count.
+    def reRoot(df: DataFrame): DataFrame =
+      df.sparkSession.createDataFrame(df.rdd, df.schema)
     // canonical (big, small) edge list, self-loops dropped
     var edges = pairs
       .select(greatest(col("id_a"), col("id_b")).as("_eu"),
@@ -388,7 +399,8 @@ object Dedup {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      val next = smallStar(largeStar(edges)).persist(StorageLevel.MEMORY_AND_DISK)
+      val next = reRoot(smallStar(largeStar(edges)))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       // exact fixed-point test: |next| == |edges| and next \ edges = ∅
       // together mean set equality (two jobs over pair-bounded frames,
       // both persisted — no hash-checksum false convergence). count()

@@ -107,9 +107,42 @@ object RawSources {
       numBuckets: Int,
   ): Unit = {
     require(keys.nonEmpty, "bucketing needs at least one key column")
-    df.write.mode("overwrite").format("parquet").option("path", path)
+    // repartition on the bucket keys into exactly numBuckets tasks:
+    // HashPartitioning and the bucket-id expression use the same
+    // murmur3-pmod, so each task holds exactly one bucket and writes ONE
+    // file — multi-file buckets would force Spark to re-SORT every
+    // bucketed read before a merge join (no exchange, but a per-query
+    // sort the sorted layout exists to amortize away)
+    df.repartition(numBuckets, keys.map(col): _*)
+      .write.mode("overwrite").format("parquet").option("path", path)
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
+  }
+
+  /** Re-attach an existing bucketed layout to the (in-memory) catalog —
+    * the recovery path for a NEW session reading files a previous
+    * session wrote with [[writeBucketed]]: bucket metadata lives in the
+    * catalog, not the parquet footers, so a plain `spark.read.parquet`
+    * over the same files silently loses the zero-exchange property. The
+    * DDL re-registration pins (keys, numBuckets), which MUST match the
+    * writing call — they are the on-disk contract.
+    */
+  def registerBucketed(
+      spark: SparkSession,
+      table: String,
+      path: String,
+      keys: Seq[String],
+      numBuckets: Int,
+  ): DataFrame = {
+    if (!spark.catalog.tableExists(table)) {
+      val schema = spark.read.parquet(path).schema
+      val cols = keys.map(k => s"`$k`").mkString(", ")
+      spark.sql(
+        s"""CREATE TABLE `$table` (${schema.toDDL}) USING PARQUET
+           |CLUSTERED BY ($cols) SORTED BY ($cols) INTO $numBuckets BUCKETS
+           |LOCATION '$path'""".stripMargin)
+    }
+    spark.table(table)
   }
 }

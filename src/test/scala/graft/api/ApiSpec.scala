@@ -166,4 +166,30 @@ items:
       .collect().map(r => r.getAs[Long]("ID") -> r.getAs[Int]("Decile")).toMap
     assert(noBc == deciles)
   }
+
+  test("nearDuplicatePairs + duplicateClusters: managed handle owns every cache") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    val a = api()
+    // fully disjoint token sets per doc: the only near-dup pair is the
+    // planted exact copy (shared shingles across distinct docs would
+    // band-collide and merge clusters)
+    def text(i: Int) = (0 until 8).map(w => s"w${i}x$w").mkString(" ")
+    val docs = (0 until 40).map(i => (i.toLong, text(i))).toDF("doc_id", "text")
+    val corpus = docs.unionByName(Seq((1000L, text(7))).toDF("doc_id", "text"))
+    val h = graft.ops.StorageHandle()
+    val pairs = a.nearDuplicatePairs(corpus, "minhash", h)
+    val clusters = a.duplicateClusters(corpus, pairs.select("id_a", "id_b"), h)
+    // (pair construction is lazy; the clustering call iterates to its
+    // fixed point, leaving the star forest pinned behind the lazy result)
+    val labels = clusters.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(1000L) == 7L && labels(7L) == 7L)
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "the pipelines must have pinned their signature/pair/star caches")
+    h.release(blocking = true)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "release() must drop every cached frame both pipelines pinned")
+    assert(intercept[IllegalArgumentException](
+      a.nearDuplicatePairs(corpus, "bogus", h)).getMessage.contains("bogus"))
+  }
 }

@@ -124,13 +124,14 @@ Province:
     }
   }
 
-  def repo(spark: SparkSession, cacheDir: Option[String] = None): TableRepo = new TableRepo(
+  def repo(spark: SparkSession, cacheDir: Option[String] = None,
+           config: Option[RepoConfig] = None): TableRepo = new TableRepo(
     spark,
     tablesMeta = Meta.fromYaml(tablesYaml),
     schemaMeta = Meta.fromYaml(schemaYaml),
     rawReader = (n, _) => raw(spark)(n),
     classifications = Map("Food_NonFood" -> Meta.fromYaml(commoditiesYaml)("Food_NonFood")),
     householdMeta = Meta.fromYaml(householdYaml),
-    config = RepoConfig(cacheDir = cacheDir),
+    config = config.getOrElse(RepoConfig(cacheDir = cacheDir)),
   )
 }

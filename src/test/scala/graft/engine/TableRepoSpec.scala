@@ -144,6 +144,41 @@ food:
     assert(again.count() == 6)
   }
 
+  test("A9 cache with bucketed layout: cached loads read bucketed and skip shuffles") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val dir = java.nio.file.Files.createTempDirectory("graft_cache_bucketed").toString
+    val cfg = RepoConfig(cacheDir = Some(dir),
+      cacheBucketKeys = Seq("ID"), cacheBucketCount = 4)
+    val r = HbsFixtures.repo(spark, config = Some(cfg))
+    // first load builds + writes the bucketed cache entry
+    assert(r.table("Expenditures", Seq(1400)).count() == 6)
+    // plan-shape assertions need the real tree and no broadcast escape
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def exchanges(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
+      // cached read: groupBy on the bucket key must not shuffle
+      val cached = r.table("Expenditures", Seq(1400))
+      assert(exchanges(cached.groupBy("ID").count()).isEmpty,
+        "groupBy on the bucket key of a bucket-cached table must not shuffle")
+      // a NEW session would find files but no catalog entry: simulate by
+      // dropping the catalog table (external — files survive), then load
+      // again through readCache's re-registration path
+      val t = spark.catalog.listTables().collect()
+        .map(_.name).filter(_.startsWith("graft_cache_expenditures_1400"))
+      assert(t.length == 1, s"expected one registered cache table, got ${t.toSeq}")
+      spark.sql(s"DROP TABLE ${t.head}")
+      val recovered = r.table("Expenditures", Seq(1400))
+      assert(recovered.count() == 6)
+      assert(exchanges(recovered.groupBy("ID").count()).isEmpty,
+        "re-registered bucketed cache must keep the zero-shuffle property")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("C3 add_weights as a pipeline instruction") {
     val r = HbsFixtures.repo(spark).withExtraSchemas(Meta.fromYaml("""
 Weighted_Total:

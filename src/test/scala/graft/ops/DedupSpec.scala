@@ -173,6 +173,10 @@ class DedupSpec extends SparkSpec {
 
   test("duplicate clusters: managed handle releases the star-forest cache") {
     import spark.implicits._
+    // earlier tests run unmanaged pipelines whose caches are session-
+    // lifetime BY DESIGN; drop them so the emptiness assertion below
+    // sees only what THIS test's handle pinned
+    spark.catalog.clearCache()
     val ids = Seq(1L, 2L, 3L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
     val handle = StorageHandle()
