@@ -1330,13 +1330,49 @@ items:
     SELECT id_a, id_b, round(cos_raw, 6) AS cosine
     FROM p WHERE cos_raw >= CAST(0.8 AS DOUBLE)"""
 
-  /** LSH-bucketed approximate top-k (rows-only; recall asserted in tests). */
+  /** LSH top-k at the production operating point (16 planes, 4 bands —
+    * genuinely approximate, unlike `ann_lsh_full_recall`), gated as a
+    * RECALL AUDIT: the LSH result set joins against the exact top-15
+    * (computed by the already-oracled brute-force machinery) and the
+    * output is the per-query recall summary — result count, hits inside
+    * the true top-5, and the worst true rank any returned neighbor
+    * holds (an LSH result OUTSIDE the top-15 would surface as 9999 and
+    * fail the gate loudly). LSH here is a deterministic function of the
+    * data (fixed hyperplane seed, no sampling), so these summaries are
+    * fixed dataset properties the oracle enumerates — measured at
+    * sf0.01: recall@5 = 4/5, 3/5, 3/5 per query, and every returned
+    * neighbor sits within the true top-11. The same machinery at full
+    * recall is exactly-oracled by `ann_lsh_full_recall`; this row pins
+    * the quality of the approximation the 100 TB operating point buys
+    * its bucket locality with.
+    */
   def annLshTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = T(s, dir, "embeddings")
-    Ann.lshTopK(emb, emb.where(col("vec_id") < 3), k = 5, dim = 64)
-      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"),
-        col("rank").cast(IntegerType).as("rank"))
+    val queries = emb.where(col("vec_id") < 3)
+    val lsh = Ann.lshTopK(emb, queries, k = 5, dim = 64)
+    val brute = Ann.bruteForceTopK(emb, queries, k = 15)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("_brank"))
+    lsh.select("query_id", "neighbor_id")
+      .join(brute, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_returned"),
+        sum(when(col("_brank") <= 5, 1L).otherwise(0L)).as("hits_top5"),
+        max(coalesce(col("_brank").cast(LongType), lit(9999L))).as("max_brute_rank"))
+      .orderBy("query_id")
   }
+
+  /** Measured recall constants for the deterministic LSH at sf0.01 —
+    * see [[annLshTopK]]; a testdata regeneration changes these and the
+    * gate fails loudly (the simhash planted-pair oracles make the same
+    * fixture-property bargain).
+    */
+  private val annLshTopKSql = """
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(n_returned AS BIGINT) AS n_returned,
+           CAST(hits_top5 AS BIGINT) AS hits_top5,
+           CAST(max_brute_rank AS BIGINT) AS max_brute_rank
+    FROM (VALUES (0, 5, 4, 6), (1, 5, 3, 8), (2, 5, 3, 11))
+      AS t(query_id, n_returned, hits_top5, max_brute_rank)"""
 
   /** The LSH top-k machinery at full recall: 16 bands of ONE bit each —
     * a pair escapes candidacy only if all 16 sign bits differ (measure
@@ -1681,7 +1717,7 @@ items:
     ("simhash_pairs_capped", simhashPairsCapped _, Some(simhashPairsSql)),
     ("simhash_near_dups", simhashNearDups _, Some(minhashNearDupsSql)),
     ("ann_brute_topk", annBruteTopK _, Some(annBruteSql)),
-    ("ann_lsh_topk", annLshTopK _, None),
+    ("ann_lsh_topk", annLshTopK _, Some(annLshTopKSql)),
     ("ann_cosine_dedup", annCosineDedup _, Some(annCosineDedupSql)),
     ("multimodal_features", multimodalFeatures _, Some(multimodalSql)),
     ("dedup_clusters", dedupClusters _, Some(dedupClustersSql)),
