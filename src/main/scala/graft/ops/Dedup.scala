@@ -369,6 +369,10 @@ object Dedup {
     * (row-roundtrip to a LogicalRDD leaf) keeps every round's plan
     * constant-size; unlike `localCheckpoint` its backing blocks are the
     * explicit per-round persists, released deterministically, not on GC.
+    * Cache-backed rounds still CHAIN RDD lineage (a lost block
+    * recomputes through every earlier round) — for long jobs on
+    * preemptible clusters pass `checkpointDir` to materialize rounds to
+    * the filesystem instead, cutting recovery to a file re-read.
     *
     * Convergence is verified EXACTLY (equal cardinality + empty
     * set-difference between consecutive rounds); if `maxIter` rounds pass
@@ -383,12 +387,28 @@ object Dedup {
       idCol: String = "doc_id",
       maxIter: Int = 24,
       handle: StorageHandle = StorageHandle.unmanaged,
+      /** When set, each round materializes to parquet under this dir
+        * instead of the cache — truncating RDD lineage at the
+        * FILESYSTEM, so an executor loss re-reads one round's files
+        * rather than recomputing the whole round chain (cache-only mode
+        * keeps the lineage link between rounds). The long-job-at-scale
+        * option; previous rounds are deleted as the loop advances, the
+        * FINAL round's files back the returned plan — consume the
+        * result, then delete the dir.
+        */
+      checkpointDir: Option[String] = None,
   ): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    val spark = ids.sparkSession
     // re-root: truncate the symbolic plan at a LogicalRDD leaf (see
     // scaladoc). `.rdd` is lazy — no job runs until the round's count.
     def reRoot(df: DataFrame): DataFrame =
-      df.sparkSession.createDataFrame(df.rdd, df.schema)
+      spark.createDataFrame(df.rdd, df.schema)
+    def roundPath(i: Int) = s"${checkpointDir.get}/cc_round_$i"
+    def deleteRound(i: Int): Unit = if (i >= 0) {
+      val p = new org.apache.hadoop.fs.Path(roundPath(i))
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
     // canonical (big, small) edge list, self-loops dropped
     var edges = pairs
       .select(greatest(col("id_a"), col("id_b")).as("_eu"),
@@ -398,17 +418,30 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var iter = 0
     var converged = false
+    var edgeCount = -1L // lazily filled by round 1 (one job, reused after)
     while (iter < maxIter && !converged) {
-      val next = reRoot(smallStar(largeStar(edges)))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val contracted = smallStar(largeStar(edges))
+      val next = checkpointDir match {
+        case Some(_) =>
+          contracted.write.mode("overwrite").parquet(roundPath(iter))
+          spark.read.parquet(roundPath(iter))
+        case None =>
+          reRoot(contracted).persist(StorageLevel.MEMORY_AND_DISK)
+      }
       // exact fixed-point test: |next| == |edges| and next \ edges = ∅
-      // together mean set equality (two jobs over pair-bounded frames,
-      // both persisted — no hash-checksum false convergence). count()
-      // also materializes `next`'s cache, so unpersisting the previous
-      // round's frame below never triggers lineage recompute.
-      converged = next.count() == edges.count() &&
+      // together mean set equality (no hash-checksum false convergence).
+      // The count() also materializes `next`'s cache, so unpersisting
+      // the previous round's frame below never triggers lineage
+      // recompute; the previous round's count is carried in a var, and
+      // the except probe only runs once the cheap cardinality test
+      // passes — far from convergence each round costs ONE extra job.
+      if (edgeCount < 0) edgeCount = edges.count()
+      val nextCount = next.count()
+      converged = nextCount == edgeCount &&
         next.except(edges).limit(1).count() == 0
-      edges.unpersist()
+      edgeCount = nextCount
+      edges.unpersist() // no-op for a parquet-backed round
+      if (checkpointDir.isDefined) deleteRound(iter - 1)
       edges = next
       iter += 1
     }

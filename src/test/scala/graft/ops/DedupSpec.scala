@@ -171,6 +171,23 @@ class DedupSpec extends SparkSpec {
       s"every node of the path must label 0, got: ${clusters.filter(_._2 != 0L)}")
   }
 
+  test("duplicate clusters: filesystem-checkpointed rounds label exactly and clean up") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    // the same diameter-40 path graph, but every round materialized to
+    // parquet: lineage (and recovery) is cut at the filesystem
+    val n = 40
+    val ids = (0 to n).map(_.toLong).toDF("doc_id")
+    val pairs = (0 until n).map(i => ((i + 1).toLong, i.toLong)).toDF("id_a", "id_b")
+    val clusters = Dedup.duplicateClusters(ids, pairs, checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.size == n + 1 && clusters.values.forall(_ == 0L))
+    // rolling cleanup: only the final round's files may remain
+    val rounds = new java.io.File(dir).listFiles().map(_.getName).toSeq
+    assert(rounds.count(_.startsWith("cc_round_")) == 1,
+      s"previous rounds must be deleted as the loop advances, found $rounds")
+  }
+
   test("duplicate clusters: managed handle releases the star-forest cache") {
     import spark.implicits._
     // earlier tests run unmanaged pipelines whose caches are session-
