@@ -374,12 +374,18 @@ object Dedup {
     * preemptible clusters pass `checkpointDir` to materialize rounds to
     * the filesystem instead, cutting recovery to a file re-read.
     *
-    * Convergence is verified EXACTLY (equal cardinality + empty
-    * set-difference between consecutive rounds); if `maxIter` rounds pass
-    * without a fixed point this THROWS rather than returning
-    * partially-merged labels — at the default 24 rounds the bound
-    * log²(n) makes that unreachable for any physically storable graph,
-    * so a throw means a logic bug, never data scale.
+    * Convergence is tested as the correctness property ITSELF: a round's
+    * output is checked to be a STAR FOREST (no center appears as a leaf,
+    * no leaf has two parents) — connectivity preservation per round
+    * keeps each star a full component, and the canonical orientation
+    * makes each center its star's minimum, so star forest ⇒ labels
+    * exact. This needs no extra confirmation round the way a
+    * fixed-point (next == edges) test does, and it can never falsely
+    * converge. If `maxIter` rounds pass without a star forest this
+    * THROWS rather than returning partially-merged labels — at the
+    * default 24 rounds the O(log² n) bound makes that unreachable for
+    * any physically storable graph, so a throw means a logic bug, never
+    * data scale.
     */
   def duplicateClusters(
       ids: DataFrame,
@@ -418,7 +424,6 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var iter = 0
     var converged = false
-    var edgeCount = -1L // lazily filled by round 1 (one job, reused after)
     while (iter < maxIter && !converged) {
       val contracted = smallStar(largeStar(edges))
       val next = checkpointDir match {
@@ -428,18 +433,20 @@ object Dedup {
         case None =>
           reRoot(contracted).persist(StorageLevel.MEMORY_AND_DISK)
       }
-      // exact fixed-point test: |next| == |edges| and next \ edges = ∅
-      // together mean set equality (no hash-checksum false convergence).
-      // The count() also materializes `next`'s cache, so unpersisting
-      // the previous round's frame below never triggers lineage
-      // recompute; the previous round's count is carried in a var, and
-      // the except probe only runs once the cheap cardinality test
-      // passes — far from convergence each round costs ONE extra job.
-      if (edgeCount < 0) edgeCount = edges.count()
-      val nextCount = next.count()
-      converged = nextCount == edgeCount &&
-        next.except(edges).limit(1).count() == 0
-      edgeCount = nextCount
+      // Convergence = the round's output IS a star forest, checked
+      // directly (see scaladoc): any center appearing as a leaf or any
+      // leaf with two parents is a violation. ONE probe job per round
+      // whose two branches both full-scan `next` — which also
+      // materializes the round's cache, so dropping the previous
+      // round's persist below never triggers lineage recompute (no
+      // limit() short-circuit here for exactly that reason).
+      val violations = next
+        .join(next.select(col("_eu").as("_ev")).distinct(), Seq("_ev"), "left_semi")
+        .select(lit(1).as("_v"))
+        .union(next.groupBy("_eu").agg(count(lit(1)).as("_n"))
+          .where(col("_n") > 1).select(lit(1).as("_v")))
+        .count()
+      converged = violations == 0
       edges.unpersist() // no-op for a parquet-backed round
       if (checkpointDir.isDefined) deleteRound(iter - 1)
       edges = next
@@ -452,21 +459,6 @@ object Dedup {
           "large-star/small-star rounds — this indicates a logic bug, not " +
           "data scale (the bound is O(log² n) rounds)")
     }
-    // Verify the fixed point IS a star forest — centers never appear as
-    // leaves, and every leaf has exactly one parent. The fixed-point test
-    // above is necessary for convergence but this is the property the
-    // labels' correctness rests on (canonical orientation then makes each
-    // star's center its minimum, and connectivity preservation per round
-    // makes each star a full component): two bounded probe jobs over the
-    // persisted final edges, failing LOUDLY rather than ever emitting
-    // split components.
-    val leafAsCenter = edges
-      .join(edges.select(col("_eu").as("_ev")).distinct(), Seq("_ev"), "left_semi")
-      .limit(1).count()
-    val multiParent = edges.groupBy("_eu").agg(count(lit(1)).as("_n"))
-      .where(col("_n") > 1).limit(1).count()
-    require(leafAsCenter == 0 && multiParent == 0,
-      "duplicateClusters converged to a non-star-forest edge set — logic bug")
     // The converged star forest backs the returned (lazy) plan, so it
     // must STAY persisted past this call: hand it to the caller's handle
     // (managed mode releases it on handle.release(); the unmanaged
