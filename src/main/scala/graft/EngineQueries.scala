@@ -59,7 +59,8 @@ OrdCached:
 
   private def repo(
       s: SparkSession, dir: String, cacheDir: Option[String] = None,
-      availability: Map[String, Argham] = Map.empty): TableRepo =
+      availability: Map[String, Argham] = Map.empty,
+      cacheBucketKeys: Seq[String] = Seq.empty): TableRepo =
     new TableRepo(
       s,
       tablesMeta = Meta.fromYaml(tablesYaml),
@@ -73,7 +74,9 @@ OrdCached:
       config = RepoConfig(
         resolver = ResolverSettings(yearRange = (1350, 2100)),
         cacheDir = cacheDir,
-        availability = availability),
+        availability = availability,
+        cacheBucketKeys = cacheBucketKeys,
+        cacheBucketCount = 8),
     )
 
   // ------------------------------------------------------------------ E1
@@ -172,6 +175,29 @@ instructions:
 
   // same logical result as e1 (cache must be transparent)
   private[graft] val a9Sql = e1Sql
+
+  /** A9 cache in the BUCKETED at-rest configuration, full lifecycle
+    * under hash verification: build writes the cache bucketed+sorted by
+    * OrderKey and registers it in the catalog; the catalog entry is
+    * then dropped (files survive — simulating a NEW session finding the
+    * files without metadata) and a fresh repo re-attaches the bucket
+    * metadata through readCache's DDL re-registration path
+    * ([[graft.sources.RawSources.registerBucketed]]). The returned
+    * frame is the re-registered bucketed read — layout must be
+    * transparent to values (same oracle as the plain cache row), while
+    * TableRepoSpec separately asserts the zero-shuffle property.
+    */
+  def a9CacheBucketed(s: SparkSession, dir: String): DataFrame = {
+    val cacheDir = java.nio.file.Files.createTempDirectory("graft_a9b_gate").toString
+    repo(s, dir, Some(cacheDir), cacheBucketKeys = Seq("OrderKey"))
+      .table("OrdCached", Seq(1996))
+    val t = s.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("graft_cache_ordcached_1996_"))
+    require(t.length == 1, s"expected one registered bucketed cache table, got ${t.toSeq}")
+    s.sql(s"DROP TABLE ${t.head}")
+    repo(s, dir, Some(cacheDir), cacheBucketKeys = Seq("OrderKey"))
+      .table("OrdCached", Seq(1996))
+  }
 
   // ------------------------------------------------------------------ E14
 

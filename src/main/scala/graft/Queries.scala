@@ -1735,6 +1735,7 @@ items:
     ("c17_multiyear", EngineQueries.c17MultiYear _, Some(EngineQueries.c17Sql)),
     ("e2_schema_table", EngineQueries.e2SchemaTable _, Some(EngineQueries.e2Sql)),
     ("a9_cache", EngineQueries.a9Cache _, Some(EngineQueries.a9Sql)),
+    ("a9_cache_bucketed", EngineQueries.a9CacheBucketed _, Some(EngineQueries.a9Sql)),
     ("e14_external", EngineQueries.e14External _, Some(EngineQueries.e14Sql)),
     ("e15_view", EngineQueries.e15View _, Some(Queries.d1Sql)),
     ("e18_availability", EngineQueries.e18Availability _, Some(EngineQueries.e18Sql)),
