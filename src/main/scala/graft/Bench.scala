@@ -26,7 +26,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val byName = Queries.catalog.map { case (n, fn, _) => n -> fn }.toMap
+    val byName = Queries.catalog.map { case (n, fn, _) => n -> fn }.toMap ++ Queries.benchExtra
     val names = Queries.benchNames.filter(byName.contains)
     // untimed warmup: initializes parquet reader, codegen, and the noop
     // committer so the first timed query measures the query, not JVM

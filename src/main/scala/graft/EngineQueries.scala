@@ -162,9 +162,19 @@ instructions:
     * serve from the cache (data_engine.py:515-610). The returned frame
     * IS the cache read, so the gate checks the round-trip.
     */
+  /** One cache dir per (JVM × fixture dir × flavor) — repeated gate/
+    * bench invocations reuse it instead of leaking a full materialized
+    * cache copy into the system temp dir per run.
+    */
+  private val a9Dirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def a9Dir(dir: String, flavor: String): String =
+    a9Dirs.computeIfAbsent(s"$flavor:$dir", _ =>
+      java.nio.file.Files.createTempDirectory(s"graft_${flavor}_gate").toString)
+
   def a9Cache(s: SparkSession, dir: String): DataFrame = {
-    val cacheDir = java.nio.file.Files.createTempDirectory("graft_a9_gate").toString
-    // building the table materializes the cache parquet (eager write)
+    val cacheDir = a9Dir(dir, "a9")
+    // building the table materializes the cache parquet (eager write;
+    // a repeat invocation serves straight from the existing entry)
     repo(s, dir, Some(cacheDir)).table("OrdCached", Seq(1996))
     val files = new java.io.File(cacheDir).listFiles()
     require(files != null && files.exists(_.getName.startsWith("OrdCached_1996_")),
@@ -188,7 +198,7 @@ instructions:
     * TableRepoSpec separately asserts the zero-shuffle property.
     */
   def a9CacheBucketed(s: SparkSession, dir: String): DataFrame = {
-    val cacheDir = java.nio.file.Files.createTempDirectory("graft_a9b_gate").toString
+    val cacheDir = a9Dir(dir, "a9b")
     repo(s, dir, Some(cacheDir), cacheBucketKeys = Seq("OrderKey"))
       .table("OrdCached", Seq(1996))
     val t = s.catalog.listTables().collect().map(_.name)

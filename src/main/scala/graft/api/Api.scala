@@ -240,11 +240,15 @@ class Api(
     *   3. consume `pairs` (collect / write / join downstream);
     *   4. `h.release()` — every cache the pipeline pinned is dropped.
     *
-    * Methods: `"minhash"` — banded MinHash LSH over `textCol`, returns
-    * (id_a, id_b, est_jaccard); `"simhash"` — banded 64-bit SimHash with
-    * the hot-bucket cap, returns (id_a, id_b, hamming); `"cosine"` —
-    * sign-LSH over `vecCol` (dim required), returns (id_a, id_b,
-    * cosine >= threshold).
+    * `threshold` is the similarity floor in EVERY method's own metric:
+    * `"minhash"` filters the signature-agreement Jaccard estimate
+    * (returns (id_a, id_b, est_jaccard >= threshold)); `"simhash"` maps
+    * it to a Hamming bound — similarity ≈ 1 - hamming/64, so
+    * maxDistance = ⌊(1-threshold)·64⌋, with 16 bands pigeonholing
+    * recall to distance 15 and the hot-bucket cap keeping the narrow
+    * 4-bit keys join-safe (returns (id_a, id_b, hamming)); `"cosine"` —
+    * sign-LSH over `vecCol` (dim required) — filters exact cosine
+    * (returns (id_a, id_b, cosine)).
     */
   def nearDuplicatePairs(
       df: DataFrame,
@@ -258,9 +262,15 @@ class Api(
   ): DataFrame = method match {
     case "minhash" =>
       Dedup.minHashPairs(df, textCol, idCol, handle = handle)
+        .where(col("est_jaccard") >= threshold)
     case "simhash" =>
-      Dedup.simHashCandidates(df, textCol, idCol, maxDistance = 3, bands = 4,
-        maxBucketSize = 1000, handle = handle)
+      val maxDistance = math.max(0, ((1.0 - threshold) * 64).toInt)
+      require(maxDistance <= 15,
+        s"simhash threshold $threshold maps to hamming distance $maxDistance; " +
+          "16-band recall is only guaranteed to distance 15 — use minhash " +
+          "or cosine for looser thresholds")
+      Dedup.simHashCandidates(df, textCol, idCol, maxDistance = maxDistance,
+        bands = 16, maxBucketSize = 1000, handle = handle)
     case "cosine" =>
       require(dim > 0, "cosine near-dups need the embedding dimension (dim)")
       Ann.cosineNearDupPairs(df, threshold, dim, idCol = idCol, vecCol = vecCol,

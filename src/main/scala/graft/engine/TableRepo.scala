@@ -75,6 +75,16 @@ class TableRepo(
   private val originalTables: Set[String] =
     tablesMeta match { case m: MMap => m.keys.map(_.asString).toSet; case _ => Set.empty }
 
+  // the bucketed layout's superset-key joins (the hottest pattern:
+  // (Year, ID) over ID buckets) only skip their shuffle under this conf;
+  // a session without it still gets correct results but silently pays
+  // the shuffles the layout exists to remove — warn once at build time
+  if (config.cacheBucketKeys.nonEmpty &&
+      spark.conf.get("spark.sql.requireAllClusterKeysForCoPartition", "true") == "true")
+    System.err.println("[graft] WARN: RepoConfig.cacheBucketKeys is set but " +
+      "spark.sql.requireAllClusterKeysForCoPartition=true; joins on a superset " +
+      "of the bucket keys will still shuffle — set it to false (see Verify.scala)")
+
   // ------------------------------------------------------------------ build
 
   /** E18: the requested years restricted to the table's availability
@@ -172,9 +182,16 @@ class TableRepo(
     config.cacheDir.isDefined && tableSchema.get("cache_result").exists(_.asBool)
 
   /** Fingerprint = hash of the resolved schema subtree + every transitive
-    * dependency's (name, size) — a change in metadata or in any upstream
-    * source invalidates the cache, like the reference's dependency-yaml
-    * comparison (data_engine.py:559-582).
+    * dependency's (name, size) + the BUCKET LAYOUT config — a change in
+    * metadata or in any upstream source invalidates the cache, like the
+    * reference's dependency-yaml comparison (data_engine.py:559-582).
+    * The layout is part of the fingerprint because (keys, numBuckets)
+    * are an on-disk contract: re-registering existing files under a
+    * DIFFERENT bucket count would make Spark's bucket-pruned reads
+    * silently drop files (buckets are tabulated 0 until numBuckets), and
+    * a different key would skip shuffles against a partitioning the
+    * files don't have — a layout change must be a cache MISS, never a
+    * misread.
     */
   private def fingerprint(name: String, year: Int): String = {
     def depsOf(n: String): Seq[String] = schemaMeta.get(n)
@@ -195,8 +212,11 @@ class TableRepo(
         new VersionResolver(m, year, config.resolver).getVersion.toString).getOrElse("")
       s"$t:${depSize(t, year).getOrElse(-1L)}:${schemaStr.hashCode}"
     }
+    val layout =
+      if (config.cacheBucketKeys.isEmpty) ""
+      else s"|bucket:${config.cacheBucketKeys.mkString(",")}:${config.cacheBucketCount}"
     java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(parts.mkString("|")).toLong & 0xFFFFFFFFL)
+      scala.util.hashing.MurmurHash3.stringHash(parts.mkString("|") + layout).toLong & 0xFFFFFFFFL)
   }
 
   private def cachePath(name: String, year: Int): String =

@@ -454,6 +454,9 @@ object Dedup {
     }
     if (!converged) {
       edges.unpersist()
+      // failure path has no surviving consumer — drop the last written
+      // round too (rolling deletion already removed the earlier ones)
+      if (checkpointDir.isDefined) deleteRound(iter - 1)
       throw new IllegalStateException(
         s"duplicateClusters did not reach a star forest in $maxIter " +
           "large-star/small-star rounds — this indicates a logic bug, not " +

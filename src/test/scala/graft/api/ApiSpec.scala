@@ -191,5 +191,18 @@ items:
       "release() must drop every cached frame both pipelines pinned")
     assert(intercept[IllegalArgumentException](
       a.nearDuplicatePairs(corpus, "bogus", h)).getMessage.contains("bogus"))
+    // threshold semantics: minhash filters the jaccard estimate (the
+    // planted exact copy survives any threshold); simhash maps it to a
+    // hamming bound and rejects thresholds past the 16-band guarantee
+    val strict = a.nearDuplicatePairs(corpus, "minhash", h, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(strict.toSeq == Seq((7L, 1000L)))
+    val sh = a.nearDuplicatePairs(corpus, "simhash", h)
+    assert(sh.where(col("id_a") === 7 && col("id_b") === 1000)
+      .collect().head.getAs[Int]("hamming") == 0)
+    h.release(blocking = true)
+    assert(intercept[IllegalArgumentException](
+      a.nearDuplicatePairs(corpus, "simhash", h, threshold = 0.5))
+      .getMessage.contains("distance"))
   }
 }

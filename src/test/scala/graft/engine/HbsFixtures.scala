@@ -125,13 +125,17 @@ Province:
   }
 
   def repo(spark: SparkSession, cacheDir: Option[String] = None,
-           config: Option[RepoConfig] = None): TableRepo = new TableRepo(
-    spark,
-    tablesMeta = Meta.fromYaml(tablesYaml),
-    schemaMeta = Meta.fromYaml(schemaYaml),
-    rawReader = (n, _) => raw(spark)(n),
-    classifications = Map("Food_NonFood" -> Meta.fromYaml(commoditiesYaml)("Food_NonFood")),
-    householdMeta = Meta.fromYaml(householdYaml),
-    config = config.getOrElse(RepoConfig(cacheDir = cacheDir)),
-  )
+           config: Option[RepoConfig] = None): TableRepo = {
+    require(config.isEmpty || cacheDir.isEmpty,
+      "pass cacheDir inside the explicit config — a config overrides ALL of RepoConfig")
+    new TableRepo(
+      spark,
+      tablesMeta = Meta.fromYaml(tablesYaml),
+      schemaMeta = Meta.fromYaml(schemaYaml),
+      rawReader = (n, _) => raw(spark)(n),
+      classifications = Map("Food_NonFood" -> Meta.fromYaml(commoditiesYaml)("Food_NonFood")),
+      householdMeta = Meta.fromYaml(householdYaml),
+      config = config.getOrElse(RepoConfig(cacheDir = cacheDir)),
+    )
+  }
 }
