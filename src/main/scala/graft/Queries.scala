@@ -1137,10 +1137,32 @@ items:
     * row (xxhash64 over the array) — the driver's pandas row-sort cannot
     * order ndarray cells, so array columns must never reach the gate.
     */
-  def minhashSigs(s: SparkSession, dir: String): DataFrame =
-    Dedup.minHashSignatures(T(s, dir, "documents"))
-      .select(col("doc_id"), xxhash64(col("_sig")).as("sig_digest"),
-        size(col("_sig")).cast(IntegerType).as("sig_len"))
+  /** The MinHash signature kernel under a DuckDB-checkable contract.
+    * Raw signature values are xxhash64-specific (no DuckDB equivalent),
+    * so the gate checks the kernel's verifiable INVARIANTS instead:
+    * every signature carries exactly 64 hashes, and a planted EXACT
+    * COPY (same text, different id) produces an IDENTICAL signature —
+    * signatures are a pure function of the text, so any
+    * nondeterminism, id-dependence, or per-row state in the kernel
+    * fails this row. Raw values are exercised end-to-end by the
+    * exactly-oracled minhash_pairs / minhash_near_dups rows.
+    */
+  def minhashSigs(s: SparkSession, dir: String): DataFrame = {
+    val sigs = Dedup.minHashSignatures(plantedCorpus(T(s, dir, "documents")))
+    val a = sigs.where(col("doc_id") < 25)
+      .select(col("doc_id"), col("_sig").as("_sa"))
+    val b = sigs.where(col("doc_id") >= 10000)
+      .select((col("doc_id") - 10000).as("doc_id"), col("_sig").as("_sb"))
+    a.join(b, Seq("doc_id"))
+      .select(col("doc_id"),
+        size(col("_sa")).cast(IntegerType).as("sig_len"),
+        (col("_sa") === col("_sb")).as("copy_sig_equal"))
+      .orderBy("doc_id")
+  }
+
+  private val minhashSigsSql = """
+    SELECT doc_id, 64 AS sig_len, TRUE AS copy_sig_equal
+    FROM documents WHERE doc_id < 25"""
 
   /** SimHash exact-duplicate detection with a DuckDB oracle: the corpus
     * is unioned with id-offset EXACT copies of the first 25 documents and
@@ -1730,7 +1752,7 @@ items:
     ("ngram_jaccard", ngramJaccard _, Some(ngramJaccardSql)),
     ("minhash_pairs", minhashPairs _, Some(minhashPairsSql)),
     ("minhash_near_dups", minhashNearDups _, Some(minhashNearDupsSql)),
-    ("minhash_sigs", minhashSigs _, None),
+    ("minhash_sigs", minhashSigs _, Some(minhashSigsSql)),
     ("simhash_pairs", simhashPairs _, Some(simhashPairsSql)),
     ("simhash_pairs_capped", simhashPairsCapped _, Some(simhashPairsSql)),
     ("simhash_near_dups", simhashNearDups _, Some(minhashNearDupsSql)),

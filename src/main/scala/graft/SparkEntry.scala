@@ -11,9 +11,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.catalog.map { case (name, fn, _) => name -> fn }.toMap
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (MinHash/SimHash/LSH — hash-function-specific; driver records a
-    * rows-only check and ScalaTest covers their semantics).
+    * the same parquet tables. Every catalog row carries one:
+    * hash-function-specific ops (MinHash/SimHash/LSH) are gated through
+    * verifiable invariants — planted-copy equalities, recall audits
+    * against the exactly-oracled brute-force path — rather than raw
+    * hash values (see the per-query scaladocs in [[Queries]]).
     */
   def oracleSql: Map[String, String] =
     Queries.catalog.collect { case (name, _, Some(sql)) => name -> sql }.toMap
