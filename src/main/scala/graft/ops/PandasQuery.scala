@@ -17,24 +17,42 @@ object PandasQuery {
     // `.notnull()` / `.isnull()` method calls -> IS [NOT] NULL postfix
     s = s.replaceAll("(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)\\s*\\.\\s*(?:notnull|notna)\\(\\s*\\)", "$1 IS NOT NULL")
     s = s.replaceAll("(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)\\s*\\.\\s*(?:isnull|isna)\\(\\s*\\)", "$1 IS NULL")
-    // list literals: [a, b] -> (a, b)  (only in in/not-in position).
-    // Negative predicates are null-safe: pandas `Code not in [x]` keeps
-    // NaN rows, but SQL `NULL NOT IN (...)` is NULL and drops them — wrap
-    // as (col IS NULL OR col NOT IN (...)).
+    // Pandas comparisons are null-REJECTING (every compare with NaN is
+    // False, except != which is True); SQL comparisons are
+    // null-PROPAGATING (NULL). Under a plain filter both drop the row,
+    // but under NEGATION they diverge: pandas `not (Code > 5)` KEEPS a
+    // NaN row, SQL `NOT (Code > 5)` drops it. Every predicate below is
+    // therefore rewritten to an explicitly two-valued form so `~`/`not`
+    // composes with pandas semantics:
+    //   c > v        -> (c IS NOT NULL AND c > v)     [< >= <= likewise]
+    //   c == v       -> c <=> v                       [null-safe equal]
+    //   c != v       -> (c IS NULL OR c != v)
+    //   c in [..]    -> (c IS NOT NULL AND c IN (..))
+    //   c not in [..]-> (c IS NULL OR c NOT IN (..))
     s = s.replaceAll(
       "(?i)(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)\\s+not\\s+in\\s*\\[([^\\]]*)\\]",
       "($1 IS NULL OR $1 NOT IN ($2))")
-    s = s.replaceAll("(?i)\\bin\\s*\\[([^\\]]*)\\]", "IN ($1)")
-    // same for != — pandas keeps NaN rows under a != comparison
+    s = s.replaceAll(
+      "(?i)(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)\\s+in\\s*\\[([^\\]]*)\\]",
+      "($1 IS NOT NULL AND $1 IN ($2))")
     s = s.replaceAll(
       "(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)\\s*!=\\s*('[^']*'|\"[^\"]*\"|[A-Za-z0-9_.\\-]+)",
       "($1 IS NULL OR $1 != $2)")
+    // ordered comparisons (>= <= before > < so the wrap sees whole ops;
+    // must run BEFORE == becomes <=>, whose <=/> would false-match)
+    s = s.replaceAll(
+      "(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)\\s*(>=|<=|>|<)\\s*('[^']*'|\"[^\"]*\"|[A-Za-z0-9_.\\-]+)",
+      "($1 IS NOT NULL AND $1 $2 $3)")
+    // null-safe equality
+    s = s.replaceAll(
+      "(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)\\s*==\\s*('[^']*'|\"[^\"]*\"|[A-Za-z0-9_.\\-]+)",
+      "$1 <=> $2")
     // boolean connectives
     s = s.replace("&", " AND ").replace("|", " OR ").replace("~", " NOT ")
     s = s.replaceAll("(?i)\\band\\b", "AND")
     s = s.replaceAll("(?i)\\bor\\b", "OR")
     s = s.replaceAll("(?i)\\bnot\\b(?!\\s+IN)", "NOT")
-    // equality
+    // any equality not in ident-op-literal shape falls through verbatim
     s = s.replace("==", "=")
     // python literals
     s = s.replaceAll("\\bTrue\\b", "true").replaceAll("\\bFalse\\b", "false")

@@ -171,6 +171,29 @@ class DedupSpec extends SparkSpec {
       s"every node of the path must label 0, got: ${clusters.filter(_._2 != 0L)}")
   }
 
+  test("duplicate clusters: random graph matches a union-find oracle") {
+    import spark.implicits._
+    // arbitrary topology (cycles, stars, chains, isolated nodes mixed) —
+    // fixed seed for reproducibility; the oracle is driver-side
+    // union-find with union-by-min, whose roots are exactly the
+    // component minima the distributed labeling must produce
+    val rnd = new scala.util.Random(12345)
+    val n = 300
+    val edges = Seq.fill(400)((rnd.nextInt(n), rnd.nextInt(n))).filter(p => p._1 != p._2)
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val ids = (0 until n).map(_.toLong).toDF("doc_id")
+    val pairs = edges.map { case (a, b) => (a.toLong, b.toLong) }.toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(ids, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    assert(got == expected)
+  }
+
   test("duplicate clusters: filesystem-checkpointed rounds label exactly and clean up") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString

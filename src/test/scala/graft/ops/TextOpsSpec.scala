@@ -69,7 +69,7 @@ class TextOpsSpec extends SparkSpec {
     val neq = PandasQuery.toSql("Flag != 'N'")
     assert(neq.contains("Flag IS NULL OR"))
     assert(PandasQuery.toSql("Imputed_Rent.notnull() & (Rent > 0)")
-      == "Imputed_Rent IS NOT NULL AND (Rent > 0)")
+      == "Imputed_Rent IS NOT NULL AND ((Rent IS NOT NULL AND Rent > 0))")
   }
 
   test("subword count splits letter/digit boundaries") {
