@@ -1490,6 +1490,54 @@ items:
     FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
     GROUP BY d.doc_id"""
 
+  /** Quality-aware near-dup collapse: exact duplicate clusters over the
+    * verified near-dup pair graph, keeping each cluster's BEST-QUALITY
+    * document (quality desc, doc_id as the deterministic tiebreak) —
+    * real curation keeps the best copy of duplicated content, not the
+    * lowest id. One row per surviving document. Composes three
+    * individually-gated operators (minhash near-dup pairs, large-star/
+    * small-star CC, quality scoring) under ONE end-to-end oracle: the
+    * DuckDB side recomputes components with a recursive closure and
+    * picks the same per-cluster argmax. Scale shape: the cluster labels
+    * are pair-bounded, the quality join is a projection-fused scan, and
+    * the per-cluster argmax is one window over cluster-partitioned rows.
+    */
+  def dedupBestQuality(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = T(s, dir, "documents")
+    val pairs = minhashNearDups(s, dir).select("id_a", "id_b")
+    val clusters = Dedup.duplicateClusters(docs.select("doc_id"), pairs)
+    val scored = docs.select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
+    val win = Window.partitionBy("cluster_id").orderBy(col("quality").desc, col("doc_id").asc)
+    clusters.join(scored, Seq("doc_id"))
+      .withColumn("_rk", row_number().over(win))
+      .where(col("_rk") === 1)
+      .select(col("cluster_id"), col("doc_id"), col("quality"))
+      .orderBy("cluster_id")
+  }
+
+  private val dedupBestQualitySql = s"""
+    WITH RECURSIVE ${nearDupPairCtes("documents")},
+    e AS (
+      SELECT id_a AS a, id_b AS b FROM p WHERE round(j, 6) >= 0.6
+      UNION
+      SELECT id_b, id_a FROM p WHERE round(j, 6) >= 0.6),
+    reach(a, b) AS (
+      SELECT a, b FROM e
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+    cl AS (
+      SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+      FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+      GROUP BY d.doc_id),
+    q AS (SELECT doc_id, $qualityExprSql AS quality FROM documents)
+    SELECT cluster_id, doc_id, quality FROM (
+      SELECT cl.cluster_id, cl.doc_id, q.quality,
+             row_number() OVER (PARTITION BY cl.cluster_id
+                                ORDER BY q.quality DESC, cl.doc_id) AS rk
+      FROM cl JOIN q USING (doc_id))
+    WHERE rk = 1"""
+
   /** IVF ANN at full probe: write the corpus partitioned by its nearest
     * centroid, then query probing EVERY cluster — the partition-pruned
     * scan degenerates to the whole corpus and the result must equal the
@@ -1761,6 +1809,7 @@ items:
     ("ann_cosine_dedup", annCosineDedup _, Some(annCosineDedupSql)),
     ("multimodal_features", multimodalFeatures _, Some(multimodalSql)),
     ("dedup_clusters", dedupClusters _, Some(dedupClustersSql)),
+    ("dedup_best_quality", dedupBestQuality _, Some(dedupBestQualitySql)),
     ("ivf_topk", ivfTopK _, Some(annBruteSql)),
     ("kmeans_step", kmeansStep _, Some(kmeansStepSql)),
     ("skew_salted_agg", skewSaltedAgg _, Some(skewSaltedSql)),
