@@ -171,6 +171,40 @@ class DedupSpec extends SparkSpec {
       s"every node of the path must label 0, got: ${clusters.filter(_._2 != 0L)}")
   }
 
+  test("hot-bucket cap on a random corpus: no false pairs; hamming-0 components preserved") {
+    import spark.implicits._
+    // tiny vocabulary => many identical/near-identical docs => hot
+    // (band, key) buckets well past the cap, exercising the star +
+    // sorted-neighbor recovery passes on arbitrary data
+    val rnd = new scala.util.Random(424242)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")
+    val docs = (0 until 80).map { i =>
+      val n = 3 + rnd.nextInt(4)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    def run(cap: Int) = Dedup.simHashCandidates(docs, maxDistance = 3, bands = 4,
+      maxBucketSize = cap, neighborWindow = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exact = run(0)
+    val capped = run(5)
+    // the cap may SACRIFICE distant pairs but must never invent one
+    assert(capped.subsetOf(exact),
+      s"capped emitted pairs outside exact semantics: ${capped.diff(exact)}")
+    // hamming-0 recall contract: star links close transitively, so the
+    // capped distance-0 edge set must induce EXACTLY the equal-hash
+    // components the exact run induces
+    def components(ps: Set[(Long, Long, Int)]): Map[Long, Long] = {
+      val parent = Array.tabulate(80)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      ps.filter(_._3 == 0).foreach { case (a, b, _) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      (0 until 80).map(i => i.toLong -> find(i).toLong).toMap
+    }
+    assert(components(capped) == components(exact))
+  }
+
   test("duplicate clusters: random graph matches a union-find oracle") {
     import spark.implicits._
     // arbitrary topology (cycles, stars, chains, isolated nodes mixed) —
