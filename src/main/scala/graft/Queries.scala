@@ -670,14 +670,20 @@ items:
     // E6: attach area + weight from the registry (unhinted — the
     // registry is fact-sized; AQE picks broadcast only while it fits)
     val withW = Stats.addWeight(hh, registry, broadcastWeights = false)
-    // weighted sums per (Year, class, area) + the reference's Total row
-    def wsum(df: DataFrame, keys: Seq[String]) =
-      df.groupBy(keys.map(col): _*).agg(
-        sum(col("Gross_C") * col("Weight")).as("WG"),
-        sum(col("Net_C") * col("Weight")).as("WN"))
-    val num = wsum(withW, Seq("Year", "Part_Class_1", "Urban_Rural"))
-      .unionByName(wsum(withW, Seq("Year", "Urban_Rural"))
-        .withColumn("Part_Class_1", lit("Total")))
+    // weighted sums per (Year, class, area); the reference's Total row
+    // is the ROLLUP of the per-class reduction — the weighted sums are
+    // exact integer (long) sums, so summing the 48-row per-class frame
+    // is bit-identical to re-aggregating the fact table, and the plan
+    // computes the fact pipeline ONCE: both branches sit above the same
+    // (Year, class, area) exchange, which ReuseExchange dedups — at
+    // 100 TB that is one fact scan+join pass instead of two
+    val perClass = withW.groupBy("Year", "Part_Class_1", "Urban_Rural").agg(
+      sum(col("Gross_C") * col("Weight")).as("WG"),
+      sum(col("Net_C") * col("Weight")).as("WN"))
+    val totals = perClass.groupBy("Year", "Urban_Rural")
+      .agg(sum("WG").as("WG"), sum("WN").as("WN"))
+      .withColumn("Part_Class_1", lit("Total"))
+    val num = perClass.unionByName(totals)
     // denominator: total weight per (Year, area) over ALL households
     val den = registry.groupBy("Year", "Urban_Rural").agg(sum("Weight").as("WSum"))
     num.join(broadcast(den), Seq("Year", "Urban_Rural"))

@@ -51,6 +51,17 @@ class BucketedIscPlanSpec extends SparkSpec {
       }
       assert(householdShuffles.isEmpty,
         s"household-keyed frame shuffled despite the bucketed layout:\n${householdShuffles.mkString("\n")}")
+      // the Total row is a rollup of the per-class reduction, NOT a
+      // second aggregation of the fact pipeline: with ReuseExchange the
+      // whole plan reads the fact table EXACTLY ONCE (the classification
+      // dictionary probe sits behind its own cached InMemoryRelation
+      // leaf, so it contributes no file scan to this tree)
+      val factScans = plan.collect {
+        case sc: FileSourceScanExec if sc.tableIdentifier.exists(
+          _.table.startsWith("graft_isc_fact")) => sc
+      }
+      assert(factScans.size == 1,
+        s"expected ONE fact scan after the Total-row rollup, got ${factScans.size}")
       // and the results are identical to the unbucketed flagship
       val bucketed = df.collect().map(_.toSeq)
       val plain = Queries.iscSummary(spark, sfDir).collect().map(_.toSeq)
