@@ -415,6 +415,18 @@ object Dedup {
       val p = new org.apache.hadoop.fs.Path(roundPath(i))
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }
+    // Convergence/validity probe: the edge set IS a star forest iff no
+    // center appears as a leaf and no leaf has two parents. ONE job
+    // whose two branches both full-scan the frame — which also
+    // materializes its cache, so dropping the previous round's persist
+    // never triggers lineage recompute (no limit() short-circuit here
+    // for exactly that reason).
+    def starForestViolations(df: DataFrame): Long = df
+      .join(df.select(col("_eu").as("_ev")).distinct(), Seq("_ev"), "left_semi")
+      .select(lit(1).as("_v"))
+      .union(df.groupBy("_eu").agg(count(lit(1)).as("_n"))
+        .where(col("_n") > 1).select(lit(1).as("_v")))
+      .count()
     // canonical (big, small) edge list, self-loops dropped
     var edges = pairs
       .select(greatest(col("id_a"), col("id_b")).as("_eu"),
@@ -423,7 +435,12 @@ object Dedup {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     var iter = 0
-    var converged = false
+    // round-0 fast path: near-dup pair sets are often ALREADY star
+    // forests (isolated (a, b) duplicate pairs are one-leaf stars under
+    // the canonical orientation) — the probe that would run after a
+    // first contraction anyway runs before it instead, skipping the
+    // contraction machinery entirely for the common case
+    var converged = starForestViolations(edges) == 0
     while (iter < maxIter && !converged) {
       val contracted = smallStar(largeStar(edges))
       val next = checkpointDir match {
@@ -433,20 +450,7 @@ object Dedup {
         case None =>
           reRoot(contracted).persist(StorageLevel.MEMORY_AND_DISK)
       }
-      // Convergence = the round's output IS a star forest, checked
-      // directly (see scaladoc): any center appearing as a leaf or any
-      // leaf with two parents is a violation. ONE probe job per round
-      // whose two branches both full-scan `next` — which also
-      // materializes the round's cache, so dropping the previous
-      // round's persist below never triggers lineage recompute (no
-      // limit() short-circuit here for exactly that reason).
-      val violations = next
-        .join(next.select(col("_eu").as("_ev")).distinct(), Seq("_ev"), "left_semi")
-        .select(lit(1).as("_v"))
-        .union(next.groupBy("_eu").agg(count(lit(1)).as("_n"))
-          .where(col("_n") > 1).select(lit(1).as("_v")))
-        .count()
-      converged = violations == 0
+      converged = starForestViolations(next) == 0
       edges.unpersist() // no-op for a parquet-backed round
       if (checkpointDir.isDefined) deleteRound(iter - 1)
       edges = next
