@@ -416,17 +416,20 @@ object Dedup {
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }
     // Convergence/validity probe: the edge set IS a star forest iff no
-    // center appears as a leaf and no leaf has two parents. ONE job
-    // whose two branches both full-scan the frame — which also
-    // materializes its cache, so dropping the previous round's persist
-    // never triggers lineage recompute (no limit() short-circuit here
-    // for exactly that reason).
-    def starForestViolations(df: DataFrame): Long = df
-      .join(df.select(col("_eu").as("_ev")).distinct(), Seq("_ev"), "left_semi")
-      .select(lit(1).as("_v"))
-      .union(df.groupBy("_eu").agg(count(lit(1)).as("_n"))
-        .where(col("_n") > 1).select(lit(1).as("_v")))
-      .count()
+    // center appears as a leaf and no leaf has two parents. ONE job.
+    // `bounded = true` short-circuits after the first violation — used
+    // whenever the frame's backing is already durable (parquet rounds)
+    // or will be materialized by a later job anyway; `bounded = false`
+    // full-scans, which also materializes a cached frame so dropping the
+    // previous round's persist never triggers lineage recompute.
+    def starForestViolations(df: DataFrame, bounded: Boolean): Long = {
+      val v = df
+        .join(df.select(col("_eu").as("_ev")).distinct(), Seq("_ev"), "left_semi")
+        .select(lit(1).as("_v"))
+        .union(df.groupBy("_eu").agg(count(lit(1)).as("_n"))
+          .where(col("_n") > 1).select(lit(1).as("_v")))
+      (if (bounded) v.limit(1) else v).count()
+    }
     // canonical (big, small) edge list, self-loops dropped
     var edges = pairs
       .select(greatest(col("id_a"), col("id_b")).as("_eu"),
@@ -435,36 +438,48 @@ object Dedup {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     var iter = 0
-    // round-0 fast path: near-dup pair sets are often ALREADY star
-    // forests (isolated (a, b) duplicate pairs are one-leaf stars under
-    // the canonical orientation) — the probe that would run after a
-    // first contraction anyway runs before it instead, skipping the
-    // contraction machinery entirely for the common case
-    var converged = starForestViolations(edges) == 0
-    while (iter < maxIter && !converged) {
-      val contracted = smallStar(largeStar(edges))
-      val next = checkpointDir match {
-        case Some(_) =>
-          contracted.write.mode("overwrite").parquet(roundPath(iter))
-          spark.read.parquet(roundPath(iter))
-        case None =>
-          reRoot(contracted).persist(StorageLevel.MEMORY_AND_DISK)
+    // round-0 fast path (cache mode only): near-dup pair sets are often
+    // ALREADY star forests (isolated (a, b) duplicate pairs are one-leaf
+    // stars under the canonical orientation) — probe before contracting
+    // and skip the machinery entirely for the common case. Bounded: on
+    // non-forest inputs it short-circuits, and the initial cache fills
+    // during round 1's contraction regardless. NOT taken in checkpoint
+    // mode — the parquet-files-back-the-result contract requires at
+    // least one written round.
+    var converged = checkpointDir.isEmpty &&
+      starForestViolations(edges, bounded = true) == 0
+    try {
+      while (iter < maxIter && !converged) {
+        val contracted = smallStar(largeStar(edges))
+        val next = checkpointDir match {
+          case Some(_) =>
+            contracted.write.mode("overwrite").parquet(roundPath(iter))
+            spark.read.parquet(roundPath(iter))
+          case None =>
+            reRoot(contracted).persist(StorageLevel.MEMORY_AND_DISK)
+        }
+        // parquet-backed rounds are already materialized by the write —
+        // the probe can short-circuit; cache-backed rounds need the
+        // full scan to populate the cache before edges is dropped
+        converged = starForestViolations(next, bounded = checkpointDir.isDefined) == 0
+        edges.unpersist() // no-op for a parquet-backed round
+        if (checkpointDir.isDefined) deleteRound(iter - 1)
+        edges = next
+        iter += 1
       }
-      converged = starForestViolations(next) == 0
-      edges.unpersist() // no-op for a parquet-backed round
-      if (checkpointDir.isDefined) deleteRound(iter - 1)
-      edges = next
-      iter += 1
-    }
-    if (!converged) {
-      edges.unpersist()
-      // failure path has no surviving consumer — drop the last written
-      // round too (rolling deletion already removed the earlier ones)
-      if (checkpointDir.isDefined) deleteRound(iter - 1)
-      throw new IllegalStateException(
-        s"duplicateClusters did not reach a star forest in $maxIter " +
-          "large-star/small-star rounds — this indicates a logic bug, not " +
-          "data scale (the bound is O(log² n) rounds)")
+      if (!converged)
+        throw new IllegalStateException(
+          s"duplicateClusters did not reach a star forest in $maxIter " +
+            "large-star/small-star rounds — this indicates a logic bug, not " +
+            "data scale (the bound is O(log² n) rounds)")
+    } catch {
+      case e: Throwable =>
+        // no surviving consumer on ANY failure (mid-round job error or
+        // the non-convergence throw): release the current frame and the
+        // written rounds the rolling deletion hasn't reached
+        edges.unpersist()
+        if (checkpointDir.isDefined) { deleteRound(iter); deleteRound(iter - 1) }
+        throw e
     }
     // The converged star forest backs the returned (lazy) plan, so it
     // must STAY persisted past this call: hand it to the caller's handle

@@ -23,6 +23,7 @@ class PandasQueryPropsSpec extends SparkSpec {
   private case class Cmp(c: String, op: String, v: Int) extends P
   private case class InL(c: String, vs: List[Int], neg: Boolean) extends P
   private case class NullChk(c: String, not: Boolean) extends P
+  private case class NoneCmp(c: String, neg: Boolean) extends P
   private case class AndP(a: P, b: P) extends P
   private case class OrP(a: P, b: P) extends P
   private case class NotP(a: P) extends P
@@ -31,6 +32,7 @@ class PandasQueryPropsSpec extends SparkSpec {
     case Cmp(c, op, v)   => s"$c $op $v"
     case InL(c, vs, neg) => s"$c ${if (neg) "not in" else "in"} [${vs.mkString(", ")}]"
     case NullChk(c, n)   => s"$c.${if (n) "notnull" else "isnull"}()"
+    case NoneCmp(c, n)   => s"$c ${if (n) "!=" else "=="} None"
     case AndP(a, b) =>
       val conj = if (rnd.nextBoolean()) "&" else "and"
       s"(${render(a, rnd)}) $conj (${render(b, rnd)})"
@@ -56,6 +58,9 @@ class PandasQueryPropsSpec extends SparkSpec {
       case Some(x) => if (neg) !vs.contains(x) else vs.contains(x)
     }
     case NullChk(c, n) => if (n) row(c).isDefined else row(c).isEmpty
+    // pandas None comparisons are constant: == None is False everywhere
+    // (NaN == None included), != None is True everywhere
+    case NoneCmp(_, n) => n
     case AndP(a, b)    => eval(a, row) && eval(b, row)
     case OrP(a, b)     => eval(a, row) || eval(b, row)
     case NotP(a)       => !eval(a, row)
@@ -64,13 +69,15 @@ class PandasQueryPropsSpec extends SparkSpec {
   private def genP(depth: Int, rnd: scala.util.Random): P = {
     val cols = Seq("Code", "Rent")
     def col() = cols(rnd.nextInt(cols.length))
-    if (depth == 0 || rnd.nextInt(10) < 4) rnd.nextInt(3) match {
+    if (depth == 0 || rnd.nextInt(10) < 4) rnd.nextInt(4) match {
       case 0 =>
         val ops = Seq(">", "<", ">=", "<=", "==", "!=")
         Cmp(col(), ops(rnd.nextInt(ops.length)), rnd.nextInt(10))
       case 1 =>
-        InL(col(), List.fill(1 + rnd.nextInt(3))(rnd.nextInt(10)), rnd.nextBoolean())
+        // empty lists included: `in []` is all-False, `not in []` all-True
+        InL(col(), List.fill(rnd.nextInt(4))(rnd.nextInt(10)), rnd.nextBoolean())
       case 2 => NullChk(col(), rnd.nextBoolean())
+      case 3 => NoneCmp(col(), rnd.nextBoolean())
     } else rnd.nextInt(3) match {
       case 0 => AndP(genP(depth - 1, rnd), genP(depth - 1, rnd))
       case 1 => OrP(genP(depth - 1, rnd), genP(depth - 1, rnd))
@@ -99,5 +106,17 @@ class PandasQueryPropsSpec extends SparkSpec {
       assert(got == want,
         s"pandas query <$q>\ntranslated <$sql>\nexpected ${want.toSeq.sorted}, got ${got.toSeq.sorted}")
     }
+  }
+
+  test("string literals survive connective and keyword rewrites") {
+    import spark.implicits._
+    val df = Seq((1L, "R&D"), (2L, "none and all"), (3L, "ops")).toDF("id", "Dept")
+    def ids(q: String) =
+      df.filter(expr(PandasQuery.toSql(q))).collect().map(_.getLong(0)).toSet
+    assert(ids("Dept == 'R&D'") == Set(1L))
+    assert(ids("Dept == 'none and all'") == Set(2L))
+    assert(ids("Dept != 'R&D'") == Set(2L, 3L))
+    assert(ids("Dept in ['R&D', 'ops']") == Set(1L, 3L))
+    assert(ids("Dept not in ['none and all']") == Set(1L, 3L))
   }
 }
