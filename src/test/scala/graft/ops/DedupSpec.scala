@@ -245,6 +245,21 @@ class DedupSpec extends SparkSpec {
       s"previous rounds must be deleted as the loop advances, found $rounds")
   }
 
+  test("checkpoint mode writes round files even for already-forest inputs") {
+    import spark.implicits._
+    // isolated pairs are already a star forest — the cache-mode fast
+    // path may skip contraction, but checkpoint mode must still write
+    // (the returned plan's contract is files-on-disk, not lineage)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt_ff").toString
+    val ids = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(ids, pairs, checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+    assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("cc_round_")),
+      "checkpoint mode must materialize the result to the filesystem")
+  }
+
   test("duplicate clusters: managed handle releases the star-forest cache") {
     import spark.implicits._
     // earlier tests run unmanaged pipelines whose caches are session-
