@@ -101,15 +101,21 @@ class TableRepo(
   }
 
   /** E1 `form="raw"`: the raw source verbatim. */
-  def rawTable(name: String, years: Seq[Int]): DataFrame =
-    CleanOps.unionAll(availableYears(name, years).flatMap(y => rawReader(name, y)))
+  def rawTable(name: String, years: Seq[Int]): DataFrame = {
+    val parts = availableYears(name, years).flatMap(y => rawReader(name, y))
+    require(parts.nonEmpty, s"table $name has no raw data for years $years")
+    CleanOps.unionAll(parts)
+  }
 
   /** E1 `form="cleaned"`: typed/renamed, values untouched — no pipeline. */
-  def cleanedTable(name: String, years: Seq[Int]): DataFrame =
-    CleanOps.unionAll(availableYears(name, years).flatMap { y =>
+  def cleanedTable(name: String, years: Seq[Int]): DataFrame = {
+    val parts = availableYears(name, years).flatMap { y =>
       rawReader(name, y).map(raw =>
-        CleanOps.cleanTable(raw, CleanOps.compileSpec(tablesMeta(name), y)))
-    })
+        CleanOps.cleanTable(raw, CleanOps.compileSpec(tablesMeta(name), y, config.resolver)))
+    }
+    require(parts.nonEmpty, s"table $name has no data for years $years")
+    CleanOps.unionAll(parts)
+  }
 
   /** E2: a repo with extra ad-hoc schema entries overlaid (user-registered
     * derived tables, api.py:194-257).
@@ -146,7 +152,7 @@ class TableRepo(
       .getOrElse(MNull)
     if (originalTables(name)) {
       rawReader(name, year).map { raw =>
-        val spec = CleanOps.compileSpec(tablesMeta(name), year)
+        val spec = CleanOps.compileSpec(tablesMeta(name), year, config.resolver)
         applyInstructions(CleanOps.cleanTable(raw, spec), tableSchema, name, year)
       }
     } else if (tableSchema.isNull) {
@@ -205,7 +211,10 @@ class TableRepo(
     var frontier = depsOf(name)
     while (frontier.nonEmpty) {
       frontier.foreach(seen.add)
-      frontier = frontier.flatMap(depsOf)
+      // prune against seen: a diamond-shaped DAG would otherwise
+      // multiply duplicate entries per level (exponential walk), and a
+      // cyclic table_list would never terminate
+      frontier = frontier.flatMap(depsOf).distinct.filterNot(seen.contains)
     }
     val parts = seen.toSeq.sorted.map { t =>
       val schemaStr = schemaMeta.get(t).map(m =>
@@ -234,9 +243,18 @@ class TableRepo(
       config.cacheBucketKeys.forall(df.columns.contains)) config.cacheBucketKeys
     else Seq.empty
 
+  /** Existence through the Hadoop filesystem API — `cacheDir` may be
+    * HDFS/S3 at deployment scale, where a `java.io.File` probe is
+    * always false and would silently rewrite the cache on every load.
+    */
+  private def pathExists(p: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+  }
+
   private def readCache(name: String, year: Int): Option[DataFrame] = {
     val p = cachePath(name, year)
-    if (!new java.io.File(p).exists) None
+    if (!pathExists(p)) None
     else if (config.cacheBucketKeys.isEmpty) Some(spark.read.parquet(p))
     else {
       val t = cacheTableName(name, year)
@@ -273,8 +291,15 @@ class TableRepo(
     * survey's ~40 years (the reference iterates the same set,
     * data_engine.py:782-785).
     */
-  private def distinctYears(df: DataFrame, yearCol: String = "Year"): Seq[Int] =
-    df.select(col(yearCol).cast("int")).distinct().collect().map(_.getInt(0)).toSeq.sorted
+  private def distinctYears(df: DataFrame, yearCol: String = "Year"): Seq[Int] = {
+    val years = df.select(col(yearCol).cast("int").as("_y")).distinct().collect()
+    // a null year (missing column null-filled by a union, or a value
+    // that failed the int cast) must be a diagnosable error, not a bare
+    // NullPointerException out of Row.getInt
+    require(years.forall(!_.isNullAt(0)),
+      s"column $yearCol contains null/non-numeric years — cannot resolve per-year metadata")
+    years.map(_.getInt(0)).toSeq.sorted
+  }
 
   /** Per-year weight table (Year, ID, Weight): external parquet for years
     * <= externalWeightsYearMax, household_information.Weight after
@@ -296,6 +321,10 @@ class TableRepo(
     if (!adjustForHouseholdSize) w
     else {
       val members = table("Number_of_Members", years).select("Year", "ID", "Members")
+      // reference parity (data_engine.py:757-786): a household missing
+      // from the members table gets a NULL adjusted weight, exactly as
+      // pandas' post-merge `weight * NaN` — weighted statistics then
+      // exclude it from numerator AND denominator
       w.join(broadcast(members), Seq("Year", "ID"), "left")
         .withColumn("Weight", col("Weight") * col("Members"))
         .drop("Members")
@@ -326,9 +355,13 @@ class TableRepo(
       codeCol = settings.get("code_col").map(_.asStr).getOrElse(base.codeCol),
       levels = settings.get("levels").map(_.asList.map(_.asLong.toInt)).getOrElse(base.levels),
       columnNames = settings.get("column_names").map(_.asList.map(_.asStr)).getOrElse(base.columnNames),
+      aspects = settings.get("aspects").map(_.asList.map(_.asStr)).getOrElse(base.aspects),
     )
     val years = distinctYears(df, s.yearCol)
-    val items = Classifier.compile(doc, years, resolver = config.resolver)
+    // non-item_key aspects label from per-item metadata fields — they
+    // must be compiled into the items or their columns would be null
+    val items = Classifier.compile(doc, years,
+      extraAspects = s.aspects.filterNot(_ == "item_key"), resolver = config.resolver)
     Classifier.addClassification(df, items, s)
   }
 

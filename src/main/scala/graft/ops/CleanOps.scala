@@ -38,8 +38,9 @@ object CleanOps {
   /** Compile a year-resolved table metadata block (tables.yaml shape:
     * `columns: {RAWNAME: {new_name, type, replace, ...}}`) to a spec.
     */
-  def compileSpec(tableMeta: Meta, year: Int): TableCleanSpec = {
-    val resolved = new VersionResolver(tableMeta, year).getVersion
+  def compileSpec(tableMeta: Meta, year: Int,
+                  resolver: ResolverSettings = ResolverSettings()): TableCleanSpec = {
+    val resolved = new VersionResolver(tableMeta, year, resolver).getVersion
     // Default policy is "error" like the reference's default_table_settings
     // (tables.yaml:82-83) — silently dropping unknown raw columns would
     // hide metadata drift.

@@ -59,7 +59,7 @@ object RawSources {
       val sideKey = if (urban) "urban" else "rural"
       val sideMeta = resolved.get(sideKey).getOrElse(resolved)
       // compileSpec resolves again internally; pass the side-specific subtree
-      val spec = CleanOps.compileSpec(sideMeta, year)
+      val spec = CleanOps.compileSpec(sideMeta, year, resolver)
       CleanOps.cleanTable(raw, spec)
     }
     CleanOps.unionAll(sides)

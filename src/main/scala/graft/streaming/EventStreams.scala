@@ -88,12 +88,26 @@ object EventStreams {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                case Some(s) if t - s.lastSeen <= gapMs =>
-                  cur = Some(s.copy(lastSeen = math.max(s.lastSeen, t),
-                    nEvents = s.nEvents + 1, total = s.total + e.value))
-                case Some(s) =>
+                case Some(s) if t > s.lastSeen + gapMs =>
+                  // gap exceeded forward: close and start a new session
                   closedSessions ::= close(userId, s)
                   cur = Some(SessionState(t, t, 1, e.value))
+                case Some(s) if t < s.sessionStart - gapMs =>
+                  // a LATE event (within watermark, earlier batch missed
+                  // it) older than the open session's reach: it belongs
+                  // to a separate, already-gap-closed earlier session.
+                  // This state model keeps one open session per user, so
+                  // emit it as its own closed session rather than
+                  // folding hours-old events into the current one
+                  // (which would inflate counts and yield a session
+                  // whose start postdates its own member)
+                  closedSessions ::= close(userId, SessionState(t, t, 1, e.value))
+                case Some(s) =>
+                  // within the gap of the open session's span — possibly
+                  // BEFORE its start (late): extends in either direction
+                  cur = Some(s.copy(sessionStart = math.min(s.sessionStart, t),
+                    lastSeen = math.max(s.lastSeen, t),
+                    nEvents = s.nEvents + 1, total = s.total + e.value))
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))
               }

@@ -82,4 +82,36 @@ class EventStreamsSpec extends SparkSpec {
       assert(sessions(1).n_events == 1 && sessions(1).total_value == 4.0)
     } finally q.stop()
   }
+
+  test("sessionization: a late event beyond the open session's reach is its own session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = sessionize(input.toDS(), gapSeconds = 600, watermark = "120 minutes")
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1 opens a session at minute 60
+      input.addData(Event(1, ts(60), 1, "click", 1.0), Event(2, ts(65), 1, "click", 2.0))
+      q.processAllAvailable()
+      // batch 2 delivers a LATE event at minute 10 — inside the 2 h
+      // watermark but more than the 10-min gap BEFORE the open
+      // session's start: it must become its own closed session, never
+      // fold into (and corrupt) the open one
+      input.addData(Event(3, ts(10), 1, "late", 7.0))
+      q.processAllAvailable()
+      // flush the open session via timeout
+      input.addData(Event(9, ts(400), 2, "view", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(10, ts(700), 2, "view", 0.0))
+      q.processAllAvailable()
+      val sessions = spark.table("late_sessions").as[Session].collect()
+        .filter(_.user_id == 1).sortBy(_.session_start.getTime)
+      assert(sessions.length == 2, s"got ${sessions.toSeq}")
+      assert(sessions(0).n_events == 1 && sessions(0).total_value == 7.0 &&
+        sessions(0).session_start == ts(10))
+      assert(sessions(1).n_events == 2 && sessions(1).total_value == 3.0 &&
+        sessions(1).session_start == ts(60))
+    } finally q.stop()
+  }
 }
