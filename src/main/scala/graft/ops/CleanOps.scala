@@ -96,15 +96,23 @@ object CleanOps {
     */
   def cleanColumn(spec: ColumnSpec, rawType: DataType = StringType): Column = {
     val raw = col(spec.rawName)
+    // pandas .replace is SIMULTANEOUS: every condition tests the
+    // ORIGINAL value, never another replacement's output — a chained
+    // fold (when(acc === from)) would let {1->0, 0->null} null out raw
+    // 1s, with the outcome depending on map iteration order
     val replaced =
       if (spec.replace.isEmpty) raw
-      else spec.replace.foldLeft(raw) { case (acc, (from, to)) =>
-        val fromLit: Column = rawType match {
-          case _: NumericType => lit(from.trim.toDouble).cast(rawType)
-          case _              => lit(from)
+      else {
+        val cases = spec.replace.toSeq.map { case (from, to) =>
+          val fromLit: Column = rawType match {
+            case _: NumericType => lit(from.trim.toDouble).cast(rawType)
+            case _              => lit(from)
+          }
+          (raw === fromLit) -> to.map(lit(_).cast(rawType)).getOrElse(lit(null).cast(rawType))
         }
-        when(acc === fromLit, to.map(lit(_).cast(rawType)).getOrElse(lit(null).cast(rawType)))
-          .otherwise(acc)
+        cases.tail.foldLeft(when(cases.head._1, cases.head._2)) {
+          case (acc, (cond, v)) => acc.when(cond, v)
+        }.otherwise(raw)
       }
     val isNumericRaw = rawType.isInstanceOf[NumericType]
     val scrubbed =
@@ -119,8 +127,12 @@ object CleanOps {
         val codes = scrubbed.cast(IntegerType)
         // Unmapped codes keep their original value (pandas
         // cat.rename_categories leaves unlisted categories as-is) so
-        // downstream notnull() filters behave like the reference.
-        cats.toSeq.sortBy(_._1).foldLeft(codes.cast(StringType)) {
+        // downstream notnull() filters behave like the reference. The
+        // fallback coalesces through the ORIGINAL scrubbed string: a
+        // non-integer raw value ("Urban", "n/a") must survive, not be
+        // destroyed by the int-cast round-trip.
+        cats.toSeq.sortBy(_._1).foldLeft(
+          coalesce(codes.cast(StringType), scrubbed.cast(StringType))) {
           case (acc, (code, label)) => when(codes === lit(code), lit(label)).otherwise(acc)
         }
     }
@@ -149,6 +161,10 @@ object CleanOps {
   /** B5/C16/C17: union with schema alignment — the reference's UNION ALL
     * (pd.concat, data_engine.py:627-645); missing columns become null.
     */
-  def unionAll(tables: Seq[DataFrame]): DataFrame =
-    tables.filter(_.columns.nonEmpty).reduce(_.unionByName(_, allowMissingColumns = true))
+  def unionAll(tables: Seq[DataFrame]): DataFrame = {
+    val nonEmpty = tables.filter(_.columns.nonEmpty)
+    require(nonEmpty.nonEmpty,
+      "unionAll: no tables with columns to union (every input was empty or filtered out)")
+    nonEmpty.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 }

@@ -108,12 +108,16 @@ object Classifier {
         StructField("_cls_lo", LongType, nullable = false),
         StructField("_cls_hi", LongType, nullable = false),
         StructField("_cls_step", LongType, nullable = false),
+        // the owning item's identity, always present — ambiguity
+        // validation must distinguish "two ITEMS claim this code" from
+        // "one item's own ranges overlap" (only the former is an error)
+        StructField("_cls_key", StringType, nullable = false),
       ) ++ aspects.map(a => StructField(s"_asp_$a", StringType, nullable = true)))
     val rows = for {
       it <- items
       r <- it.codes.ranges
     } yield Row.fromSeq(
-      Seq[Any](it.year, it.level, r.start, r.end, r.step) ++
+      Seq[Any](it.year, it.level, r.start, r.end, r.step, it.key) ++
         aspects.map(a => if (a == "item_key") it.key else it.aspects.get(a).orNull))
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
@@ -156,6 +160,12 @@ object Classifier {
       df: DataFrame,
       items: Seq[ClassItem],
       settings: Settings = Settings(),
+      /** Owns the matched-dictionary cache (bounded by the distinct-code
+        * dictionary). The unmanaged default keeps it for the session —
+        * long-lived sessions decoding many (table, year) combinations
+        * should pass a managed handle and release it.
+        */
+      handle: StorageHandle = StorageHandle.unmanaged,
   ): DataFrame = {
     val spark = df.sparkSession
     val y = settings.yearCol
@@ -170,13 +180,17 @@ object Classifier {
       (col("_cls_step") === lit(1L) || pmod(col(c) - col("_cls_lo"), col("_cls_step")) === lit(0L))
     // persisted: consumed twice (eager uniqueness validation + pivot agg)
     // and bounded by the distinct-code dictionary size
-    val matched = codes.join(broadcast(its), joinCond, "inner")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val matched = handle.persist(codes.join(broadcast(its), joinCond, "inner"))
 
-    // Uniqueness validation: one item per (Year, Code, level). The check
-    // runs on the distinct-code dictionary (small), not the fact table.
-    val dups = matched.groupBy(col(y), col(c), col("_cls_level")).count()
-      .where(col("count") > 1).limit(10).collect()
+    // Uniqueness validation: one ITEM per (Year, Code, level) — counted
+    // as distinct item keys, not matched range rows, so an item whose
+    // own ranges overlap a code (e.g. a range plus a contained
+    // singleton) is legal, exactly like the reference's item-level check
+    // (decoder.py:436-444). Runs on the distinct-code dictionary
+    // (small), not the fact table.
+    val dups = matched.groupBy(col(y), col(c), col("_cls_level"))
+      .agg(countDistinct(col("_cls_key")).as("_n_items"))
+      .where(col("_n_items") > 1).limit(10).collect()
     if (dups.nonEmpty)
       throw new IllegalStateException(
         s"Classification is not valid — ambiguous (year, code, level): ${dups.mkString("; ")}")

@@ -185,15 +185,21 @@ object Pipeline {
       df.withColumn(name, expr(numericExprSql(e, df.columns.toSet)))
 
     case CreateColCategorical(name, categories) =>
-      // Sequential assignment — LAST matching category wins
-      // (data_engine.py:370-405): fold each when() over the previous value.
-      val base: Column =
-        if (df.columns.contains(name)) col(name).cast(StringType)
-        else lit(null).cast(StringType)
-      val result = categories.foldLeft(base) { case (prev, (cat, cond)) =>
-        when(categoryCondition(name, cond, df), lit(cat)).otherwise(prev)
+      // Sequential assignment — LAST matching category wins, and each
+      // category's condition is evaluated against the PARTIALLY-UPDATED
+      // column, exactly like the reference's chain of df.loc writes
+      // (data_engine.py:370-405): a self-referencing scalar/list
+      // condition may match values an EARLIER category just assigned
+      // (e.g. ("Rural", [...]) then ("Settlement", "Rural") relabels the
+      // fresh "Rural" rows). Catalyst collapses the chained projections
+      // into one, so this stays a single codegen'd select.
+      val init =
+        if (df.columns.contains(name)) df.withColumn(name, col(name).cast(StringType))
+        else df.withColumn(name, lit(null).cast(StringType))
+      categories.foldLeft(init) { case (acc, (cat, cond)) =>
+        acc.withColumn(name,
+          when(categoryCondition(name, cond, acc), lit(cat)).otherwise(col(name)))
       }
-      df.withColumn(name, result)
 
     case ApplyFilter(conds) =>
       conds.foldLeft(df)((acc, c) => acc.filter(expr(PandasQuery.toSql(c))))
@@ -250,8 +256,10 @@ object Pipeline {
     val refs = tokens.filter(t => !t.forall(c => c.isDigit)).distinct
     refs.foldLeft(e) { (acc, name) =>
       if (columns.contains(name))
+        // quoteReplacement: a column name containing '$' or '\' would
+        // otherwise be interpreted as a group reference by replaceAll
         acc.replaceAll(s"\\b${java.util.regex.Pattern.quote(name)}\\b",
-          s"coalesce(`$name`, 0)")
+          java.util.regex.Matcher.quoteReplacement(s"coalesce(`$name`, 0)"))
       else acc
     }
   }

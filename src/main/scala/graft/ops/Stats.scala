@@ -103,7 +103,15 @@ object Stats {
     // differ only when nulls are present in weights; reference weights are
     // non-null by construction)
     val wNonNull = when(v.isNotNull, col(weightCol))
-    val orderCols = (v.asc_nulls_first +: tieBreaker.filter(df.columns.contains).map(col(_).asc))
+    // a requested-but-entirely-absent tie-break would leave tied values
+    // with RUN-DEPENDENT cumulative quantiles (sort order among ties
+    // varies with partitioning/retries) — fail fast instead of being
+    // silently nondeterministic; pass tieBreaker = Seq.empty to opt out
+    val presentTies = tieBreaker.filter(df.columns.contains)
+    require(tieBreaker.isEmpty || presentTies.nonEmpty,
+      s"addQuantile: none of the tie-breaker columns $tieBreaker exist in " +
+        s"(${df.columns.mkString(", ")}) — quantiles of tied values would be nondeterministic")
+    val orderCols = (v.asc_nulls_first +: presentTies.map(col(_).asc))
     val win = Window.partitionBy(groupby.map(col): _*).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val winAll = Window.partitionBy(groupby.map(col): _*)
@@ -117,19 +125,25 @@ object Stats {
   def binQuantile(q: Column, bins: Int): Column =
     least(greatest((floor(q * lit(bins)) + 1).cast(IntegerType), lit(1)), lit(bins))
 
+  private def binned(df: DataFrame, valueCol: String, weightCol: String,
+                     groupby: Seq[String], out: String, bins: Int): DataFrame = {
+    // the intermediate must not clobber a user column of the same name
+    val tmp = s"_q_tmp_$out"
+    require(!df.columns.contains(tmp),
+      s"addQuantile intermediate column $tmp already exists in the input")
+    addQuantile(df, valueCol, weightCol, groupby, tmp)
+      .withColumn(out, binQuantile(col(tmp), bins)).drop(tmp)
+  }
+
   def addDecile(
       df: DataFrame, valueCol: String, weightCol: String = "Weight",
       groupby: Seq[String] = Seq("Year"), out: String = "Decile",
-  ): DataFrame =
-    addQuantile(df, valueCol, weightCol, groupby, "_q_tmp")
-      .withColumn(out, binQuantile(col("_q_tmp"), 10)).drop("_q_tmp")
+  ): DataFrame = binned(df, valueCol, weightCol, groupby, out, 10)
 
   def addPercentile(
       df: DataFrame, valueCol: String, weightCol: String = "Weight",
       groupby: Seq[String] = Seq("Year"), out: String = "Percentile",
-  ): DataFrame =
-    addQuantile(df, valueCol, weightCol, groupby, "_q_tmp")
-      .withColumn(out, binQuantile(col("_q_tmp"), 100)).drop("_q_tmp")
+  ): DataFrame = binned(df, valueCol, weightCol, groupby, out, 100)
 
   /** Weighted percentile VALUE per group: the smallest value whose
     * cumulative weight share reaches `p` (the group-level companion to

@@ -80,7 +80,11 @@ object TextOps {
       case ((bl, bs), (lang, s)) => (when(s > bs, lit(lang)).otherwise(bl), greatest(s, bs))
     }
     val total = scored.map(_._2).reduce(_ + _)
-    when(total === 0, lit("und")).otherwise(bestLang)
+    // null text: every score is null, so the argmax fold would keep its
+    // seed and confidently label null documents with the FIRST marker
+    // language — null in, null out instead
+    when(text.isNull, lit(null).cast(org.apache.spark.sql.types.StringType))
+      .when(total === 0, lit("und")).otherwise(bestLang)
   }
 
   /** Tiny built-in stopword lists (public common words). */
