@@ -124,7 +124,11 @@ object CleanOps {
       case FloatType    => scrubbed.cast(DoubleType)
       case BoolType(t)  => scrubbed.cast(IntegerType) === lit(t)
       case CategoryType(cats) =>
-        val codes = scrubbed.cast(IntegerType)
+        // parse guard: under ANSI mode (Spark 4 default) casting a
+        // non-integer string throws — a category column may legitimately
+        // carry non-code values, which the fallback below preserves
+        val codes = when(scrubbed.cast(StringType).rlike("^\\s*-?[0-9]+\\s*$"),
+          scrubbed).cast(IntegerType)
         // Unmapped codes keep their original value (pandas
         // cat.rename_categories leaves unlisted categories as-is) so
         // downstream notnull() filters behave like the reference. The

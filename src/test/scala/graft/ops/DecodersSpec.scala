@@ -27,6 +27,23 @@ items:
     assert(e.getMessage.contains("Classification is not valid"))
   }
 
+  test("D1 allows one item's OWN ranges to overlap (only cross-item is ambiguous)") {
+    import spark.implicits._
+    // item `a` claims 0-100 twice over (a range plus a contained
+    // singleton) — the reference's validity check is per ITEM mapping,
+    // so this must decode, not throw
+    val meta = Meta.fromYaml("""
+items:
+  a:
+    level: 1
+    code: [{start: 0, end: 100}, 75]
+""")
+    val df = Seq((1400, 75L)).toDF("Year", "Code")
+    val items = Classifier.compile(meta, Seq(1400), resolver = resolver)
+    val out = Classifier.addClassification(df, items).collect()
+    assert(out.length == 1 && out.head.getAs[String]("item_key_1") == "a")
+  }
+
   test("D1 non-overlapping levels pivot to separate columns") {
     import spark.implicits._
     val meta = Meta.fromYaml("""

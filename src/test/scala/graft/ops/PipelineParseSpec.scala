@@ -74,4 +74,5 @@ instructions:
     assert(Pipeline.compile(Meta.fromYaml("[add_year, add_table_name, add_weights]"))
       == Vector(Pipeline.AddYear, Pipeline.AddTableName, Pipeline.AddWeights))
   }
+
 }

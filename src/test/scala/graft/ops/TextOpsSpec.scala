@@ -72,6 +72,15 @@ class TextOpsSpec extends SparkSpec {
       == "Imputed_Rent IS NOT NULL AND ((Rent IS NOT NULL AND Rent > 0))")
   }
 
+  test("language id: null text labels null, not the first marker language") {
+    import spark.implicits._
+    val out = Seq((1L, null: String), (2L, "the cat and the dog is in the house"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.languageId(col("text")).as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == null && out(2L) == "en")
+  }
+
   test("subword count splits letter/digit boundaries") {
     val r = one("abc123 def").select(TextOps.subwordCount(col("text"))).collect()(0).getInt(0)
     assert(r == 3) // abc, 123, def
