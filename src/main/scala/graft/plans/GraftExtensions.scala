@@ -15,6 +15,24 @@ import org.apache.spark.sql.catalyst.util.ArrayData
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  /** Fold a literal int argument, accepting any integral literal type
+    * (an SQL `128` folds to Integer, `CAST(128 AS BIGINT)` to Long — a
+    * bare asInstanceOf[Int] would throw ClassCastException on the
+    * latter) and enforcing positivity: k = 0 would silently collapse
+    * every document to the same seed shingle set.
+    */
+  private def positiveInt(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal")
+    val v = e.eval() match {
+      case i: java.lang.Integer => i.intValue
+      case l: java.lang.Long    => math.toIntExact(l)
+      case s: java.lang.Short   => s.intValue
+      case other => throw new IllegalArgumentException(s"$what must be an integer, got $other")
+    }
+    require(v > 0, s"$what must be positive, got $v")
+    v
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("range_set_search"),
@@ -24,9 +42,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "range_set_search(value, array(lo...), array(hi...))")
         def longs(e: Expression): Array[Long] = {
           require(e.foldable, s"range bounds must be literal arrays, got $e")
-          e.eval().asInstanceOf[ArrayData].toLongArray()
+          // integral literals fold to boxed Integer/Long per their SQL
+          // type — toLongArray on a boxed-Integer array throws CCE
+          val data = e.eval().asInstanceOf[ArrayData]
+          Array.tabulate(data.numElements()) { i =>
+            data.get(i, e.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType) match {
+              case l: java.lang.Long    => l.longValue
+              case n: java.lang.Integer => n.longValue
+              case s: java.lang.Short   => s.longValue
+              case other => throw new IllegalArgumentException(
+                s"range bounds must be integral literals, got $other")
+            }
+          }
         }
-        RangeSetSearch(args.head, longs(args(1)), longs(args(2)))
+        val (los, his) = (longs(args(1)), longs(args(2)))
+        // the binary search's correctness contract — enforce it here
+        // too, not only in the Scala RangeSet.search wrapper: unsorted
+        // or overlapping bounds through raw SQL would silently return
+        // wrong indexes
+        require(los.length == his.length,
+          "range_set_search: lo/hi arrays must be the same length")
+        (0 until los.length - 1).foreach { i =>
+          require(his(i) <= los(i + 1) && los(i) <= los(i + 1),
+            s"range_set_search: ranges must be sorted and disjoint " +
+              s"(violated at index $i: [${los(i)}, ${his(i)}) then [${los(i + 1)}, ${his(i + 1)}))")
+        }
+        RangeSetSearch(args.head, los, his)
       },
     ))
     ext.injectFunction((
@@ -34,8 +75,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NgramJaccardText].getName, "ngram_jaccard_text"),
       (args: Seq[Expression]) => {
         require(args.length == 3, "ngram_jaccard_text(a, b, k)")
-        require(args(2).foldable, "k must be a literal")
-        NgramJaccardText(args.head, args(1), args(2).eval().asInstanceOf[Int])
+        NgramJaccardText(args.head, args(1), positiveInt(args(2), "k"))
       },
     ))
     ext.injectFunction((
@@ -59,8 +99,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ShingleText].getName, "shingle_hashes"),
       (args: Seq[Expression]) => {
         require(args.length == 2, "shingle_hashes(text, k)")
-        require(args(1).foldable, "k must be a literal")
-        ShingleText(args.head, args(1).eval().asInstanceOf[Int])
+        ShingleText(args.head, positiveInt(args(1), "k"))
       },
     ))
     ext.injectFunction((
@@ -76,9 +115,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashText].getName, "minhash_text"),
       (args: Seq[Expression]) => {
         require(args.length == 3, "minhash_text(text, numHashes, k)")
-        require(args(1).foldable && args(2).foldable, "numHashes/k must be literals")
         MinHashText(args.head,
-          args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int])
+          positiveInt(args(1), "numHashes"), positiveInt(args(2), "k"))
       },
     ))
   }

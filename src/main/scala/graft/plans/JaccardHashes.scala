@@ -7,8 +7,12 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 
 /** Exact Jaccard over two PRE-COMPUTED sorted-distinct shingle-hash
   * arrays (the output contract of [[ShingleText]]): a single merge walk,
-  * no per-pair tokenization, no set allocation. Same result convention
-  * as [[NgramJaccardText]] (both empty → 0.0).
+  * no per-pair tokenization, no set allocation. Two empty ARRAYS score
+  * 0.0 — but note [[ShingleText]] never emits an empty array: token-free
+  * texts carry the seed shingle, so through the text kernels two
+  * token-free documents score 1.0 (deliberately: empty/placeholder rows
+  * are mutual duplicates for dedup purposes, same convention as
+  * [[NgramJaccardText]]).
   *
   * This is the verify-side complement of `shingle_hashes`: candidate
   * pipelines with many pairs per document (SimHash's narrow band keys
@@ -18,6 +22,20 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * per candidate pair via `ngram_jaccard_text`.
   */
 final case class JaccardHashes(left: Expression, right: Expression) extends BinaryExpression {
+
+  // sorted-distinct long arrays from shingle_hashes — any other element
+  // type would silently read garbage through the unsafe getLong path
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: org.apache.spark.sql.types.DataType) = dt match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"expects two array<bigint> arguments, got ${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true

@@ -21,6 +21,13 @@ import org.apache.spark.unsafe.types.UTF8String
 final case class MinHashText(child: Expression, numHashes: Int, k: Int)
     extends UnaryExpression {
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"expects a string argument, got ${child.dataType.catalogString}")
+
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
@@ -41,7 +48,7 @@ object MinHashText {
 
   private val SHINGLE_SEED = 0x9E3779B97F4A7C15L
 
-  /** The kernel: lowercase, [^a-z0-9]+ treated as separators, token
+  /** The kernel: lowercase, ASCII characters outside [a-z0-9] are separators, while every non-ASCII byte is a TOKEN byte (byte-level robustness: multibyte scripts tokenize by their ASCII gaps; the flip side is that Unicode punctuation/whitespace does NOT separate), token
     * hashes via XXH64 over UTF-8 bytes, shingle hash = XXH64 chain over
     * the window's token hashes, signature[i] = min over shingles of
     * XXH64(shingleHash, i). Texts with <= k tokens contribute one
@@ -58,6 +65,7 @@ object MinHashText {
     while (i <= bytes.length) {
       val c: Int = if (i < bytes.length) bytes(i) & 0xFF else ' '
       val lc = if (c >= 'A' && c <= 'Z') c + 32 else c
+      // TOKENIZER COPY: keep byte-for-byte in sync with NgramJaccardText.tokenHashes
       val alnum = (lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9') || lc >= 0x80
       if (alnum) {
         h = XXH64.hashLong(lc.toLong, if (inTok) h else SHINGLE_SEED)

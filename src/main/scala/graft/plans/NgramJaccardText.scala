@@ -16,6 +16,14 @@ import org.apache.spark.unsafe.types.UTF8String
 final case class NgramJaccardText(left: Expression, right: Expression, k: Int)
     extends BinaryExpression {
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == org.apache.spark.sql.types.StringType &&
+        right.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"expects two string arguments, got ${left.dataType.catalogString}, ${right.dataType.catalogString}")
+
+
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
 

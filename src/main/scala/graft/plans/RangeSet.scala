@@ -31,6 +31,18 @@ final case class RangeSetSearch(
   override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
 
+  // Array fields compare by REFERENCE under the case-class equals, so
+  // two semantically identical searches would never canonicalize equal
+  // — cache lookups, subexpression elimination, and exchange reuse all
+  // depend on this. Compare contents.
+  override def equals(obj: Any): Boolean = obj match {
+    case r: RangeSetSearch =>
+      child == r.child && los.sameElements(r.los) && his.sameElements(r.his)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    (child.hashCode, los.toSeq.hashCode, his.toSeq.hashCode).hashCode
+
   override protected def withNewChildInternal(newChild: Expression): RangeSetSearch =
     copy(child = newChild)
 
@@ -52,15 +64,22 @@ final case class RangeSetSearch(
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val losRef = ctx.addReferenceObj("los", los, "long[]")
     val hisRef = ctx.addReferenceObj("his", his, "long[]")
+    // fresh names: with a NON-nullable child, nullSafeCodeGen emits this
+    // block unbraced at method scope — hardcoded locals would collide
+    // when two searches share one generated method (Janino redefinition
+    // error -> silent interpreted fallback)
+    val lo = ctx.freshName("rsLo")
+    val hi = ctx.freshName("rsHi")
+    val mid = ctx.freshName("rsMid")
     nullSafeCodeGen(ctx, ev, v => {
       s"""
-         |int _lo = 0; int _hi = $losRef.length - 1;
+         |int $lo = 0; int $hi = $losRef.length - 1;
          |${ev.isNull} = true;
-         |while (_lo <= _hi) {
-         |  int _mid = (_lo + _hi) >>> 1;
-         |  if ($v < $losRef[_mid]) { _hi = _mid - 1; }
-         |  else if ($v >= $hisRef[_mid]) { _lo = _mid + 1; }
-         |  else { ${ev.isNull} = false; ${ev.value} = _mid; break; }
+         |while ($lo <= $hi) {
+         |  int $mid = ($lo + $hi) >>> 1;
+         |  if ($v < $losRef[$mid]) { $hi = $mid - 1; }
+         |  else if ($v >= $hisRef[$mid]) { $lo = $mid + 1; }
+         |  else { ${ev.isNull} = false; ${ev.value} = $mid; break; }
          |}
        """.stripMargin
     })

@@ -13,6 +13,13 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 final case class SimHashText(child: Expression) extends UnaryExpression {
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"expects a string argument, got ${child.dataType.catalogString}")
+
+
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
 
@@ -41,6 +48,7 @@ object SimHashText {
     while (i <= bytes.length) {
       val c: Int = if (i < bytes.length) bytes(i) & 0xFF else ' '
       val lc = if (c >= 'A' && c <= 'Z') c + 32 else c
+      // TOKENIZER COPY: keep byte-for-byte in sync with NgramJaccardText.tokenHashes
       val alnum = (lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9') || lc >= 0x80
       if (alnum) {
         h = XXH64.hashLong(lc.toLong, if (inTok) h else TOKEN_SEED)

@@ -1,5 +1,6 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -7,7 +8,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native dot product over array<float>/array<double> columns with
   * double accumulation (left-to-right, matching the semantics of the
-  * `aggregate(zip_with(...))` formulation exactly — same IEEE result).
+  * `aggregate(zip_with(...))` formulation exactly — same IEEE result,
+  * and MISMATCHED lengths yield NULL exactly as zip_with's null padding
+  * nulls the aggregate: a malformed vector must surface, not produce a
+  * plausible-looking partial dot product).
   *
   * Why: higher-order functions evaluate interpreted; a brute-force ANN
   * pass does |corpus|×|queries| dot products and the interpreted lambda
@@ -17,7 +21,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 final case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // null on length mismatch
   override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(lt, _), ArrayType(rt, _))
+        if (lt == FloatType || lt == DoubleType) && (rt == FloatType || rt == DoubleType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      "vec_dot expects two array<float|double> arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
 
   private def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
@@ -25,22 +39,28 @@ final case class VecDot(left: Expression, right: Expression) extends BinaryExpre
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecDot =
     copy(left = newLeft, right = newRight)
 
-  override def nullSafeEval(l: Any, r: Any): Any =
-    VecDot.compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData],
-      isFloat(left), isFloat(right))
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) null
+    else VecDot.compute(a, b, isFloat(left), isFloat(right))
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val obj = VecDot.getClass.getName.stripSuffix("$")
     val lf = isFloat(left)
     val rf = isFloat(right)
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = $obj.compute($a, $b, $lf, $rf);")
+      s"""
+         |if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $obj.compute($a, $b, $lf, $rf); }
+       """.stripMargin)
   }
 }
 
 object VecDot {
   def compute(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
