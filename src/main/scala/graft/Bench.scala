@@ -27,7 +27,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val byName = Queries.catalog.map { case (n, fn, _) => n -> fn }.toMap ++ Queries.benchExtra
+    // optional dev filter: `runMain graft.Bench name1,name2` times just
+    // those queries (same shape as Verify's filter)
+    val filter = args.headOption.map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val names = Queries.benchNames.filter(byName.contains)
+      .filter(n => filter.forall(_.contains(n)))
     // untimed warmup: initializes parquet reader, codegen, and the noop
     // committer so the first timed query measures the query, not JVM
     // startup (reads one row, not the dataset)
@@ -59,23 +63,40 @@ object Bench {
     // diagnosable from the artifact alone.
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val loadBefore = osBean.getSystemLoadAverage
-    val results: Seq[(String, Seq[Double])] = names.map { name =>
-      val runs = Seq(runOnce(name), runOnce(name), runOnce(name))
-      System.err.println(f"[bench] $name%-24s ${runs.min}%8.2fs  (runs: ${runs.map(r => f"$r%.2f").mkString(", ")})")
-      name -> runs
+    // Per-query load sampling: BENCH_r08 recorded 2-11x "regressions"
+    // that were pure machine contention (load_avg 2->11.7 across the
+    // whole run, regressed queries contiguous in run order) — whole-run
+    // before/after load could not localize it. Each run now records the
+    // 1-min load average sampled right after it, and when every run of a
+    // query landed under load (> cpus/4), up to two extra runs are taken
+    // so at least one sample has a chance of clean machine state. min()
+    // over all runs still measures the plan.
+    val loadGate = cpus.toDouble / 4.0
+    val results: Seq[(String, (Seq[Double], Seq[Double]))] = names.map { name =>
+      val runs = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val loads = scala.collection.mutable.ArrayBuffer.empty[Double]
+      def run(): Unit = { runs += runOnce(name); loads += osBean.getSystemLoadAverage }
+      run(); run(); run()
+      var extra = 0
+      while (extra < 2 && loads.forall(_ > loadGate)) { run(); extra += 1 }
+      System.err.println(f"[bench] $name%-24s ${runs.min}%8.2fs  (runs: ${runs.map(r => f"$r%.2f").mkString(", ")}; load: ${loads.map(l => f"$l%.1f").mkString(", ")})")
+      name -> (runs.toSeq, loads.toSeq)
     }
     val loadAfter = osBean.getSystemLoadAverage
     def esc(s: String) = s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     }
-    val qs = results.map { case (k, v) => "\"" + esc(k) + "\":" + f"${v.min}%.3f" }.mkString("{", ",", "}")
-    val rs = results.map { case (k, v) =>
+    val qs = results.map { case (k, (v, _)) => "\"" + esc(k) + "\":" + f"${v.min}%.3f" }.mkString("{", ",", "}")
+    val rs = results.map { case (k, (v, _)) =>
       "\"" + esc(k) + "\":[" + v.map(r => f"$r%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
+    val ls = results.map { case (k, (_, l)) =>
+      "\"" + esc(k) + "\":[" + l.map(x => f"$x%.2f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }.mkString("{", ",", "}")
-    val total = results.map(_._2.min).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"load_avg_before":$loadBefore,"load_avg_after":$loadAfter,"errors":$es,"sf":"$sfDir"}""")
+    val total = results.map(_._2._1.min).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"load":$ls,"load_avg_before":$loadBefore,"load_avg_after":$loadAfter,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -71,7 +71,14 @@ object TextOps {
       text: Column,
       markers: Seq[(String, Seq[String])] = defaultMarkers,
   ): Column = {
-    val toks = array_distinct(tokens(lower(text)))
+    // Scores run over coalesce(text, "") so the expensive
+    // tokenize/distinct/intersect subtrees sit inside `total` — the FIRST
+    // CaseWhen condition, which codegen treats as always-evaluated and
+    // therefore eligible for subexpression sharing with bestLang. A
+    // leading `when(text.isNull, …)` guard instead pushes the scores into
+    // conditional branches where they re-evaluate per language (measured
+    // 5.6× at sf0.1).
+    val toks = array_distinct(tokens(lower(coalesce(text, lit("")))))
     val scored = markers.map { case (lang, words) =>
       lang -> size(array_intersect(toks, array(words.map(lit): _*)))
     }
@@ -80,11 +87,11 @@ object TextOps {
       case ((bl, bs), (lang, s)) => (when(s > bs, lit(lang)).otherwise(bl), greatest(s, bs))
     }
     val total = scored.map(_._2).reduce(_ + _)
-    // null text: every score is null, so the argmax fold would keep its
-    // seed and confidently label null documents with the FIRST marker
-    // language — null in, null out instead
-    when(text.isNull, lit(null).cast(org.apache.spark.sql.types.StringType))
-      .when(total === 0, lit("und")).otherwise(bestLang)
+    // null text scores zero on every marker list, so it lands in the
+    // total===0 branch, where nvl2 restores null-in/null-out (a non-null
+    // text with no marker hits stays "und")
+    when(total === 0, nvl2(text, lit("und"), lit(null).cast(StringType)))
+      .otherwise(bestLang)
   }
 
   /** Tiny built-in stopword lists (public common words). */
