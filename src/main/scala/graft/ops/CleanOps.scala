@@ -126,17 +126,36 @@ object CleanOps {
       case CategoryType(cats) =>
         // parse guard: under ANSI mode (Spark 4 default) casting a
         // non-integer string throws — a category column may legitimately
-        // carry non-code values, which the fallback below preserves
-        val codes = when(scrubbed.cast(StringType).rlike("^\\s*-?[0-9]+\\s*$"),
-          scrubbed).cast(IntegerType)
+        // carry non-code values, which the fallback below preserves.
+        // Numeric raw columns bypass the string-render regex entirely:
+        // a pandas-origin int column widened to double by NaN renders
+        // codes as "3.0", which the integer regex rejects — the whole
+        // column would silently fall back to raw strings. Whole-valued
+        // in-range numerics ARE codes; NaN (pandas' missing marker) and
+        // fractional values carry none.
+        val codes = rawType match {
+          case _: NumericType =>
+            val d = scrubbed.cast(DoubleType)
+            when(d.isNotNull && !isnan(d) &&
+              d >= Int.MinValue.toDouble && d <= Int.MaxValue.toDouble &&
+              d === floor(d), d.cast(IntegerType))
+          case _ =>
+            when(scrubbed.cast(StringType).rlike("^\\s*-?[0-9]+\\s*$"),
+              scrubbed).cast(IntegerType)
+        }
         // Unmapped codes keep their original value (pandas
         // cat.rename_categories leaves unlisted categories as-is) so
         // downstream notnull() filters behave like the reference. The
         // fallback coalesces through the ORIGINAL scrubbed string: a
         // non-integer raw value ("Urban", "n/a") must survive, not be
-        // destroyed by the int-cast round-trip.
-        cats.toSeq.sortBy(_._1).foldLeft(
-          coalesce(codes.cast(StringType), scrubbed.cast(StringType))) {
+        // destroyed by the int-cast round-trip. Numeric NaN stays null —
+        // it is the missing marker, not a value.
+        val fallback = rawType match {
+          case _: NumericType =>
+            when(!isnan(scrubbed.cast(DoubleType)), scrubbed.cast(StringType))
+          case _ => scrubbed.cast(StringType)
+        }
+        cats.toSeq.sortBy(_._1).foldLeft(coalesce(codes.cast(StringType), fallback)) {
           case (acc, (code, label)) => when(codes === lit(code), lit(label)).otherwise(acc)
         }
     }

@@ -58,7 +58,10 @@ object PandasQuery {
     // an identifier RHS must NOT become <=> (pandas NaN == NaN is False,
     // but NULL <=> NULL is TRUE — a plain-filter divergence, not just a
     // negated one), so col-vs-col comparisons fall through to plain SQL.
-    val lit = "('[^']*'|\"[^\"]*\"|-?[0-9][0-9.]*|True|False)"
+    // numeric alternative covers exponents and leading dots (1e6, .5,
+    // -1.5E-3): a missed form here silently falls through to plain SQL
+    // null semantics, which diverges from pandas under negation
+    val lit = "('[^']*'|\"[^\"]*\"|-?(?:[0-9][0-9.]*|\\.[0-9]+)(?:[eE][+-]?[0-9]+)?|True|False)"
     s = s.replaceAll(
       "(?i)(`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)\\s+not\\s+in\\s*\\[([^\\]]*)\\]",
       "($1 IS NULL OR $1 NOT IN ($2))")

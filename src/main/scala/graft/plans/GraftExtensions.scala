@@ -62,6 +62,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         // wrong indexes
         require(los.length == his.length,
           "range_set_search: lo/hi arrays must be the same length")
+        // every range must be well-formed on its own — the pairwise loop
+        // below never inspects the last range, so an inverted [lo > hi)
+        // there would pass and make the binary search silently miss
+        los.indices.foreach { i =>
+          require(los(i) <= his(i),
+            s"range_set_search: inverted range at index $i: [${los(i)}, ${his(i)}))")
+        }
         (0 until los.length - 1).foreach { i =>
           require(his(i) <= los(i + 1) && los(i) <= los(i + 1),
             s"range_set_search: ranges must be sorted and disjoint " +

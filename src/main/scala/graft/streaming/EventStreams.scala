@@ -85,6 +85,17 @@ object EventStreams {
             val sorted = rows.toSeq.sortBy(_.ts.getTime)
             var closedSessions = List.empty[Session]
             var cur = state.getOption
+            // LATE events (within watermark, earlier batch missed them)
+            // older than the open session's reach belong to separate,
+            // already-gap-closed earlier sessions. This state model keeps
+            // one open session per user, so they are emitted as closed
+            // sessions rather than folded into the current one (which
+            // would inflate counts and yield a session whose start
+            // postdates its own member) — but same-batch late events
+            // within one gap of EACH OTHER form one session, not N
+            // singletons. They arrive here in sorted order, so a single
+            // running accumulator sessionizes them among themselves.
+            var lateCur: Option[SessionState] = None
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
@@ -93,15 +104,16 @@ object EventStreams {
                   closedSessions ::= close(userId, s)
                   cur = Some(SessionState(t, t, 1, e.value))
                 case Some(s) if t < s.sessionStart - gapMs =>
-                  // a LATE event (within watermark, earlier batch missed
-                  // it) older than the open session's reach: it belongs
-                  // to a separate, already-gap-closed earlier session.
-                  // This state model keeps one open session per user, so
-                  // emit it as its own closed session rather than
-                  // folding hours-old events into the current one
-                  // (which would inflate counts and yield a session
-                  // whose start postdates its own member)
-                  closedSessions ::= close(userId, SessionState(t, t, 1, e.value))
+                  lateCur match {
+                    case Some(ls) if t <= ls.lastSeen + gapMs =>
+                      lateCur = Some(ls.copy(lastSeen = math.max(ls.lastSeen, t),
+                        nEvents = ls.nEvents + 1, total = ls.total + e.value))
+                    case Some(ls) =>
+                      closedSessions ::= close(userId, ls)
+                      lateCur = Some(SessionState(t, t, 1, e.value))
+                    case None =>
+                      lateCur = Some(SessionState(t, t, 1, e.value))
+                  }
                 case Some(s) =>
                   // within the gap of the open session's span — possibly
                   // BEFORE its start (late): extends in either direction
@@ -111,6 +123,17 @@ object EventStreams {
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))
               }
+            }
+            // a late run that chained up to within one gap of the
+            // (possibly backward-extended) open session belongs to it —
+            // merge instead of emitting a spurious split
+            (lateCur, cur) match {
+              case (Some(ls), Some(s)) if s.sessionStart - ls.lastSeen <= gapMs =>
+                cur = Some(SessionState(ls.sessionStart, s.lastSeen,
+                  s.nEvents + ls.nEvents, s.total + ls.total))
+              case (Some(ls), _) =>
+                closedSessions ::= close(userId, ls)
+              case _ => ()
             }
             cur.foreach { s =>
               state.update(s)

@@ -35,6 +35,20 @@ class CleanOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq("Urban", "urban zone", "3"))
   }
 
+  test("category codes in a DOUBLE raw column still map to labels") {
+    import spark.implicits._
+    // pandas-origin int codes widen to double when NaN is present; the
+    // string render "3.0" must not defeat the integer-code guard. NaN is
+    // the missing marker -> null; fractional values carry no code and
+    // keep their rendering.
+    val spec = CleanOps.ColumnSpec("C", "C", CleanOps.CategoryType(Map(1L -> "Urban", 3L -> "Rural")),
+      replace = Map.empty)
+    val out = Seq(1.0, 3.0, Double.NaN, 7.0, 2.5).toDF("C")
+      .select(CleanOps.cleanColumn(spec, DoubleType))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    assert(out.toSeq == Seq("Urban", "Rural", null, "7", "2.5"))
+  }
+
   test("C8 sequential assignment: later conditions see earlier assignments") {
     import spark.implicits._
     import graft.meta._

@@ -108,6 +108,22 @@ class PandasQueryPropsSpec extends SparkSpec {
     }
   }
 
+  test("scientific/leading-dot numeric literals get pandas null semantics") {
+    import spark.implicits._
+    // a null (pandas-NaN) row must be KEPT under ~(x > 1e6): a literal
+    // form missed by the rewrite falls through to SQL null-propagation
+    // and silently drops it
+    val df = Seq((1L, Some(2e6)), (2L, Some(0.1)), (3L, Option.empty[Double]))
+      .toDF("id", "Income")
+    def ids(q: String) =
+      df.filter(expr(PandasQuery.toSql(q))).collect().map(_.getLong(0)).toSet
+    assert(ids("Income > 1e6") == Set(1L))
+    assert(ids("~(Income > 1e6)") == Set(2L, 3L))
+    assert(ids("~(Income < .5)") == Set(1L, 3L))
+    assert(ids("~(Income == 1.5e-1)") == Set(1L, 2L, 3L))
+    assert(ids("Income != 2.0E6") == Set(2L, 3L))
+  }
+
   test("string literals survive connective and keyword rewrites") {
     import spark.implicits._
     val df = Seq((1L, "R&D"), (2L, "none and all"), (3L, "ops")).toDF("id", "Dept")

@@ -39,6 +39,20 @@ class RangeSetSpec extends SparkSpec {
     }
   }
 
+  test("inverted ranges (lo > hi) are rejected at plan time, even in last position") {
+    import spark.implicits._
+    val df = Seq(1L).toDF("code")
+    // last range inverted — the pairwise sorted/disjoint loop never
+    // inspects it, so only a per-range lo <= hi check can catch it
+    intercept[IllegalArgumentException] {
+      df.select(RangeSet.search(col("code"), Seq((0L, 10L), (20L, 15L)))).collect()
+    }
+    // inverted SINGLE range — no pairs at all
+    intercept[IllegalArgumentException] {
+      df.select(RangeSet.search(col("code"), Seq((10L, 5L)))).collect()
+    }
+  }
+
   test("large range set works under codegen (O(log n) search)") {
     import spark.implicits._
     // 500 disjoint ranges — a when-ladder of this size would strain

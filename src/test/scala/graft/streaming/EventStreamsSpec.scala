@@ -114,4 +114,40 @@ class EventStreamsSpec extends SparkSpec {
         sessions(1).session_start == ts(60))
     } finally q.stop()
   }
+
+  test("sessionization: same-batch late events within one gap form ONE session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = sessionize(input.toDS(), gapSeconds = 600, watermark = "240 minutes")
+      .writeStream.format("memory").queryName("late_merge_sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1 opens a session at minute 120
+      input.addData(Event(1, ts(120), 1, "click", 1.0))
+      q.processAllAvailable()
+      // batch 2 delivers THREE late events, all > 10-min gap before the
+      // open session's start: minutes 10 and 15 are within one gap of
+      // each other (one session), minute 40 is not (second session).
+      // Emitting three singletons would be wrong.
+      input.addData(
+        Event(3, ts(10), 1, "late", 1.0),
+        Event(4, ts(15), 1, "late", 2.0),
+        Event(5, ts(40), 1, "late", 4.0))
+      q.processAllAvailable()
+      // flush the open session via timeout
+      input.addData(Event(9, ts(700), 2, "view", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(10, ts(1100), 2, "view", 0.0))
+      q.processAllAvailable()
+      val sessions = spark.table("late_merge_sessions").as[Session].collect()
+        .filter(_.user_id == 1).sortBy(_.session_start.getTime)
+      assert(sessions.length == 3, s"got ${sessions.toSeq}")
+      assert(sessions(0).n_events == 2 && sessions(0).total_value == 3.0 &&
+        sessions(0).session_start == ts(10) && sessions(0).session_end == ts(15))
+      assert(sessions(1).n_events == 1 && sessions(1).total_value == 4.0 &&
+        sessions(1).session_start == ts(40))
+      assert(sessions(2).n_events == 1 && sessions(2).session_start == ts(120))
+    } finally q.stop()
+  }
 }
