@@ -416,19 +416,20 @@ object Dedup {
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }
     // Convergence/validity probe: the edge set IS a star forest iff no
-    // center appears as a leaf and no leaf has two parents. ONE job.
-    // `bounded = true` short-circuits after the first violation — used
-    // whenever the frame's backing is already durable (parquet rounds)
-    // or will be materialized by a later job anyway; `bounded = false`
-    // full-scans, which also materializes a cached frame so dropping the
-    // previous round's persist never triggers lineage recompute.
-    def starForestViolations(df: DataFrame, bounded: Boolean): Long = {
-      val v = df
-        .join(df.select(col("_eu").as("_ev")).distinct(), Seq("_ev"), "left_semi")
-        .select(lit(1).as("_v"))
-        .union(df.groupBy("_eu").agg(count(lit(1)).as("_n"))
-          .where(col("_n") > 1).select(lit(1).as("_v")))
-      (if (bounded) v.limit(1) else v).count()
+    // center appears as a leaf (a node on both edge sides) and no leaf
+    // has two parents. Computed as ONE map-combined aggregation over a
+    // union of per-side markers — a single shuffle of (node, 2 longs)
+    // rows, vs. the distinct + semi-join + groupBy formulation this
+    // replaced (three shuffles per round). limit(1) stops the result
+    // collection at the first violating node; cache materialization is
+    // NOT this probe's job (see the count() in the round loop).
+    def starForestViolations(df: DataFrame): Long = {
+      val sides = df.select(col("_eu").as("_n"), lit(1L).as("_leaf"), lit(0L).as("_ctr"))
+        .union(df.select(col("_ev").as("_n"), lit(0L).as("_leaf"), lit(1L).as("_ctr")))
+      sides.groupBy("_n")
+        .agg(sum(col("_leaf")).as("_leaves"), sum(col("_ctr")).as("_ctrs"))
+        .where(col("_leaves") > 1 || (col("_leaves") > 0 && col("_ctrs") > 0))
+        .limit(1).count()
     }
     // canonical (big, small) edge list, self-loops dropped
     var edges = pairs
@@ -447,7 +448,7 @@ object Dedup {
     // mode — the parquet-files-back-the-result contract requires at
     // least one written round.
     var converged = checkpointDir.isEmpty &&
-      starForestViolations(edges, bounded = true) == 0
+      starForestViolations(edges) == 0
     try {
       while (iter < maxIter && !converged) {
         val contracted = smallStar(largeStar(edges))
@@ -456,12 +457,17 @@ object Dedup {
             contracted.write.mode("overwrite").parquet(roundPath(iter))
             spark.read.parquet(roundPath(iter))
           case None =>
-            reRoot(contracted).persist(StorageLevel.MEMORY_AND_DISK)
+            val framed = reRoot(contracted).persist(StorageLevel.MEMORY_AND_DISK)
+            // materialize the cache with a cheap count BEFORE the
+            // previous round's persist is dropped — otherwise a
+            // short-circuiting probe leaves the cache partial and the
+            // next round recomputes this one's lineage. A count is far
+            // cheaper than making the probe full-scan for the same
+            // effect (the probe carries a join + two aggregates).
+            framed.count()
+            framed
         }
-        // parquet-backed rounds are already materialized by the write —
-        // the probe can short-circuit; cache-backed rounds need the
-        // full scan to populate the cache before edges is dropped
-        converged = starForestViolations(next, bounded = checkpointDir.isDefined) == 0
+        converged = starForestViolations(next) == 0
         edges.unpersist() // no-op for a parquet-backed round
         if (checkpointDir.isDefined) deleteRound(iter - 1)
         edges = next
