@@ -238,6 +238,54 @@ reg:
   private[graft] val e14Sql = """
     SELECT * FROM region UNION ALL SELECT * FROM region"""
 
+  /** E14 with a NON-TRIVIAL cleaning function: a raw workbook-shaped
+    * grid dump (title/blank/footer junk rows around one data row, all
+    * cells strings, `_row` ordinals — the shape the reference's
+    * cleaning scripts receive from read_excel) goes through the
+    * registered cleaner, which slices the value row, transposes it to
+    * an annual series, generates the Year index, and nulls the
+    * dash/blank missing markers — the sci_gini_annual shape
+    * (cleaning_scripts.py:113-116). The grid is derived from
+    * region.parquet so DuckDB can recompute the expectation directly.
+    */
+  def e14Cleaned(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.StringType
+    val region = T(s, dir, "region")
+    // one wide row of values: v<k> = length(r_name) of region k
+    val vCols = (0 to 4).map(k => max(when(col("r_regionkey") === k,
+      length(col("r_name")))).cast(StringType).as(s"v$k"))
+    val wide = region.agg(vCols.head, vCols.tail: _*)
+    def junkRow(r: Long, cells: Seq[String]) = wide.select(
+      lit(r).as("_row") +: cells.zipWithIndex.map { case (v, i) =>
+        (if (v == null) lit(null).cast(StringType) else lit(v)).as(s"c$i")
+      }: _*)
+    val dataRow = wide.select(lit(2L).as("_row"), lit("Gini").as("c0"),
+      col("v0").as("c1"), col("v1").as("c2"), col("v2").as("c3"),
+      col("v3").as("c4"), col("v4").as("c5"), lit(" - ").as("c6"))
+    val grid = junkRow(0L, Seq("Gini coefficient workbook", " ", "-", "", null, " - ", ""))
+      .unionByName(junkRow(1L, Seq(null, null, null, null, null, null, null)))
+      .unionByName(dataRow)
+      .unionByName(junkRow(3L, Seq("source: household survey", "", "", "", "", "", "")))
+    val gridPath = s"${System.getProperty("java.io.tmpdir")}/graft_e14_grid"
+    grid.write.mode("overwrite").parquet(gridPath)
+    val ext = new graft.external.ExternalData(
+      s,
+      Meta.fromYaml("gini: manual"),
+      store = { case "gini" => Some(gridPath); case _ => None },
+      cleaners = graft.external.ExternalData.defaultCleaners +
+        ("gini" -> graft.external.ExternalData.gridSeries(2L, 1, "Gini", 1390)),
+    )
+    ext.loadTable("gini").orderBy("Year")
+  }
+
+  // the trailing " - " cell is the workbooks' missing marker -> null
+  private[graft] val e14CleanedSql = """
+    SELECT CAST(1390 + r_regionkey AS INTEGER) AS Year,
+           CAST(length(r_name) AS DOUBLE) AS Gini
+    FROM region
+    UNION ALL SELECT 1395, NULL
+    ORDER BY Year"""
+
   // ------------------------------------------------------------------ E15
 
   /** E15 `view` accessor sugar (hbsir/hbsframe.py:9-34): identical
