@@ -1561,6 +1561,83 @@ items:
         col("rank").cast(IntegerType).as("rank"))
   }
 
+  /** ANN flagship: the full IVF lifecycle as ONE pipeline — train
+    * centroids (one Lloyd iteration from the deterministic hyperplane
+    * init), write the corpus cluster-partitioned ([[Ann.ivfWrite]] —
+    * the at-rest ANN layout), then answer queries probing their 2
+    * nearest trained clusters over the partition-pruned scan. The
+    * oracle re-derives the SAME trained centroids (bit-identical: the
+    * Lloyd sums run over scaled integers, and the gate's kmeans_step
+    * row already pins the mean arithmetic), replays cluster assignment
+    * and probe selection with the Spark tie-breaks (assign: higher cid
+    * wins ties; probe: lower cid), and re-scores exactly the probed
+    * partitions — so this checks the pruned path end-to-end, not the
+    * degenerate full-probe case (ivf_topk's job).
+    */
+  def annPipeline(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val init = Ann.hyperplanes(4, 64, seed = 7L)
+    val trained = Ann.trainCentroids(emb, init, iterations = 1)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ann_pipe").toString
+    Ann.ivfWrite(emb, tmp, trained)
+    Ann.ivfTopK(tmp, emb.where(col("vec_id") < 3), trained, k = 5, nProbe = 2)
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"),
+        col("rank").cast(IntegerType).as("rank"))
+  }
+
+  private val annPipelineSql = {
+    val cs = Ann.hyperplanes(4, 64, seed = 7L)
+    val values = cs.zipWithIndex
+      .map { case (c, i) => s"($i, [${c.mkString(", ")}]::DOUBLE[])" }.mkString(", ")
+    def dotSql(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))"
+    def cosSql(a: String, b: String) = {
+      val normProd = s"(sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+      s"CASE WHEN $normProd > 0 THEN ${dotSql(a, b)} / $normProd ELSE 0.0 END"
+    }
+    s"""
+    WITH c(cid, cvec) AS (VALUES $values),
+    a0 AS (
+      SELECT e.vec_id, e.embedding, c.cid, ${cosSql("e.embedding", "c.cvec")} AS sim
+      FROM embeddings e CROSS JOIN c),
+    best0 AS (
+      SELECT vec_id, embedding, cid
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn FROM a0)
+      WHERE rn = 1),
+    m AS (
+      SELECT cid AS cluster, CAST(i - 1 AS INT) AS pos,
+             CAST(sum(CAST(round(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 16777216.0) AS BIGINT)) AS DOUBLE)
+               / count(*) / 16777216.0 AS mean
+      FROM best0, range(1, 65) t(i)
+      GROUP BY 1, 2),
+    tc AS (
+      SELECT c.cid, coalesce(tm.tvec, c.cvec) AS tvec
+      FROM c LEFT JOIN (SELECT cluster, list(mean ORDER BY pos) AS tvec FROM m GROUP BY cluster) tm
+        ON tm.cluster = c.cid),
+    a1 AS (
+      SELECT e.vec_id, e.embedding, t.cid, ${cosSql("e.embedding", "t.tvec")} AS sim
+      FROM embeddings e CROSS JOIN tc t),
+    assign AS (
+      SELECT vec_id, embedding, cid
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rn FROM a1)
+      WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, embedding AS qvec, cid
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+            FROM a1 WHERE vec_id < 3)
+      WHERE rn <= 2),
+    cand AS (
+      SELECT p.query_id, p.qvec, x.vec_id AS neighbor_id, x.embedding
+      FROM probes p JOIN assign x ON x.cid = p.cid
+      WHERE x.vec_id <> p.query_id),
+    scored AS (
+      SELECT query_id, neighbor_id, ${cosSql("qvec", "embedding")} AS cos_raw FROM cand)
+    SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 5"""
+  }
+
   /** One Lloyd centroid-training step for IVF, per-dimension means
     * exploded. Deterministic because the sums run over scaled integers
     * (x 2^24) — order-independent — and every float op (cosine
@@ -1818,6 +1895,7 @@ items:
     ("dedup_best_quality", dedupBestQuality _, Some(dedupBestQualitySql)),
     ("ivf_topk", ivfTopK _, Some(annBruteSql)),
     ("kmeans_step", kmeansStep _, Some(kmeansStepSql)),
+    ("ann_pipeline", annPipeline _, Some(annPipelineSql)),
     ("skew_salted_agg", skewSaltedAgg _, Some(skewSaltedSql)),
     ("events_window_agg", eventsWindowAgg _, Some(eventsWindowSql)),
     ("events_window_stream", eventsWindowStream _, Some(eventsWindowSql)),
@@ -1832,6 +1910,7 @@ items:
     ("a9_cache", EngineQueries.a9Cache _, Some(EngineQueries.a9Sql)),
     ("a9_cache_bucketed", EngineQueries.a9CacheBucketed _, Some(EngineQueries.a9Sql)),
     ("e14_external", EngineQueries.e14External _, Some(EngineQueries.e14Sql)),
+    ("e14_cleaned", EngineQueries.e14Cleaned _, Some(EngineQueries.e14CleanedSql)),
     ("e15_view", EngineQueries.e15View _, Some(Queries.d1Sql)),
     ("e18_availability", EngineQueries.e18Availability _, Some(EngineQueries.e18Sql)),
   )
@@ -1857,7 +1936,7 @@ items:
     "pii_redact", "contamination", "pack_shards", "curation_pipeline",
     "minhash_pairs", "minhash_near_dups", "simhash_pairs", "simhash_near_dups",
     "ann_brute_topk", "ann_lsh_query",
-    "ann_cosine_dedup", "ivf_topk", "kmeans_step", "dedup_clusters", "skew_salted_agg",
+    "ann_cosine_dedup", "ivf_topk", "kmeans_step", "ann_pipeline", "dedup_clusters", "skew_salted_agg",
     "multimodal_features",
     "events_window_agg", "events_window_stream", "events_dedup_stream",
     "events_sessionize", "topk")

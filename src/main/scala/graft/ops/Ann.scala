@@ -329,7 +329,12 @@ object Ann {
       .collect().map(_.getInt(0)).toSeq
     val corpus = spark.read.parquet(corpusPath)
       .where(col("cluster").isin(probeSet: _*)) // partition pruning
-    val cand = corpus.join(broadcast(q), array_contains(col("_probes"), col("cluster")))
+    // probes exploded to (query, cluster) rows so the candidate join is
+    // a broadcast HASH join on the cluster key — the array_contains
+    // formulation planned a nested-loop join scanning every query's
+    // probe list per corpus row
+    val qe = q.select(col(queryIdCol), col("_qvec"), explode(col("_probes")).as("cluster"))
+    val cand = corpus.join(broadcast(qe), Seq("cluster"))
       .where(col(idCol) =!= col(queryIdCol))
     val scored = cand.select(col(queryIdCol), col(idCol).as("neighbor_id"),
       cosine(col("_qvec"), col(vecCol)).as("cosine"))
