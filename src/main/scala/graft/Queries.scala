@@ -553,6 +553,35 @@ items:
     SELECT Year, min(Values) AS median_cents FROM (""" + e12Sql + """
     ) WHERE Quantile >= 0.5 GROUP BY Year"""
 
+  /** E12 one-pass variant: the weighted-median VALUE per group via the
+    * mergeable bounded-centroid sketch ([[WeightedQuantileSketch]]) —
+    * the extreme-group-cardinality path that never sorts rows. EXACT
+    * here by construction: l_quantity has 50 distinct values, far under
+    * the 128-centroid capacity, and the cent-integer weights make every
+    * sum order-independent, so the sketch must equal the sort-based
+    * oracle bit-for-bit.
+    */
+  def e12cMedianSketch(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem")
+      .withColumn("w_cents", cents(col("l_extendedprice")))
+    WeightedQuantileSketch.weightedPercentileSketch(
+        li, "l_quantity", "w_cents", Seq("l_returnflag"), p = 0.5, out = "median_qty")
+      .orderBy("l_returnflag")
+  }
+
+  private val e12cSql = """
+    WITH s AS (
+      SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS v,
+             sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS w
+      FROM lineitem GROUP BY 1, 2),
+    c AS (
+      SELECT l_returnflag, v,
+             sum(w) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+             sum(w) OVER (PARTITION BY l_returnflag) AS tot
+      FROM s)
+    SELECT l_returnflag, min(v) AS median_qty
+    FROM c WHERE cum >= 0.5 * tot GROUP BY 1 ORDER BY 1"""
+
   /** E7+E8 CPI join + deflation (CPI derived per-year for the demo). */
   def e7e8Cpi(s: SparkSession, dir: String): DataFrame = {
     val orders = T(s, dir, "orders").select(
@@ -1866,6 +1895,7 @@ items:
     ("e12_quantile", e12Quantile _, Some(e12Sql)),
     ("e13_decile", e13Decile _, Some(e13Sql)),
     ("e12b_weighted_median", e12bWeightedMedian _, Some(e12bSql)),
+    ("e12c_median_sketch", e12cMedianSketch _, Some(e12cSql)),
     ("e7e8_cpi", e7e8Cpi _, Some(e7e8Sql)),
     ("e9_equivalence", e9Equivalence _, Some(e9Sql)),
     ("isc_summary", iscSummary _, Some(iscSummarySql)),
@@ -1930,7 +1960,7 @@ items:
   val benchNames: Seq[String] = Seq(
     "q1_agg", "b1_clean", "c7_numeric", "c8_categorical", "c10_groupby_sum",
     "c12_join", "c13_members", "d1_classification", "d1_expr_classification",
-    "d2_attribute", "e5_select", "e10_weighted_avg", "e12_quantile", "e13_decile",
+    "d2_attribute", "e5_select", "e10_weighted_avg", "e12_quantile", "e12c_median_sketch", "e13_decile",
     "e7e8_cpi", "e9_equivalence", "isc_summary", "isc_summary_bucketed",
     "dedup_exact", "text_stats", "lang_id", "quality_score", "ngram_jaccard",
     "pii_redact", "contamination", "pack_shards", "curation_pipeline",

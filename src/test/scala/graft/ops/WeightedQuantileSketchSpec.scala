@@ -1,0 +1,69 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class WeightedQuantileSketchSpec extends SparkSpec {
+
+  private def windowMedian(df: org.apache.spark.sql.DataFrame): Map[Int, Double] =
+    Stats.weightedPercentileValue(df, "v", "w", Seq("g"), 0.5, "m")
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+
+  private def sketchMedian(df: org.apache.spark.sql.DataFrame, k: Int = 128): Map[Int, Double] =
+    WeightedQuantileSketch.weightedPercentileSketch(df, "v", "w", Seq("g"), 0.5, "m", k)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+
+  test("exact when distinct values fit the centroid capacity — equals the window path") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // 2 groups, 40 distinct values, integer weights, deliberately shuffled
+    val rows = rnd.shuffle(for {
+      g <- Seq(1, 2); v <- 1 to 40
+    } yield (g, v.toDouble, (rnd.nextInt(9) + 1).toDouble))
+      .zipWithIndex.map { case ((g, v, w), i) => (g, v, w, i.toLong) }
+    val df = rows.toDF("g", "v", "w", "ID")
+    assert(sketchMedian(df) == windowMedian(df))
+  }
+
+  test("merge is partition-invariant for integer weights within capacity") {
+    import spark.implicits._
+    val rows = (1 to 500).map(i => (1, (i % 60).toDouble, ((i * 7) % 5 + 1).toDouble))
+    val base = rows.toDF("g", "v", "w")
+    val expected = sketchMedian(base.repartition(1))
+    // different partitionings exercise different merge orders/shapes
+    for (parts <- Seq(2, 7, 16)) {
+      assert(sketchMedian(base.repartition(parts)) == expected,
+        s"partitioning $parts changed the exact sketch result")
+    }
+  }
+
+  test("nulls and non-positive weights are dropped like the window path") {
+    import spark.implicits._
+    val df = Seq(
+      (1, Some(1.0), Some(1.0)), (1, Some(2.0), Some(1.0)), (1, Some(3.0), Some(1.0)),
+      (1, None, Some(99.0)), (1, Some(100.0), None), (1, Some(100.0), Some(0.0)),
+    ).toDF("g", "v", "w")
+    assert(sketchMedian(df) == Map(1 -> 2.0))
+  }
+
+  test("compression keeps the estimate close when distinct values exceed capacity") {
+    import spark.implicits._
+    // 10_000 distinct uniform values, capacity 64: estimate must land
+    // near the true weighted median (uniform -> ~0.5 quantile value)
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 10000).map(i => (1, rnd.nextDouble() * 1000.0, 1.0, i.toLong))
+    val df = rows.toDF("g", "v", "w", "ID")
+    val exact = windowMedian(df)(1)
+    val est = sketchMedian(df, k = 64)(1)
+    assert(math.abs(est - exact) < 50.0, // 5% of the range for k=64
+      s"sketch estimate $est too far from exact $exact")
+  }
+
+  test("empty group input yields no rows; single value is its own median") {
+    import spark.implicits._
+    val df = Seq((1, 42.0, 3.0)).toDF("g", "v", "w")
+    assert(sketchMedian(df) == Map(1 -> 42.0))
+    val empty = df.where(col("v") < 0)
+    assert(WeightedQuantileSketch.weightedPercentileSketch(empty, "v", "w", Seq("g")).count() == 0)
+  }
+}
