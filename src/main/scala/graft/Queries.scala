@@ -840,6 +840,57 @@ items:
     TextOps.textStats(T(s, dir, "documents"))
       .select("doc_id", "n_chars_calc", "n_tokens", "n_distinct_tokens", "n_digits", "n_punct")
 
+  /** Gopher-style intra-document repetition signals. The synthetic
+    * corpus is single-line, so duplicated lines are PLANTED onto every
+    * 4th document (two identical appended lines — the pii_redact
+    * pattern: both the hit and the no-op paths get hash-verified);
+    * bigram repetition occurs naturally in the generated text.
+    */
+  def repSignals(s: SparkSession, dir: String): DataFrame = {
+    val planted = when(col("doc_id") % 4 === 0,
+      concat(col("text"), lit("\nend of section\nend of section")))
+      .otherwise(col("text"))
+    TextOps.repetitionSignals(
+        T(s, dir, "documents").withColumn("text", planted))
+      .orderBy("doc_id")
+  }
+
+  private val repSignalsSql = """
+    WITH docs AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0
+                  THEN text || chr(10) || 'end of section' || chr(10) || 'end of section'
+                  ELSE text END AS text
+      FROM documents),
+    lines AS (
+      SELECT doc_id, line, count(*) AS n
+      FROM (SELECT doc_id, unnest(string_split(coalesce(text, ''), chr(10))) AS line FROM docs)
+      GROUP BY 1, 2),
+    ls AS (
+      SELECT doc_id,
+             sum(n * length(line)) AS all_chars,
+             sum(CASE WHEN n > 1 THEN n * length(line) ELSE 0 END) AS dup_chars
+      FROM lines GROUP BY 1),
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'), x -> x <> '') AS t,
+             length(coalesce(text, '')) AS nc
+      FROM docs),
+    bgc AS (
+      SELECT doc_id, nc, g, count(*) AS n
+      FROM (SELECT doc_id, nc, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS g
+            FROM toks WHERE len(t) >= 2)
+      GROUP BY 1, 2, 3),
+    top AS (
+      SELECT doc_id, n, g, nc FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, g ASC) AS rk FROM bgc)
+      WHERE rk = 1)
+    SELECT d.doc_id,
+           round(coalesce(CAST(ls.dup_chars AS DOUBLE) / nullif(ls.all_chars, 0), 0.0), 6) AS dup_line_frac,
+           round(coalesce(CAST(top.n * length(top.g) AS DOUBLE) / nullif(top.nc, 0), 0.0), 6) AS top_bigram_frac
+    FROM docs d LEFT JOIN ls USING (doc_id) LEFT JOIN top USING (doc_id)
+    ORDER BY doc_id"""
+
   private val textStatsSql = """
     SELECT doc_id,
            CAST(length(text) AS INT) AS n_chars_calc,
@@ -947,6 +998,31 @@ items:
            CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 2000.0) AS INT) AS shard
     FROM t"""
+
+  /** Context-window chunking at a 64-token window with a 48-token
+    * stride (overlapping windows — the interesting membership path; the
+    * disjoint stride==size case degenerates to floor(pos/size)).
+    */
+  def chunkDocs(s: SparkSession, dir: String): DataFrame =
+    Curation.chunkDocuments(T(s, dir, "documents"), chunkTokens = 64, stride = 48)
+      .orderBy("doc_id", "chunk_id")
+
+  private val chunkDocsSql = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'), x -> x <> '') AS t
+      FROM documents),
+    tr AS (
+      SELECT doc_id, unnest(t) AS tok, unnest(range(len(t))) AS pos
+      FROM toks WHERE len(t) > 0),
+    tc AS (
+      SELECT doc_id, tok, pos,
+             unnest(range(greatest(0, CAST(floor(CAST(pos - 64 + 48 AS DOUBLE) / 48) AS BIGINT)),
+                          CAST(floor(CAST(pos AS DOUBLE) / 48) AS BIGINT) + 1)) AS chunk_id
+      FROM tr)
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id, CAST(count(*) AS INT) AS n_tokens,
+           string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+    FROM tc GROUP BY 1, 2 ORDER BY doc_id, chunk_id"""
 
   /** Language-ID heuristic (stopword-hit argmax). */
   def langId(s: SparkSession, dir: String): DataFrame =
@@ -1902,9 +1978,11 @@ items:
     ("isc_summary_bucketed", iscSummaryBucketed _, Some(iscSummarySql)),
     ("dedup_exact", dedupExact _, Some(dedupExactSql)),
     ("text_stats", textStats _, Some(textStatsSql)),
+    ("rep_signals", repSignals _, Some(repSignalsSql)),
     ("pii_redact", piiRedact _, Some(piiRedactSql)),
     ("contamination", contamination _, Some(contaminationSql)),
     ("pack_shards", packShards _, Some(packShardsSql)),
+    ("chunk_docs", chunkDocs _, Some(chunkDocsSql)),
     ("hash_sample", hashSample _, Some(hashSampleSql)),
     ("mix_sources", mixSources _, Some(mixSourcesSql)),
     ("curation_pipeline", curationPipeline _, Some(curationPipelineSql)),
@@ -1962,8 +2040,8 @@ items:
     "c12_join", "c13_members", "d1_classification", "d1_expr_classification",
     "d2_attribute", "e5_select", "e10_weighted_avg", "e12_quantile", "e12c_median_sketch", "e13_decile",
     "e7e8_cpi", "e9_equivalence", "isc_summary", "isc_summary_bucketed",
-    "dedup_exact", "text_stats", "lang_id", "quality_score", "ngram_jaccard",
-    "pii_redact", "contamination", "pack_shards", "curation_pipeline",
+    "dedup_exact", "text_stats", "rep_signals", "lang_id", "quality_score", "ngram_jaccard",
+    "pii_redact", "contamination", "pack_shards", "chunk_docs", "curation_pipeline",
     "minhash_pairs", "minhash_near_dups", "simhash_pairs", "simhash_near_dups",
     "ann_brute_topk", "ann_lsh_query",
     "ann_cosine_dedup", "ivf_topk", "kmeans_step", "ann_pipeline", "dedup_clusters", "skew_salted_agg",

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 /** Training-data curation operators beyond near-dup detection: PII
   * redaction, benchmark-contamination checks, and token-budget shard
@@ -136,5 +136,48 @@ object Curation {
       .withColumn("shard",
         floor((sum(col("n_tokens")).over(win) - col("n_tokens")) / lit(budget))
           .cast(IntegerType))
+  }
+
+  /** Context-window chunking: split each document into token windows of
+    * `chunkTokens` starting every `stride` tokens (stride < chunkTokens
+    * ⇒ overlapping windows; stride == chunkTokens ⇒ disjoint packing) —
+    * the standard pre-training step that turns variable-length documents
+    * into model-context-sized pieces. Chunk text is the space-joined
+    * token window; tail windows may be short. Empty documents yield no
+    * chunks.
+    *
+    * Scale shape: token pos p joins chunk c iff c·stride ≤ p <
+    * c·stride+chunkTokens, emitted by exploding the (tiny, ≤
+    * ⌈chunkTokens/stride⌉-element) per-token chunk-id sequence — pure
+    * integer arithmetic, no self-join — then ONE map-combined hash
+    * aggregation on (doc, chunk). The per-chunk token sort happens
+    * inside the aggregated array (bounded by chunkTokens), not as a
+    * partition sort. The transform lambda runs once per CHUNK on a
+    * ≤ chunkTokens array — cold path, not the per-row hot loop the
+    * codegen rule in TextOps.tokens guards.
+    */
+  def chunkDocuments(
+      df: DataFrame,
+      chunkTokens: Int,
+      stride: Int,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+  ): DataFrame = {
+    require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens,
+      s"need 0 < stride <= chunkTokens, got stride=$stride chunkTokens=$chunkTokens")
+    val tokRows = df.select(col(idCol),
+      posexplode(TextOps.tokens(coalesce(col(textCol), lit("")))).as(Seq("_p", "_t")))
+    // first/last chunk containing pos p (int arithmetic, lo clamped):
+    // lo = ceil((p - chunkTokens + 1) / stride), hi = floor(p / stride)
+    val lo = greatest(lit(0),
+      floor((col("_p") - lit(chunkTokens) + lit(stride)).cast(DoubleType) / lit(stride)).cast(IntegerType))
+    val hi = floor(col("_p").cast(DoubleType) / lit(stride)).cast(IntegerType)
+    tokRows
+      .select(col(idCol), col("_p"), col("_t"),
+        explode(sequence(lo, hi)).as("chunk_id"))
+      .groupBy(idCol, "chunk_id")
+      .agg(count(lit(1)).cast(IntegerType).as("n_tokens"),
+        concat_ws(" ", transform(array_sort(collect_list(struct(col("_p"), col("_t")))),
+          x => x.getField("_t"))).as("chunk_text"))
   }
 }

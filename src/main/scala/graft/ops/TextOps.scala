@@ -148,4 +148,55 @@ object TextOps {
       .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("_row"))
       .select(cols.map(c => col(s"_row.$c").as(c)): _*)
   }
+
+  /** Intra-document repetition signals (the Gopher-style quality
+    * filters of Rae et al. 2021, §A1.1 — public):
+    *
+    *   - `dup_line_frac`: fraction of line characters inside lines that
+    *     occur more than once in the document;
+    *   - `top_bigram_frac`: fraction of document characters covered by
+    *     occurrences of its most frequent word bigram (count × bigram
+    *     length / text length; ties broken toward the lexicographically
+    *     smallest bigram).
+    *
+    * Documents with no lines / fewer than two tokens score 0. Shapes at
+    * scale: both signals are explode → map-combined hash aggregations
+    * keyed by (doc, unit); the bigram build is a per-document window
+    * lead over exploded tokens (partition = the document, so state is
+    * doc-bounded), never a higher-order lambda in the hot path.
+    */
+  def repetitionSignals(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = coalesce(col(textCol), lit(""))
+    val lineCounts = df
+      .select(col(idCol), explode(split(t, "\n")).as("_line"))
+      .groupBy(idCol, "_line").agg(count(lit(1)).as("_n"))
+    val lineSig = lineCounts.groupBy(idCol).agg(
+      sum(col("_n") * length(col("_line"))).as("_all"),
+      sum(when(col("_n") > 1, col("_n") * length(col("_line"))).otherwise(lit(0L))).as("_dup"))
+    val tokRows = df.select(col(idCol), length(t).as("_nc"),
+        posexplode(tokens(t)).as(Seq("_p", "_t")))
+    val w = Window.partitionBy(idCol).orderBy(col("_p"))
+    val bigramCounts = tokRows
+      .withColumn("_t2", lead(col("_t"), 1).over(w))
+      .where(col("_t2").isNotNull)
+      .select(col(idCol), col("_nc"), concat(col("_t"), lit(" "), col("_t2")).as("_bg"))
+      .groupBy(idCol, "_nc", "_bg").agg(count(lit(1)).as("_n"))
+    val topRank = Window.partitionBy(idCol).orderBy(col("_n").desc, col("_bg").asc)
+    val topSig = bigramCounts
+      .withColumn("_rk", row_number().over(topRank)).where(col("_rk") === 1)
+      .select(col(idCol), col("_n").as("_topN"), col("_bg").as("_topBg"), col("_nc"))
+    df.select(col(idCol))
+      .join(lineSig, Seq(idCol), "left")
+      .join(topSig, Seq(idCol), "left")
+      .select(col(idCol),
+        round(coalesce(col("_dup").cast(DoubleType) / nullif(col("_all"), lit(0L)), lit(0.0)), 6)
+          .as("dup_line_frac"),
+        round(coalesce((col("_topN") * length(col("_topBg"))).cast(DoubleType) /
+          nullif(col("_nc"), lit(0)), lit(0.0)), 6).as("top_bigram_frac"))
+  }
 }

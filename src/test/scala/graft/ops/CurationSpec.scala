@@ -91,4 +91,26 @@ class CurationSpec extends SparkSpec {
     // stratum B packs independently: 0 -> shard 0, then 11 consumed -> shard 1
     assert(out(5L) == (11L, 0) && out(6L) == (2L, 1))
   }
+
+  test("chunkDocuments: overlapping token windows with short tail") {
+    import spark.implicits._
+    // 10 tokens, window 4, stride 3: [0..3], [3..6], [6..9], [9]
+    val df = Seq((1L, (0 until 10).map(i => s"t$i").mkString(" ")), (2L, ""), (3L, null: String))
+      .toDF("doc_id", "text")
+    val out = Curation.chunkDocuments(df, chunkTokens = 4, stride = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getInt(2), r.getString(3)))).toMap
+    assert(out.keySet.map(_._1) == Set(1L), "empty/null docs yield no chunks")
+    assert(out((1L, 0)) == ((4, "t0 t1 t2 t3")))
+    assert(out((1L, 1)) == ((4, "t3 t4 t5 t6")))
+    assert(out((1L, 2)) == ((4, "t6 t7 t8 t9")))
+    assert(out((1L, 3)) == ((1, "t9")))
+  }
+
+  test("chunkDocuments: disjoint packing when stride equals window") {
+    import spark.implicits._
+    val df = Seq((1L, (0 until 7).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val out = Curation.chunkDocuments(df, chunkTokens = 3, stride = 3).collect()
+      .map(r => r.getInt(1) -> r.getString(3)).toMap
+    assert(out == Map(0 -> "t0 t1 t2", 1 -> "t3 t4 t5", 2 -> "t6"))
+  }
 }

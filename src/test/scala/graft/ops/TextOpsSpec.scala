@@ -85,4 +85,28 @@ class TextOpsSpec extends SparkSpec {
     val r = one("abc123 def").select(TextOps.subwordCount(col("text"))).collect()(0).getInt(0)
     assert(r == 3) // abc, 123, def
   }
+
+  test("repetition signals: duplicated lines and dominant bigram") {
+    import spark.implicits._
+    val docs = Seq(
+      // "aa\naa\nbb": lines aa(×2, 2 chars each) + bb → dup 4/6
+      (1L, "aa\naa\nbb"),
+      // "x y x y x": bigrams "x y"(×2), "y x"(×2) → tie broken to
+      // lexicographically smaller "x y"; chars = 2*3/9
+      (2L, "x y x y x"),
+      // no repetition anywhere
+      (3L, "one two three"),
+      // degenerate: empty and null
+      (4L, ""),
+      (5L, null: String),
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetitionSignals(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(out(1L)._1 == math.round(4.0 / 6.0 * 1e6) / 1e6)
+    assert(out(2L)._2 == math.round(2.0 * 3.0 / 9.0 * 1e6) / 1e6)
+    assert(out(3L)._1 == 0.0)
+    // "one two three": top bigram occurs once → 1*7/13
+    assert(out(3L)._2 == math.round(7.0 / 13.0 * 1e6) / 1e6)
+    assert(out(4L) == ((0.0, 0.0)) && out(5L) == ((0.0, 0.0)))
+  }
 }
