@@ -999,6 +999,24 @@ items:
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 2000.0) AS INT) AS shard
     FROM t"""
 
+  /** Deterministic 80/10/10 train/val/test assignment. */
+  def assignSplits(s: SparkSession, dir: String): DataFrame =
+    Curation.assignSplit(T(s, dir, "documents"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split")
+      .orderBy("doc_id")
+
+  private val assignSplitsSql = {
+    val t80 = Curation.hashSampleThreshold(0.8)
+    val t90 = Curation.hashSampleThreshold(0.9)
+    s"""
+    SELECT doc_id,
+           CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '$t80' THEN 'train'
+                WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '$t90' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents ORDER BY doc_id"""
+  }
+
   /** Context-window chunking at a 64-token window with a 48-token
     * stride (overlapping windows — the interesting membership path; the
     * disjoint stride==size case degenerates to floor(pos/size)).
@@ -1983,6 +2001,7 @@ items:
     ("contamination", contamination _, Some(contaminationSql)),
     ("pack_shards", packShards _, Some(packShardsSql)),
     ("chunk_docs", chunkDocs _, Some(chunkDocsSql)),
+    ("assign_splits", assignSplits _, Some(assignSplitsSql)),
     ("hash_sample", hashSample _, Some(hashSampleSql)),
     ("mix_sources", mixSources _, Some(mixSourcesSql)),
     ("curation_pipeline", curationPipeline _, Some(curationPipelineSql)),

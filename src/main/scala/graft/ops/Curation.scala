@@ -91,6 +91,32 @@ object Curation {
   def hashSample(df: DataFrame, fraction: Double, keyCol: String = "doc_id"): DataFrame =
     df.where(hashSamplePredicate(col(keyCol), fraction))
 
+  /** Deterministic train/val/test assignment: every row gets exactly one
+    * split label from the cumulative-threshold partition of the same
+    * engine-portable md5-prefix space [[hashSample]] uses — key-stable
+    * (a document keeps its split across corpus versions and engines, the
+    * property that prevents train/eval leakage when data is re-curated),
+    * shuffle-free, and exhaustive (the last split is the CASE fallback,
+    * so threshold rounding can never drop a row).
+    */
+  def assignSplit(
+      df: DataFrame,
+      splits: Seq[(String, Double)],
+      keyCol: String = "doc_id",
+      out: String = "split",
+  ): DataFrame = {
+    require(splits.size >= 2, "need at least two splits")
+    require(splits.forall(_._2 > 0), s"split fractions must be positive: $splits")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val h = substring(md5(col(keyCol).cast("string").cast("binary")), 1, 8)
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val label = splits.init.zip(cum.init).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), cumF), acc) => when(h < lit(hashSampleThreshold(cumF)), lit(name)).otherwise(acc)
+    }
+    df.withColumn(out, label)
+  }
+
   /** Source-weighted data mixing: per-source deterministic sampling
     * rates (the "data mixture" step of a training pipeline — e.g. keep
     * 100% of wiki, 30% of web). A source absent from `rates` is dropped

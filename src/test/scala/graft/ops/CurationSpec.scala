@@ -106,6 +106,21 @@ class CurationSpec extends SparkSpec {
     assert(out((1L, 3)) == ((1, "t9")))
   }
 
+  test("assignSplit labels every row, near the target fractions, consistent with hashSample") {
+    import spark.implicits._
+    val df = (0L until 2000L).toDF("doc_id")
+    val out = Curation.assignSplit(df, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.values.sum == 2000L, "every row must carry exactly one label")
+    assert(out("train") > 1500 && out("train") < 1700, s"train ~80%: $out")
+    assert(out("val") > 120 && out("val") < 280, s"val ~10%: $out")
+    // the train split IS the 0.8 hash sample — same keys, same space
+    val sampled = Curation.hashSample(df, 0.8).collect().map(_.getLong(0)).toSet
+    val trained = Curation.assignSplit(df, Seq("train" -> 0.8, "rest" -> 0.2))
+      .where(col("split") === "train").collect().map(_.getLong(0)).toSet
+    assert(sampled == trained)
+  }
+
   test("chunkDocuments: disjoint packing when stride equals window") {
     import spark.implicits._
     val df = Seq((1L, (0 until 7).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
