@@ -564,8 +564,14 @@ items:
   def e12cMedianSketch(s: SparkSession, dir: String): DataFrame = {
     val li = T(s, dir, "lineitem")
       .withColumn("w_cents", cents(col("l_extendedprice")))
-    WeightedQuantileSketch.weightedPercentileSketch(
-        li, "l_quantity", "w_cents", Seq("l_returnflag"), p = 0.5, out = "median_qty")
+    // all three quartiles out of ONE single-pass buffer per group
+    val agg = WeightedQuantileSketch.weightedPercentilesAgg(Seq(0.25, 0.5, 0.75))
+    li.groupBy("l_returnflag")
+      .agg(agg(col("l_quantity").cast(DoubleType), col("w_cents").cast(DoubleType)).as("_q"))
+      .select(col("l_returnflag"),
+        element_at(col("_q"), 1).as("q1_qty"),
+        element_at(col("_q"), 2).as("median_qty"),
+        element_at(col("_q"), 3).as("q3_qty"))
       .orderBy("l_returnflag")
   }
 
@@ -579,8 +585,11 @@ items:
              sum(w) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
              sum(w) OVER (PARTITION BY l_returnflag) AS tot
       FROM s)
-    SELECT l_returnflag, min(v) AS median_qty
-    FROM c WHERE cum >= 0.5 * tot GROUP BY 1 ORDER BY 1"""
+    SELECT l_returnflag,
+           min(CASE WHEN cum >= 0.25 * tot THEN v END) AS q1_qty,
+           min(CASE WHEN cum >= 0.5 * tot THEN v END) AS median_qty,
+           min(CASE WHEN cum >= 0.75 * tot THEN v END) AS q3_qty
+    FROM c GROUP BY 1 ORDER BY 1"""
 
   /** E7+E8 CPI join + deflation (CPI derived per-year for the demo). */
   def e7e8Cpi(s: SparkSession, dir: String): DataFrame = {

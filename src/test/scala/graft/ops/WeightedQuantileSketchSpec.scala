@@ -59,6 +59,24 @@ class WeightedQuantileSketchSpec extends SparkSpec {
       s"sketch estimate $est too far from exact $exact")
   }
 
+  test("multi-percentile output matches repeated single-percentile calls") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 300).map(i => (i % 3, (rnd.nextInt(50) + 1).toDouble, (rnd.nextInt(5) + 1).toDouble))
+    val df = rows.toDF("g", "v", "w")
+    val multi = WeightedQuantileSketch.weightedPercentilesAgg(Seq(0.25, 0.5, 0.75))
+    val got = df.groupBy("g").agg(multi(col("v"), col("w")).as("q")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    for (p <- Seq(0.25, 0.5, 0.75)) {
+      val single = WeightedQuantileSketch.weightedPercentileSketch(df, "v", "w", Seq("g"), p, "m")
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val idx = Seq(0.25, 0.5, 0.75).indexOf(p)
+      single.foreach { case (g, m) => assert(got(g)(idx) == m, s"g=$g p=$p") }
+    }
+    // quartiles are monotone
+    got.values.foreach(q => assert(q(0) <= q(1) && q(1) <= q(2)))
+  }
+
   test("empty group input yields no rows; single value is its own median") {
     import spark.implicits._
     val df = Seq((1, 42.0, 3.0)).toDF("g", "v", "w")

@@ -150,4 +150,33 @@ class EventStreamsSpec extends SparkSpec {
       assert(sessions(2).n_events == 1 && sessions(2).session_start == ts(120))
     } finally q.stop()
   }
+
+  test("sessionization: a late run chaining up to the open session merges into it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = sessionize(input.toDS(), gapSeconds = 600, watermark = "240 minutes")
+      .writeStream.format("memory").queryName("late_chain_sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1 opens a session spanning minutes 100-105
+      input.addData(Event(1, ts(100), 1, "click", 1.0), Event(2, ts(105), 1, "click", 2.0))
+      q.processAllAvailable()
+      // batch 2: minute 85 is late (> gap before start 100); minute 92
+      // is within one gap of the start AND of 85 — true batch semantics
+      // for {85, 92, 100, 105} is ONE session, not a split
+      input.addData(Event(3, ts(85), 1, "late", 4.0), Event(4, ts(92), 1, "late", 8.0))
+      q.processAllAvailable()
+      // flush via timeout
+      input.addData(Event(9, ts(700), 2, "view", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(10, ts(1100), 2, "view", 0.0))
+      q.processAllAvailable()
+      val sessions = spark.table("late_chain_sessions").as[Session].collect()
+        .filter(_.user_id == 1)
+      assert(sessions.length == 1, s"got ${sessions.toSeq}")
+      assert(sessions(0).session_start == ts(85) && sessions(0).session_end == ts(105))
+      assert(sessions(0).n_events == 4 && sessions(0).total_value == 15.0)
+    } finally q.stop()
+  }
 }
