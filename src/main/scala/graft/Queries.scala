@@ -1455,6 +1455,45 @@ items:
     FROM scored
     QUALIFY rank <= 5"""
 
+  /** Int8-quantized brute-force top-k (k=5, same 3 query vectors as
+    * `ann_brute_topk`). EXACTLY oracled, not tolerance-compared: the
+    * per-vector max-abs quantization is one deterministic round() both
+    * engines replay, and every quantized dot is a sum of integer
+    * products — bit-identical doubles, so ranks and r6 cosines match
+    * DuckDB hash-for-hash. AnnSpec separately audits recall vs the
+    * float path (the approximation trade the 4×-smaller storage buys).
+    */
+  def annInt8TopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    Ann.int8TopK(emb, emb.where(col("vec_id") < 3), k = 5)
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"),
+        col("rank").cast(IntegerType).as("rank"))
+  }
+
+  private val annInt8Sql = """
+    WITH qz AS (
+      SELECT vec_id,
+             CASE WHEN m > 0
+                  THEN list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 127.0 / m))
+                  ELSE list_transform(embedding, x -> CAST(0.0 AS DOUBLE)) END AS q
+      FROM (SELECT vec_id, embedding,
+                   CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS m
+            FROM embeddings)),
+    qq AS (SELECT vec_id AS query_id, q AS qvec FROM qz WHERE vec_id < 3),
+    scored AS (
+      SELECT qq.query_id, e.vec_id AS neighbor_id,
+             CASE WHEN (sqrt(list_sum(list_transform(list_zip(qq.qvec, qq.qvec), p -> p[1]*p[2])))
+                       * sqrt(list_sum(list_transform(list_zip(e.q, e.q), p -> p[1]*p[2])))) > 0
+                  THEN list_sum(list_transform(list_zip(qq.qvec, e.q), p -> p[1]*p[2]))
+                       / (sqrt(list_sum(list_transform(list_zip(qq.qvec, qq.qvec), p -> p[1]*p[2])))
+                          * sqrt(list_sum(list_transform(list_zip(e.q, e.q), p -> p[1]*p[2]))))
+                  ELSE 0.0 END AS cos_raw
+      FROM qz e CROSS JOIN qq WHERE e.vec_id <> qq.query_id)
+    SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine,
+           CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 5"""
+
   /** Embedding-cosine near-dup pipeline with a DuckDB oracle. The raw
     * testdata embeddings contain no true near-dups, so the query PLANTS
     * them: the corpus is unioned with id-offset copies of its first 25
@@ -2024,6 +2063,7 @@ items:
     ("simhash_pairs_capped", simhashPairsCapped _, Some(simhashPairsSql)),
     ("simhash_near_dups", simhashNearDups _, Some(minhashNearDupsSql)),
     ("ann_brute_topk", annBruteTopK _, Some(annBruteSql)),
+    ("ann_int8_topk", annInt8TopK _, Some(annInt8Sql)),
     ("ann_lsh_topk", annLshTopK _, Some(annLshTopKSql)),
     ("ann_cosine_dedup", annCosineDedup _, Some(annCosineDedupSql)),
     ("multimodal_features", multimodalFeatures _, Some(multimodalSql)),
@@ -2071,7 +2111,7 @@ items:
     "dedup_exact", "text_stats", "rep_signals", "lang_id", "quality_score", "ngram_jaccard",
     "pii_redact", "contamination", "pack_shards", "chunk_docs", "curation_pipeline",
     "minhash_pairs", "minhash_near_dups", "simhash_pairs", "simhash_near_dups",
-    "ann_brute_topk", "ann_lsh_query",
+    "ann_brute_topk", "ann_int8_topk", "ann_lsh_query",
     "ann_cosine_dedup", "ivf_topk", "kmeans_step", "ann_pipeline", "dedup_clusters", "skew_salted_agg",
     "multimodal_features",
     "events_window_agg", "events_window_stream", "events_dedup_stream",

@@ -208,6 +208,66 @@ object Ann {
       .where(col("cosine") >= threshold)
   }
 
+  /** Per-vector max-abs scale for int8 quantization (double). */
+  def maxAbs(vec: Column): Column =
+    array_max(transform(vec, x => abs(x))).cast(DoubleType)
+
+  /** Symmetric per-vector int8 scalar quantization: q_i = round(v_i *
+    * 127 / maxAbs), stored as `array<tinyint>` — 4× smaller than
+    * float32 at rest and in every shuffle, the storage-layer half of
+    * ANN at 100 TB (IVF prunes what is READ; int8 shrinks every byte
+    * that remains). Cosine survives quantization because the per-vector
+    * scale cancels in the ratio — only the ±0.5 rounding error remains.
+    *
+    * `m` is [[maxAbs]] computed in a PRIOR projection so it evaluates
+    * once per row, not once per element (transform re-evaluates its
+    * outer references per element). A zero vector quantizes to zeros.
+    *
+    * Exactness contract: quantized dots are sums of integer products
+    * (≤ 127² · dim — exact in double well past dim 10⁶), so scores are
+    * bit-identical across engines, partitionings, and retries; the
+    * quantization itself is one deterministic round() both Spark and
+    * DuckDB reproduce. This is what makes the int8 path exactly
+    * oracle-able rather than tolerance-compared.
+    */
+  def quantizeInt8(vec: Column, m: Column): Column =
+    transform(vec, x =>
+      when(m > 0, round(x.cast(DoubleType) * lit(127.0) / m))
+        .otherwise(lit(0.0)).cast(ByteType))
+
+  /** Brute-force top-k over int8-quantized vectors: same join/top-k
+    * shape as [[bruteForceTopK]] (corpus scanned once, queries
+    * broadcast), but candidates are scored on `array<tinyint>` columns
+    * cast to double for the native vec_dot kernel — the cast is
+    * codegen'd and the integer-valued products stay exact. At scale the
+    * corpus side carries 1/4 the bytes of the float path through scan,
+    * cache, and (in the LSH/IVF variants) shuffle.
+    */
+  def int8TopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      queryIdCol: String = "query_id",
+  ): DataFrame = {
+    def quantized(df: DataFrame, id: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol), maxAbs(col(vecCol)).as("_m"))
+        .select(col(id), quantizeInt8(col(vecCol), col("_m"))
+          .cast(ArrayType(DoubleType)).as("_q"))
+    val q = broadcast(quantized(queries, queryIdCol)
+      .withColumnRenamed("_q", "_qvec"))
+    val scored = Dedup.scatter(quantized(corpus, idCol))
+      .crossJoin(q)
+      .where(col(idCol) =!= col(queryIdCol))
+      .select(col(queryIdCol), col(idCol).as("neighbor_id"),
+        cosine(col("_qvec"), col("_q")).as("cosine"))
+    val win = Window.partitionBy(queryIdCol)
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(win))
+      .where(col("rank") <= k)
+  }
+
   /** IVF-style coarse quantization: assign each vector to its nearest of
     * `centroids` (broadcast literal), giving a partitionable `cluster`
     * column — the disk-layout primitive for ANN at rest (write bucketed

@@ -44,6 +44,38 @@ class AnnSpec extends SparkSpec {
     assert(recall > 0.4, s"LSH recall too low: $recall")
   }
 
+  test("int8 quantization: bounds, max-abs element saturation, zero vector") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    val q = df.select(col("vec_id"), col("embedding"), Ann.maxAbs(col("embedding")).as("_m"))
+      .select(col("vec_id"), Ann.quantizeInt8(col("embedding"), col("_m")).as("q"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getSeq[Byte](1)).toMap
+    // max-abs element maps to ±127; others scale proportionally; exact halves round away from zero
+    assert(q(1L) == Seq[Byte](64, -127, 32, 0), s"got ${q(1L)}")
+    assert(q(2L) == Seq[Byte](0, 0, 0, 0))
+  }
+
+  test("int8 top-k: high recall vs float brute force, scores within rounding error") {
+    val df = vecs(200)
+    val q = df.where(col("vec_id") < 5)
+    val exact = Ann.bruteForceTopK(df, q, k = 10).collect()
+      .map(r => ((r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")), r.getAs[Double]("cosine")))
+      .toMap
+    val quant = Ann.int8TopK(df, q, k = 10).collect()
+      .map(r => ((r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")), r.getAs[Double]("cosine")))
+      .toMap
+    val recall = (exact.keySet intersect quant.keySet).size.toDouble / exact.size
+    assert(recall >= 0.8, s"int8 recall too low: $recall")
+    // where both paths agree on a neighbor, the quantized cosine is close
+    (exact.keySet intersect quant.keySet).foreach { k =>
+      assert(math.abs(exact(k) - quant(k)) < 0.05,
+        s"quantized cosine drifted: $k ${exact(k)} vs ${quant(k)}")
+    }
+  }
+
   test("cosine near-dup pairs finds planted duplicate vectors") {
     import spark.implicits._
     val base = vecs(60)
