@@ -1732,6 +1732,23 @@ items:
         col("rank").cast(IntegerType).as("rank"))
   }
 
+  /** IVF + int8 at-rest layout, gated end-to-end: the corpus is written
+    * cluster-partitioned AND int8-quantized ([[Ann.ivfWriteInt8]]), then
+    * queried at FULL probe — which must return exactly the
+    * already-oracled `ann_int8_topk` result (same oracle SQL). Proves
+    * quantize-at-write → partition-pruned scan → integer-dot re-score
+    * round-trips through parquet with nothing lost.
+    */
+  def ivfInt8TopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val centroids = Ann.hyperplanes(4, 64, seed = 7L)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_i8_gate").toString
+    Ann.ivfWriteInt8(emb, tmp, centroids)
+    Ann.ivfTopKInt8(tmp, emb.where(col("vec_id") < 3), centroids, k = 5, nProbe = 4)
+      .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"),
+        col("rank").cast(IntegerType).as("rank"))
+  }
+
   /** ANN flagship: the full IVF lifecycle as ONE pipeline — train
     * centroids (one Lloyd iteration from the deterministic hyperplane
     * init), write the corpus cluster-partitioned ([[Ann.ivfWrite]] —
@@ -2070,6 +2087,7 @@ items:
     ("dedup_clusters", dedupClusters _, Some(dedupClustersSql)),
     ("dedup_best_quality", dedupBestQuality _, Some(dedupBestQualitySql)),
     ("ivf_topk", ivfTopK _, Some(annBruteSql)),
+    ("ivf_int8_topk", ivfInt8TopK _, Some(annInt8Sql)),
     ("kmeans_step", kmeansStep _, Some(kmeansStepSql)),
     ("ann_pipeline", annPipeline _, Some(annPipelineSql)),
     ("skew_salted_agg", skewSaltedAgg _, Some(skewSaltedSql)),
@@ -2112,7 +2130,7 @@ items:
     "pii_redact", "contamination", "pack_shards", "chunk_docs", "curation_pipeline",
     "minhash_pairs", "minhash_near_dups", "simhash_pairs", "simhash_near_dups",
     "ann_brute_topk", "ann_int8_topk", "ann_lsh_query",
-    "ann_cosine_dedup", "ivf_topk", "kmeans_step", "ann_pipeline", "dedup_clusters", "skew_salted_agg",
+    "ann_cosine_dedup", "ivf_topk", "ivf_int8_topk", "kmeans_step", "ann_pipeline", "dedup_clusters", "skew_salted_agg",
     "multimodal_features",
     "events_window_agg", "events_window_stream", "events_dedup_stream",
     "events_sessionize", "topk")

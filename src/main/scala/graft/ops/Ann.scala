@@ -366,6 +366,65 @@ object Ann {
     corpus.withColumn("cluster", assignCluster(col(vecCol), centroids))
       .write.mode("overwrite").partitionBy("cluster").parquet(path)
 
+  /** Write the corpus IVF-partitioned AND int8-quantized — the two
+    * halves of ANN at rest composed: cluster pruning bounds what a probe
+    * READS, int8 shrinks every byte that remains (¼ the scan cost of
+    * the float layout per probed partition). Cluster assignment runs on
+    * the ORIGINAL float vector (assignment quality is not quantized);
+    * only the stored payload is.
+    */
+  def ivfWriteInt8(
+      corpus: DataFrame,
+      path: String,
+      centroids: Array[Array[Double]],
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+  ): Unit =
+    corpus
+      .select(col(idCol), col(vecCol), maxAbs(col(vecCol)).as("_m"))
+      .select(col(idCol),
+        quantizeInt8(col(vecCol), col("_m")).as(vecCol),
+        assignCluster(col(vecCol), centroids).as("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+
+  /** IVF query over an [[ivfWriteInt8]] layout: probe selection uses the
+    * float query vectors ([[probeClusters]]); scoring quantizes the
+    * queries the same way the corpus was quantized and runs the exact
+    * integer-dot cosine of [[int8TopK]] on the partition-pruned scan.
+    * At full probe this returns exactly the [[int8TopK]] result — the
+    * equality that gates the layout end-to-end.
+    */
+  def ivfTopKInt8(
+      corpusPath: String,
+      queries: DataFrame,
+      centroids: Array[Array[Double]],
+      k: Int,
+      nProbe: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      queryIdCol: String = "query_id",
+  ): DataFrame = {
+    val spark = queries.sparkSession
+    val q = queries
+      .select(col(idCol).as(queryIdCol), col(vecCol), maxAbs(col(vecCol)).as("_m"))
+      .select(col(queryIdCol),
+        quantizeInt8(col(vecCol), col("_m")).cast(ArrayType(DoubleType)).as("_qvec"),
+        probeClusters(col(vecCol), centroids, nProbe).as("_probes"))
+    val probeSet = q.select(explode(col("_probes")).as("c")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val corpus = spark.read.parquet(corpusPath)
+      .where(col("cluster").isin(probeSet: _*)) // partition pruning
+      .select(col(idCol), col(vecCol).cast(ArrayType(DoubleType)).as("_cvec"), col("cluster"))
+    val qe = q.select(col(queryIdCol), col("_qvec"), explode(col("_probes")).as("cluster"))
+    val cand = corpus.join(broadcast(qe), Seq("cluster"))
+      .where(col(idCol) =!= col(queryIdCol))
+    val scored = cand.select(col(queryIdCol), col(idCol).as("neighbor_id"),
+      cosine(col("_qvec"), col("_cvec")).as("cosine"))
+    val win = Window.partitionBy(queryIdCol)
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(win)).where(col("rank") <= k)
+  }
+
   /** IVF query: each query probes its nProbe nearest clusters; the union
     * of probed clusters becomes a STATIC partition filter on the
     * cluster-partitioned corpus (driver-side collect bounded by

@@ -76,6 +76,32 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("int8 IVF layout: full probe equals int8 brute force; pruned probe is a subset scan") {
+    val df = vecs(120)
+    val q = df.where(col("vec_id") < 3)
+    val centroids = Ann.hyperplanes(4, dim, seed = 7L)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_i8_spec").toString
+    try {
+      Ann.ivfWriteInt8(df, tmp, centroids)
+      // the stored payload really is int8
+      val stored = spark.read.parquet(tmp)
+      assert(stored.schema("embedding").dataType ==
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType, true))
+      val full = Ann.ivfTopKInt8(tmp, q, centroids, k = 5, nProbe = 4).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+          (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toMap
+      val brute = Ann.int8TopK(df, q, k = 5).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+          (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toMap
+      assert(full == brute, "full-probe int8 IVF must equal int8 brute force")
+      // pruned probe returns k rows per query drawn from the probed clusters only
+      val pruned = Ann.ivfTopKInt8(tmp, q, centroids, k = 5, nProbe = 1).collect()
+      assert(pruned.groupBy(_.getAs[Long]("query_id")).values.forall(_.length == 5))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("cosine near-dup pairs finds planted duplicate vectors") {
     import spark.implicits._
     val base = vecs(60)
