@@ -164,12 +164,11 @@ instructions:
     */
   /** One cache dir per (JVM × fixture dir × flavor) — repeated gate/
     * bench invocations reuse it instead of leaking a full materialized
-    * cache copy into the system temp dir per run.
+    * cache copy into the system temp dir per run; Scratch deletes it at
+    * process exit.
     */
-  private val a9Dirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def a9Dir(dir: String, flavor: String): String =
-    a9Dirs.computeIfAbsent(s"$flavor:$dir", _ =>
-      java.nio.file.Files.createTempDirectory(s"graft_${flavor}_gate").toString)
+    graft.engine.Scratch.dir(s"graft_${flavor}_gate:$dir")
 
   def a9Cache(s: SparkSession, dir: String): DataFrame = {
     val cacheDir = a9Dir(dir, "a9")
@@ -266,7 +265,9 @@ reg:
       .unionByName(junkRow(1L, Seq(null, null, null, null, null, null, null)))
       .unionByName(dataRow)
       .unionByName(junkRow(3L, Seq("source: household survey", "", "", "", "", "", "")))
-    val gridPath = s"${System.getProperty("java.io.tmpdir")}/graft_e14_grid"
+    // process-unique scratch (a fixed shared path would let two
+    // concurrent sessions overwrite each other's grid mid-read)
+    val gridPath = graft.engine.Scratch.dir(s"graft_e14_grid:$dir")
     grid.write.mode("overwrite").parquet(gridPath)
     val ext = new graft.external.ExternalData(
       s,

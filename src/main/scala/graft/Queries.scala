@@ -1725,7 +1725,7 @@ items:
   def ivfTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = T(s, dir, "embeddings")
     val centroids = Ann.hyperplanes(4, 64, seed = 7L)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_gate").toString
+    val tmp = graft.engine.Scratch.dir(s"graft_ivf_gate:$dir")
     Ann.ivfWrite(emb, tmp, centroids)
     Ann.ivfTopK(tmp, emb.where(col("vec_id") < 3), centroids, k = 5, nProbe = 4)
       .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"),
@@ -1742,7 +1742,7 @@ items:
   def ivfInt8TopK(s: SparkSession, dir: String): DataFrame = {
     val emb = T(s, dir, "embeddings")
     val centroids = Ann.hyperplanes(4, 64, seed = 7L)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_i8_gate").toString
+    val tmp = graft.engine.Scratch.dir(s"graft_ivf_i8_gate:$dir")
     Ann.ivfWriteInt8(emb, tmp, centroids)
     Ann.ivfTopKInt8(tmp, emb.where(col("vec_id") < 3), centroids, k = 5, nProbe = 4)
       .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"),
@@ -1766,7 +1766,7 @@ items:
     val emb = T(s, dir, "embeddings")
     val init = Ann.hyperplanes(4, 64, seed = 7L)
     val trained = Ann.trainCentroids(emb, init, iterations = 1)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_ann_pipe").toString
+    val tmp = graft.engine.Scratch.dir(s"graft_ann_pipe:$dir")
     Ann.ivfWrite(emb, tmp, trained)
     Ann.ivfTopK(tmp, emb.where(col("vec_id") < 3), trained, k = 5, nProbe = 2)
       .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"),

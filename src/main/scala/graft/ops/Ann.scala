@@ -37,6 +37,36 @@ object Ann {
     when(d > 0, dot(a, b) / d).otherwise(lit(0.0))
   }
 
+  /** Per-query top-k by descending cosine, neighbor id breaking ties —
+    * the shared tail of every ANN query path.
+    */
+  private def topKByCosine(scored: DataFrame, k: Int, queryIdCol: String): DataFrame = {
+    val win = Window.partitionBy(queryIdCol)
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(win))
+      .where(col("rank") <= k)
+  }
+
+  /** Shared all-pairs spine of [[bruteForceTopK]] / [[int8TopK]]:
+    * `corpus` (idCol, _cvec) is scanned exactly once with no shuffle
+    * (scatter guards the single-file case); `q` (queryIdCol, _qvec)
+    * must be small — it is broadcast.
+    */
+  private def crossScoreTopK(
+      corpus: DataFrame,
+      q: DataFrame,
+      k: Int,
+      idCol: String,
+      queryIdCol: String,
+  ): DataFrame = {
+    val scored = Dedup.scatter(corpus)
+      .crossJoin(broadcast(q))
+      .where(col(idCol) =!= col(queryIdCol))
+      .select(col(queryIdCol), col(idCol).as("neighbor_id"),
+        cosine(col("_qvec"), col("_cvec")).as("cosine"))
+    topKByCosine(scored, k, queryIdCol)
+  }
+
   /** Exact top-k cosine neighbors for each query vector.
     * `queries` must be small (it is broadcast); the corpus is scanned
     * exactly once with no shuffle before the per-query top-k, which
@@ -49,19 +79,10 @@ object Ann {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       queryIdCol: String = "query_id",
-  ): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as(queryIdCol), col(vecCol).as("_qvec")))
-    // scatter: a single-file corpus would otherwise score on one task
-    val scored = Dedup.scatter(corpus.select(col(idCol), col(vecCol)))
-      .crossJoin(q)
-      .where(col(idCol) =!= col(queryIdCol))
-      .select(col(queryIdCol), col(idCol).as("neighbor_id"),
-        cosine(col("_qvec"), col(vecCol)).as("cosine"))
-    val win = Window.partitionBy(queryIdCol)
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(win))
-      .where(col("rank") <= k)
-  }
+  ): DataFrame = crossScoreTopK(
+    corpus.select(col(idCol), col(vecCol).as("_cvec")),
+    queries.select(col(idCol).as(queryIdCol), col(vecCol).as("_qvec")),
+    k, idCol, queryIdCol)
 
   /** Deterministic pseudo-random unit hyperplanes (driver-side constants;
     * xorshift64* seeded by (plane, dim) so results are reproducible).
@@ -251,21 +272,12 @@ object Ann {
       vecCol: String = "embedding",
       queryIdCol: String = "query_id",
   ): DataFrame = {
-    def quantized(df: DataFrame, id: String): DataFrame =
+    def quantized(df: DataFrame, id: String, outVec: String): DataFrame =
       df.select(col(idCol).as(id), col(vecCol), maxAbs(col(vecCol)).as("_m"))
         .select(col(id), quantizeInt8(col(vecCol), col("_m"))
-          .cast(ArrayType(DoubleType)).as("_q"))
-    val q = broadcast(quantized(queries, queryIdCol)
-      .withColumnRenamed("_q", "_qvec"))
-    val scored = Dedup.scatter(quantized(corpus, idCol))
-      .crossJoin(q)
-      .where(col(idCol) =!= col(queryIdCol))
-      .select(col(queryIdCol), col(idCol).as("neighbor_id"),
-        cosine(col("_qvec"), col("_q")).as("cosine"))
-    val win = Window.partitionBy(queryIdCol)
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(win))
-      .where(col("rank") <= k)
+          .cast(ArrayType(DoubleType)).as(outVec))
+    crossScoreTopK(quantized(corpus, idCol, "_cvec"),
+      quantized(queries, queryIdCol, "_qvec"), k, idCol, queryIdCol)
   }
 
   /** IVF-style coarse quantization: assign each vector to its nearest of
@@ -404,25 +416,14 @@ object Ann {
       vecCol: String = "embedding",
       queryIdCol: String = "query_id",
   ): DataFrame = {
-    val spark = queries.sparkSession
     val q = queries
       .select(col(idCol).as(queryIdCol), col(vecCol), maxAbs(col(vecCol)).as("_m"))
       .select(col(queryIdCol),
         quantizeInt8(col(vecCol), col("_m")).cast(ArrayType(DoubleType)).as("_qvec"),
         probeClusters(col(vecCol), centroids, nProbe).as("_probes"))
-    val probeSet = q.select(explode(col("_probes")).as("c")).distinct()
-      .collect().map(_.getInt(0)).toSeq
-    val corpus = spark.read.parquet(corpusPath)
-      .where(col("cluster").isin(probeSet: _*)) // partition pruning
-      .select(col(idCol), col(vecCol).cast(ArrayType(DoubleType)).as("_cvec"), col("cluster"))
-    val qe = q.select(col(queryIdCol), col("_qvec"), explode(col("_probes")).as("cluster"))
-    val cand = corpus.join(broadcast(qe), Seq("cluster"))
-      .where(col(idCol) =!= col(queryIdCol))
-    val scored = cand.select(col(queryIdCol), col(idCol).as("neighbor_id"),
-      cosine(col("_qvec"), col("_cvec")).as("cosine"))
-    val win = Window.partitionBy(queryIdCol)
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(win)).where(col("rank") <= k)
+    ivfProbeTopK(corpusPath, q, k, idCol, queryIdCol,
+      c => c.select(col(idCol), col(vecCol).cast(ArrayType(DoubleType)).as("_cvec"),
+        col("cluster")))
   }
 
   /** IVF query: each query probes its nProbe nearest clusters; the union
@@ -441,24 +442,38 @@ object Ann {
       vecCol: String = "embedding",
       queryIdCol: String = "query_id",
   ): DataFrame = {
-    val spark = queries.sparkSession
     val q = queries.select(col(idCol).as(queryIdCol), col(vecCol).as("_qvec"),
       probeClusters(col(vecCol), centroids, nProbe).as("_probes"))
+    ivfProbeTopK(corpusPath, q, k, idCol, queryIdCol,
+      c => c.select(col(idCol), col(vecCol).as("_cvec"), col("cluster")))
+  }
+
+  /** Shared probe/scan/score spine of [[ivfTopK]] / [[ivfTopKInt8]].
+    * `q` carries (queryIdCol, _qvec, _probes); `projectCorpus` maps the
+    * partition-pruned parquet scan to (idCol, _cvec, cluster). The
+    * probe-set collect is bounded by |queries| × nProbe. Probes are
+    * exploded to (query, cluster) rows so the candidate join is a
+    * broadcast HASH join on the cluster key — the array_contains
+    * formulation planned a nested-loop join scanning every query's
+    * probe list per corpus row.
+    */
+  private def ivfProbeTopK(
+      corpusPath: String,
+      q: DataFrame,
+      k: Int,
+      idCol: String,
+      queryIdCol: String,
+      projectCorpus: DataFrame => DataFrame,
+  ): DataFrame = {
+    val spark = q.sparkSession
     val probeSet = q.select(explode(col("_probes")).as("c")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val corpus = spark.read.parquet(corpusPath)
-      .where(col("cluster").isin(probeSet: _*)) // partition pruning
-    // probes exploded to (query, cluster) rows so the candidate join is
-    // a broadcast HASH join on the cluster key — the array_contains
-    // formulation planned a nested-loop join scanning every query's
-    // probe list per corpus row
+    val corpus = projectCorpus(spark.read.parquet(corpusPath)
+      .where(col("cluster").isin(probeSet: _*))) // partition pruning
     val qe = q.select(col(queryIdCol), col("_qvec"), explode(col("_probes")).as("cluster"))
     val cand = corpus.join(broadcast(qe), Seq("cluster"))
       .where(col(idCol) =!= col(queryIdCol))
-    val scored = cand.select(col(queryIdCol), col(idCol).as("neighbor_id"),
-      cosine(col("_qvec"), col(vecCol)).as("cosine"))
-    val win = Window.partitionBy(queryIdCol)
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(win)).where(col("rank") <= k)
+    topKByCosine(cand.select(col(queryIdCol), col(idCol).as("neighbor_id"),
+      cosine(col("_qvec"), col("_cvec")).as("cosine")), k, queryIdCol)
   }
 }

@@ -110,7 +110,13 @@ object Curation {
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
     val h = substring(md5(col(keyCol).cast("string").cast("binary")), 1, 8)
-    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    // cumulative fractions in DECIMAL: double accumulation (0.7 + 0.2 =
+    // 0.8999999999999999) can floor into a different hash bucket than
+    // hashSampleThreshold(0.9) when the product lands near an integer
+    // boundary — which would break the documented same-hash-space
+    // nesting with hashSample for boundary keys
+    val cum = splits.map(s => BigDecimal.valueOf(s._2))
+      .scanLeft(BigDecimal(0))(_ + _).tail.map(_.toDouble)
     val label = splits.init.zip(cum.init).foldRight(lit(splits.last._1): Column) {
       case (((name, _), cumF), acc) => when(h < lit(hashSampleThreshold(cumF)), lit(name)).otherwise(acc)
     }

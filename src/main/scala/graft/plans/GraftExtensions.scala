@@ -67,10 +67,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         // there would pass and make the binary search silently miss
         los.indices.foreach { i =>
           require(los(i) <= his(i),
-            s"range_set_search: inverted range at index $i: [${los(i)}, ${his(i)}))")
+            s"range_set_search: inverted range at index $i: [${los(i)}, ${his(i)})")
         }
+        // per-range lo <= hi above + hi(i) <= lo(i+1) here already
+        // imply lo(i) <= lo(i+1)
         (0 until los.length - 1).foreach { i =>
-          require(his(i) <= los(i + 1) && los(i) <= los(i + 1),
+          require(his(i) <= los(i + 1),
             s"range_set_search: ranges must be sorted and disjoint " +
               s"(violated at index $i: [${los(i)}, ${his(i)}) then [${los(i + 1)}, ${his(i + 1)}))")
         }

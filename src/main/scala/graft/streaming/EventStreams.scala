@@ -100,8 +100,23 @@ object EventStreams {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t > s.lastSeen + gapMs =>
-                  // gap exceeded forward: close and start a new session
-                  closedSessions ::= close(userId, s)
+                  // gap exceeded forward: close and start a new session.
+                  // Any pending late run pertains to the session being
+                  // closed (sorted order: no later event can precede the
+                  // NEW session's start), so resolve it NOW — merge if it
+                  // chained to within one gap of the (possibly
+                  // backward-extended) start, else close it separately.
+                  val resolved = lateCur match {
+                    case Some(ls) if s.sessionStart - ls.lastSeen <= gapMs =>
+                      SessionState(ls.sessionStart, s.lastSeen,
+                        s.nEvents + ls.nEvents, s.total + ls.total)
+                    case Some(ls) =>
+                      closedSessions ::= close(userId, ls)
+                      s
+                    case None => s
+                  }
+                  lateCur = None
+                  closedSessions ::= close(userId, resolved)
                   cur = Some(SessionState(t, t, 1, e.value))
                 case Some(s) if t < s.sessionStart - gapMs =>
                   lateCur match {

@@ -41,6 +41,7 @@ class CatalogPlanLintSpec extends SparkSpec {
     */
   private val intentionalNestedLoop: Set[String] = Set(
     "ann_brute_topk",     // the exact baseline is definitionally all-pairs
+    "ann_int8_topk",      // int8 sibling of the same all-pairs baseline
     "ann_lsh_topk",       // recall audit re-scores against the exact baseline
     "ann_lsh_full_recall", // ditto
   )

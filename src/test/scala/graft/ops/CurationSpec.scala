@@ -119,6 +119,14 @@ class CurationSpec extends SparkSpec {
     val trained = Curation.assignSplit(df, Seq("train" -> 0.8, "rest" -> 0.2))
       .where(col("split") === "train").collect().map(_.getLong(0)).toSet
     assert(sampled == trained)
+    // interior thresholds are decimal-exact: train+val of a 0.7/0.2/0.1
+    // split lands on hashSampleThreshold(0.9) exactly (not the float sum
+    // 0.8999999999999999, which only coincidentally floors to the same
+    // bucket), so train ∪ val equals the 0.9 hash sample KEY-FOR-KEY
+    val threeWay = Curation.assignSplit(df, Seq("train" -> 0.7, "val" -> 0.2, "test" -> 0.1))
+      .where(col("split") =!= "test").collect().map(_.getLong(0)).toSet
+    val nine = Curation.hashSample(df, 0.9).collect().map(_.getLong(0)).toSet
+    assert(threeWay == nine)
   }
 
   test("chunkDocuments: disjoint packing when stride equals window") {

@@ -151,6 +151,31 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionization: late run merges into a session closed FORWARD in the same batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = sessionize(input.toDS(), gapSeconds = 600, watermark = "240 minutes")
+      .writeStream.format("memory").queryName("late_fwd_close_sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1 opens a session spanning minutes 100-105
+      input.addData(Event(1, ts(100), 1, "click", 1.0), Event(2, ts(105), 1, "click", 2.0))
+      q.processAllAvailable()
+      // batch 2 delivers BOTH a chaining late run {85, 92} AND a
+      // forward event at 200 that closes the session — the closed
+      // session must still absorb the late run: ONE {85..105, n=4}
+      input.addData(Event(3, ts(85), 1, "late", 4.0), Event(4, ts(92), 1, "late", 8.0),
+        Event(5, ts(200), 1, "click", 16.0))
+      q.processAllAvailable()
+      val closed = spark.table("late_fwd_close_sessions").as[Session].collect()
+        .filter(_.user_id == 1)
+      assert(closed.length == 1, s"got ${closed.toSeq}")
+      assert(closed(0).session_start == ts(85) && closed(0).session_end == ts(105))
+      assert(closed(0).n_events == 4 && closed(0).total_value == 15.0)
+    } finally q.stop()
+  }
+
   test("sessionization: a late run chaining up to the open session merges into it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
