@@ -844,6 +844,51 @@ items:
            min(doc_id) AS doc_id, count(*) AS dup_count
     FROM documents GROUP BY 1"""
 
+  /** Paragraph-level dedup across the corpus. The synthetic corpus is
+    * single-line, so the query PLANTS sub-document structure: every 3rd
+    * document gains a two-line boilerplate footer (shared across those
+    * docs — only its FIRST occurrence survives), and the first five
+    * documents are cloned under offset ids (their single content line
+    * dedups away, so clones of footer-free docs vanish entirely while
+    * clones of footered docs keep nothing either — the footer already
+    * occurred at the original). Exercises first-occurrence-wins, the
+    * blank-paragraph exemption, and full-document elimination, all
+    * hash-verified against DuckDB replaying the same split/window.
+    */
+  def dedupParagraphsQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+    val idType = docs.schema("doc_id").dataType
+    val boiler = docs.select(col("doc_id"),
+      when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit("\nall rights reserved\nsubscribe here")))
+        .otherwise(col("text")).as("text"))
+    val clones = boiler.where(col("doc_id") < 5)
+      .select((col("doc_id") + lit(200000)).cast(idType).as("doc_id"), col("text"))
+    Dedup.dedupParagraphs(boiler.unionByName(clones)).orderBy("doc_id")
+  }
+
+  private val dedupParagraphsSql = """
+    WITH b AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN text || chr(10) || 'all rights reserved' || chr(10) || 'subscribe here'
+                  ELSE text END AS text
+      FROM documents),
+    u AS (
+      SELECT doc_id, text FROM b
+      UNION ALL
+      SELECT doc_id + 200000, text FROM b WHERE doc_id < 5),
+    p AS (
+      SELECT doc_id, unnest(range(len(ps))) AS pos, unnest(ps) AS para
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS ps FROM u)),
+    k AS (
+      SELECT doc_id, pos, para,
+             row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS occ
+      FROM p)
+    SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text
+    FROM k WHERE trim(para) = '' OR occ = 1
+    GROUP BY doc_id"""
+
   /** Per-document text statistics. */
   def textStats(s: SparkSession, dir: String): DataFrame =
     TextOps.textStats(T(s, dir, "documents"))
@@ -2060,6 +2105,7 @@ items:
     ("isc_summary", iscSummary _, Some(iscSummarySql)),
     ("isc_summary_bucketed", iscSummaryBucketed _, Some(iscSummarySql)),
     ("dedup_exact", dedupExact _, Some(dedupExactSql)),
+    ("dedup_paragraphs", dedupParagraphsQ _, Some(dedupParagraphsSql)),
     ("text_stats", textStats _, Some(textStatsSql)),
     ("rep_signals", repSignals _, Some(repSignalsSql)),
     ("pii_redact", piiRedact _, Some(piiRedactSql)),
@@ -2126,7 +2172,7 @@ items:
     "c12_join", "c13_members", "d1_classification", "d1_expr_classification",
     "d2_attribute", "e5_select", "e10_weighted_avg", "e12_quantile", "e12c_median_sketch", "e13_decile",
     "e7e8_cpi", "e9_equivalence", "isc_summary", "isc_summary_bucketed",
-    "dedup_exact", "text_stats", "rep_signals", "lang_id", "quality_score", "ngram_jaccard",
+    "dedup_exact", "dedup_paragraphs", "text_stats", "rep_signals", "lang_id", "quality_score", "ngram_jaccard",
     "pii_redact", "contamination", "pack_shards", "chunk_docs", "curation_pipeline",
     "minhash_pairs", "minhash_near_dups", "simhash_pairs", "simhash_near_dups",
     "ann_brute_topk", "ann_int8_topk", "ann_lsh_query",

@@ -524,4 +524,45 @@ object Dedup {
     */
   def jaccardHashes(a: Column, b: Column): Column =
     call_function("jaccard_hashes", a, b)
+
+  /** Paragraph-level exact dedup across the corpus (the sub-document
+    * granularity web-scale curation dedupes at — boilerplate headers,
+    * navigation blocks, and license texts repeat across documents whose
+    * full texts never match): each document is split into newline
+    * paragraphs, every non-blank paragraph that already occurred at an
+    * earlier (doc, position) is dropped, and documents are reassembled
+    * from their surviving paragraphs in order. Blank paragraphs are
+    * never treated as duplicates (deduping them would collapse
+    * unrelated blank lines corpus-wide). A document whose every
+    * paragraph was seen earlier drops out of the result entirely — it
+    * carries no content; callers that must preserve doc rows can
+    * left-join the output back onto the input ids.
+    *
+    * Scale shape: shuffle volume is LINEAR in total paragraphs — one
+    * exchange keyed by paragraph content for the first-occurrence
+    * window, one keyed by document id for reassembly. No all-pairs
+    * anything; skew (one paragraph duplicated across millions of docs)
+    * bounds a single window partition by that paragraph's occurrence
+    * count, the same exposure as the exact-dedup groupBy.
+    */
+  def dedupParagraphs(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      out: String = "text",
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val paras = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("_pos", "_para")))
+    val firstWin = Window.partitionBy(col("_para"))
+      .orderBy(col(idCol).asc, col("_pos").asc)
+    val kept = paras
+      .withColumn("_occ", row_number().over(firstWin))
+      .where(trim(col("_para")) === "" || col("_occ") === 1)
+    kept
+      .groupBy(col(idCol))
+      .agg(concat_ws("\n",
+        transform(array_sort(collect_list(struct(col("_pos"), col("_para")))),
+          s => s.getField("_para"))).as(out))
+  }
 }

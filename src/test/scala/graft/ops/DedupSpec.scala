@@ -277,6 +277,23 @@ class DedupSpec extends SparkSpec {
       "release() must drop every cached frame the clustering pinned")
   }
 
+  test("paragraph dedup: first occurrence wins, blanks exempt, empty docs drop out") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha\n\nshared footer"),
+      (2L, "beta\nshared footer\n\nbeta"),   // footer dup'd from doc 1; 2nd "beta" dups its own 1st
+      (3L, "alpha"),                          // fully duplicated -> drops out
+      (4L, " \ngamma"),                       // blank-ish paragraph kept even though doc 1 had a blank
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(df).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      1L -> "alpha\n\nshared footer",
+      2L -> "beta\n",                          // trailing blank survives, dup'd footer + repeat beta gone
+      4L -> " \ngamma",
+    ), s"got $out")
+  }
+
   test("exact ngram jaccard verifies candidates") {
     import spark.implicits._
     val df = docs().as("a").join(docs().as("b"),
