@@ -1008,6 +1008,39 @@ items:
     FROM du JOIN pu ON du.g = pu.g
     GROUP BY 1, 2 HAVING count(*) >= 5"""
 
+  /** Contamination REMOVAL: the corpus minus every document the check
+    * flags (here the first 5 docs self-match as probes, plus any
+    * organic 5-shingle overlap) — the act half of the check-then-act
+    * loop, anti-joined on the slim flagged-id set.
+    */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val probes = docs.where(col("doc_id") < 5)
+      .select(col("doc_id").as("probe_id"), col("text"))
+    Curation.decontaminate(docs, probes, k = 3, minShared = 5)
+      .select("doc_id", "source").orderBy("doc_id")
+  }
+
+  private val decontaminateSql = """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(regexp_replace(lower(text),'[^a-z0-9\s]+',' ','g')),'\s+'), x -> x <> '') AS toks
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(range(1, len(toks) - 1),
+                       i -> array_to_string(list_slice(toks, i, i+2), ' ')) END) AS sh
+      FROM t),
+    du AS (SELECT doc_id, unnest(sh) AS g FROM s),
+    pu AS (SELECT doc_id AS probe_id, unnest(sh) AS g FROM s WHERE doc_id < 5),
+    flagged AS (
+      SELECT du.doc_id
+      FROM du JOIN pu ON du.g = pu.g
+      GROUP BY du.doc_id, pu.probe_id HAVING count(*) >= 5)
+    SELECT d.doc_id, d.source FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM flagged)"""
+
   /** Deterministic hash sampling at 25% — reproducible (seedless) and
     * portable: the same md5-prefix decision evaluates identically in
     * Spark and DuckDB, which is exactly what the oracle verifies.
@@ -2110,6 +2143,7 @@ items:
     ("rep_signals", repSignals _, Some(repSignalsSql)),
     ("pii_redact", piiRedact _, Some(piiRedactSql)),
     ("contamination", contamination _, Some(contaminationSql)),
+    ("decontaminate", decontaminate _, Some(decontaminateSql)),
     ("pack_shards", packShards _, Some(packShardsSql)),
     ("chunk_docs", chunkDocs _, Some(chunkDocsSql)),
     ("assign_splits", assignSplits _, Some(assignSplitsSql)),
@@ -2173,7 +2207,7 @@ items:
     "d2_attribute", "e5_select", "e10_weighted_avg", "e12_quantile", "e12c_median_sketch", "e13_decile",
     "e7e8_cpi", "e9_equivalence", "isc_summary", "isc_summary_bucketed",
     "dedup_exact", "dedup_paragraphs", "text_stats", "rep_signals", "lang_id", "quality_score", "ngram_jaccard",
-    "pii_redact", "contamination", "pack_shards", "chunk_docs", "curation_pipeline",
+    "pii_redact", "contamination", "decontaminate", "pack_shards", "chunk_docs", "curation_pipeline",
     "minhash_pairs", "minhash_near_dups", "simhash_pairs", "simhash_near_dups",
     "ann_brute_topk", "ann_int8_topk", "ann_lsh_query",
     "ann_cosine_dedup", "ivf_topk", "ivf_int8_topk", "kmeans_step", "ann_pipeline", "dedup_clusters", "skew_salted_agg",

@@ -70,6 +70,26 @@ object Curation {
       .where(col("n_shared") >= minShared)
   }
 
+  /** The act half of the contamination check: drop every document
+    * [[contaminationCheck]] flags against ANY probe. The flagged-id set
+    * is slim (ids only) and benchmark-bounded, so the left-anti join
+    * broadcasts at the common operating point; the corpus itself never
+    * shuffles — same contract as candidate generation.
+    */
+  def decontaminate(
+      docs: DataFrame,
+      probes: DataFrame,
+      k: Int = 3,
+      minShared: Int = 5,
+      docIdCol: String = "doc_id",
+      probeIdCol: String = "probe_id",
+      textCol: String = "text",
+  ): DataFrame = {
+    val flagged = contaminationCheck(docs, probes, k, minShared, docIdCol, probeIdCol, textCol)
+      .select(docIdCol).distinct()
+    docs.join(flagged, Seq(docIdCol), "left_anti")
+  }
+
   /** Deterministic hash sampling: keep a row iff the md5 of its key,
     * read as a fixed-width hex prefix, falls below `fraction` of the
     * hash space. No RNG, no seed state: the decision is a pure function

@@ -34,6 +34,10 @@ class CurationSpec extends SparkSpec {
     val (d, p, n) = hits.head
     // the probe has 7 3-shingles, all present verbatim in doc 10
     assert(d == 10L && p == 1L && n == 7L)
+    // the act half: the flagged doc is removed, the clean one kept
+    val remaining = Curation.decontaminate(docs, probes, k = 3, minShared = 5)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(remaining == Set(11L))
   }
 
   test("contamination plan: probe side broadcast, corpus side never hinted") {
