@@ -2090,6 +2090,47 @@ items:
     SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions, count(*) AS n_events
     FROM sessions GROUP BY user_id"""
 
+  /** Sessionization via the NATIVE session_window operator — the
+    * built-in-first sibling of the flatMapGroupsWithState sessionizer
+    * (EventStreams.sessionize) and the gaps-and-islands window
+    * (events_sessionize): one vectorized groupBy, streaming-capable
+    * with a watermark unchanged. Boundary semantics differ from the
+    * window formulation and the oracle mirrors them: an event exactly
+    * `gap` after the previous one starts a NEW session (its window
+    * TOUCHES the previous one's end; Spark merges only overlapping
+    * windows), hence `>=` in the oracle's new-session flag where
+    * events_sessionize uses `>`.
+    */
+  def eventsSessionWindow(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+      .withColumn("_et", timestamp_micros(expr("ts DIV 1000")))
+    ev.groupBy(col("user_id"), session_window(col("_et"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("value_cents"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"),
+        col("n_events"), col("value_cents"))
+  }
+
+  private val eventsSessionWindowSql = """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events),
+    flagged AS (
+      SELECT user_id, event_id, ts_us, value,
+             CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS new_session
+      FROM e),
+    sess AS (
+      SELECT user_id, ts_us, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged)
+    SELECT user_id, min(ts_us) AS start_us, max(ts_us) + 1800000000 AS end_us,
+           count(*) AS n_events,
+           sum(CAST(round(value*100,0) AS BIGINT)) AS value_cents
+    FROM sess GROUP BY user_id, sid"""
+
   /** Top-k by price with deterministic tiebreak. */
   def topK(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "lineitem")
@@ -2175,6 +2216,7 @@ items:
     ("events_window_stream", eventsWindowStream _, Some(eventsWindowSql)),
     ("events_dedup_stream", eventsDedupStream _, Some(eventsDedupStreamSql)),
     ("events_sessionize", eventsSessionize _, Some(eventsSessionizeSql)),
+    ("events_session_window", eventsSessionWindow _, Some(eventsSessionWindowSql)),
     ("ann_lsh_full_recall", annLshFullRecall _, Some(annBruteSql)),
     ("topk", topK _, Some(topKSql)),
     // engine path: metadata doc -> schema DAG -> clean -> pipeline -> cache
@@ -2213,5 +2255,5 @@ items:
     "ann_cosine_dedup", "ivf_topk", "ivf_int8_topk", "kmeans_step", "ann_pipeline", "dedup_clusters", "skew_salted_agg",
     "multimodal_features",
     "events_window_agg", "events_window_stream", "events_dedup_stream",
-    "events_sessionize", "topk")
+    "events_sessionize", "events_session_window", "topk")
 }
