@@ -2090,6 +2090,35 @@ items:
     SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions, count(*) AS n_events
     FROM sessions GROUP BY user_id"""
 
+  /** As-of join: every event picks up the most recent "status" row at
+    * or before its timestamp per user (every 20th event doubles as a
+    * status update — both sides derive deterministically from the
+    * events table). Oracled against DuckDB's NATIVE ASOF LEFT JOIN —
+    * an independent implementation of the same point-in-time
+    * semantics, not a replay of ours. The fixture has no (user, ts)
+    * collisions on the right side (checked), so the inclusive-tie rule
+    * is exercised only where both engines agree by construction.
+    */
+  def asofJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events").withColumn("ts_us", expr("ts DIV 1000"))
+    val left = ev.select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+    val right = ev.where(col("event_id") % 20 === 0)
+      .select(col("user_id"), col("ts_us"),
+        col("event_id").as("status_id"), col("value").as("status_value"))
+    AsofJoin.asofJoin(left, right, "ts_us", Seq("user_id"), Seq("status_id"))
+      .select("event_id", "user_id", "ts_us", "value", "status_id", "status_value")
+      .orderBy("event_id")
+  }
+
+  private val asofJoinSql = """
+    WITH r AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id AS status_id, value AS status_value
+      FROM events WHERE event_id % 20 = 0)
+    SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, l.value,
+           r.status_id, r.status_value
+    FROM events l
+    ASOF LEFT JOIN r ON l.user_id = r.user_id AND epoch_us(l.ts) >= r.ts_us"""
+
   /** Sessionization via the NATIVE session_window operator — the
     * built-in-first sibling of the flatMapGroupsWithState sessionizer
     * (EventStreams.sessionize) and the gaps-and-islands window
@@ -2217,6 +2246,7 @@ items:
     ("events_dedup_stream", eventsDedupStream _, Some(eventsDedupStreamSql)),
     ("events_sessionize", eventsSessionize _, Some(eventsSessionizeSql)),
     ("events_session_window", eventsSessionWindow _, Some(eventsSessionWindowSql)),
+    ("asof_join", asofJoinQ _, Some(asofJoinSql)),
     ("ann_lsh_full_recall", annLshFullRecall _, Some(annBruteSql)),
     ("topk", topK _, Some(topKSql)),
     // engine path: metadata doc -> schema DAG -> clean -> pipeline -> cache
@@ -2255,5 +2285,5 @@ items:
     "ann_cosine_dedup", "ivf_topk", "ivf_int8_topk", "kmeans_step", "ann_pipeline", "dedup_clusters", "skew_salted_agg",
     "multimodal_features",
     "events_window_agg", "events_window_stream", "events_dedup_stream",
-    "events_sessionize", "events_session_window", "topk")
+    "events_sessionize", "events_session_window", "asof_join", "topk")
 }
