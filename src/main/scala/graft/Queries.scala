@@ -2014,6 +2014,44 @@ items:
     out
   }
 
+  /** Stream-static enrichment join: the events STREAM joins the static
+    * nation dim (user_id mod 25 as the synthetic FK) and aggregates per
+    * nation — the lookup-enrichment shape of a streaming pipeline. The
+    * static side is planned per micro-batch as an ordinary broadcast
+    * hash join (the stream never shuffles for the join); the oracle is
+    * the same join+aggregate in batch SQL, so the gate asserts
+    * batch/stream parity through a REAL AvailableNow run.
+    */
+  def eventsEnrichStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val path = s"$dir/events.parquet"
+    val schema = s.read.parquet(path).schema
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_enrich_stream")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+      streamDir.resolve("events.parquet"))
+    val nation = s.read.parquet(s"$dir/nation.parquet")
+      .select(col("n_nationkey"), col("n_name"))
+    val name = "events_enrich_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val enriched = s.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("n_nationkey", (col("user_id") % 25).cast(IntegerType))
+      .join(nation, Seq("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("value_cents"))
+    val q = enriched.writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = s.table(name).orderBy("n_name")
+    s.catalog.dropTempView(name)
+    deleteRecursively(streamDir.toFile)
+    out
+  }
+
+  private val eventsEnrichStreamSql = """
+    SELECT n.n_name, count(*) AS n_events,
+           sum(CAST(round(e.value*100,0) AS BIGINT)) AS value_cents
+    FROM events e JOIN nation n ON CAST(e.user_id % 25 AS INT) = n.n_nationkey
+    GROUP BY n.n_name"""
+
   /** Streaming exact dedup with a REAL duplicate load: the source
     * directory holds TWO copies of the events file, so every event
     * arrives twice and `dropDuplicatesWithinWatermark` must collapse
@@ -2089,6 +2127,33 @@ items:
       FROM flagged)
     SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions, count(*) AS n_events
     FROM sessions GROUP BY user_id"""
+
+  /** Sketch-based distinct counting, gated as an HONEST AUDIT: per
+    * source, the exact distinct fingerprint count plus a boolean
+    * asserting the HLL++ estimate (approx_count_distinct, rsd 2%)
+    * landed within 5% of it. The oracle recomputes the exact count and
+    * expects `within` TRUE — if Spark's sketch ever strays past the
+    * tolerance the gate fails loudly. At 100 TB the sketch is the only
+    * viable distinct count: fixed-size partial state (no distinct
+    * shuffle of the keys themselves), mergeable across partitions.
+    */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame = {
+    val fp = TextOps.fingerprint(col("text"))
+    T(s, dir, "documents")
+      .groupBy("source")
+      .agg(count_distinct(fp).as("n_exact"),
+        approx_count_distinct(fp, rsd = 0.02).as("_n_approx"))
+      .select(col("source"), col("n_exact"),
+        (abs(col("_n_approx") - col("n_exact")).cast(DoubleType) / col("n_exact") <= 0.05)
+          .as("within"))
+      .orderBy("source")
+  }
+
+  private val approxDistinctSql = """
+    SELECT source,
+           count(DISTINCT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))) AS n_exact,
+           TRUE AS within
+    FROM documents GROUP BY source"""
 
   /** As-of join: every event picks up the most recent "status" row at
     * or before its timestamp per user (every 20th event doubles as a
@@ -2247,6 +2312,8 @@ items:
     ("events_sessionize", eventsSessionize _, Some(eventsSessionizeSql)),
     ("events_session_window", eventsSessionWindow _, Some(eventsSessionWindowSql)),
     ("asof_join", asofJoinQ _, Some(asofJoinSql)),
+    ("approx_distinct", approxDistinct _, Some(approxDistinctSql)),
+    ("events_enrich_stream", eventsEnrichStream _, Some(eventsEnrichStreamSql)),
     ("ann_lsh_full_recall", annLshFullRecall _, Some(annBruteSql)),
     ("topk", topK _, Some(topKSql)),
     // engine path: metadata doc -> schema DAG -> clean -> pipeline -> cache
@@ -2284,6 +2351,7 @@ items:
     "ann_brute_topk", "ann_int8_topk", "ann_lsh_query",
     "ann_cosine_dedup", "ivf_topk", "ivf_int8_topk", "kmeans_step", "ann_pipeline", "dedup_clusters", "skew_salted_agg",
     "multimodal_features",
-    "events_window_agg", "events_window_stream", "events_dedup_stream",
+    "events_window_agg", "events_window_stream", "events_dedup_stream", "events_enrich_stream",
+    "approx_distinct",
     "events_sessionize", "events_session_window", "asof_join", "topk")
 }
