@@ -1161,7 +1161,10 @@ items:
   /** The rounded quality expression over a `text` column — shared by the
     * quality_score oracle and the composed curation-pipeline oracle.
     */
-  private val qualityExprSql = """round(greatest(0.0,
+  // floor(x*1e6 + 0.5)/1e6, NOT round(x, 6): Spark rounds through the
+  // decimal string, DuckDB rounds the scaled double — they disagree on
+  // half-ties, which quality's ratio sums actually hit (2 docs at sf0.1)
+  private val qualityExprSql = """(floor(greatest(0.0,
         (((0.4 * least(length(text)/500.0, 1.0))
          + (0.3 * (CASE WHEN len(list_filter(string_split_regex(trim(text),'\s+'), x -> x <> '')) > 0
                         THEN len(list_distinct(list_filter(string_split_regex(trim(text),'\s+'), x -> x <> '')))
@@ -1172,7 +1175,7 @@ items:
                                    ELSE 0.0 END) BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END)))
         - (0.3 * (CASE WHEN length(text) > 0
                        THEN (length(text) - length(regexp_replace(text,'[0-9]','','g'))) / CAST(length(text) AS DOUBLE)
-                       ELSE 0.0 END))), 6)"""
+                       ELSE 0.0 END))) * 1000000.0 + 0.5) / 1000000.0)"""
 
   private val qualityScoreSql = s"""
     SELECT doc_id, $qualityExprSql AS quality
@@ -1622,13 +1625,15 @@ items:
     * the true top-5, and the worst true rank any returned neighbor
     * holds (an LSH result OUTSIDE the top-15 would surface as 9999 and
     * fail the gate loudly). LSH here is a deterministic function of the
-    * data (fixed hyperplane seed, no sampling), so these summaries are
-    * fixed dataset properties the oracle enumerates — measured at
-    * sf0.01: recall@5 = 4/5, 3/5, 3/5 per query, and every returned
-    * neighbor sits within the true top-11. The same machinery at full
-    * recall is exactly-oracled by `ann_lsh_full_recall`; this row pins
-    * the quality of the approximation the 100 TB operating point buys
-    * its bucket locality with.
+    * data (fixed hyperplane seed, no sampling), and since round 9 the
+    * oracle REPLAYS it end-to-end in DuckDB — sign bits from spliced
+    * plane literals, band keys, collision candidates, exact re-score
+    * with the Spark tie-breaks — so the row holds at every sf (at
+    * sf0.01 the summary works out to recall@5 = 4/5, 3/5, 3/5, every
+    * returned neighbor within the true top-11). The same machinery at
+    * full recall is exactly-oracled by `ann_lsh_full_recall`; this row
+    * pins the quality of the approximation the 100 TB operating point
+    * buys its bucket locality with.
     */
   /** The PURE approximate path (bench-only, via [[benchExtra]]): what a
     * production query runs — no brute-force audit attached, so the
@@ -1656,18 +1661,64 @@ items:
       .orderBy("query_id")
   }
 
-  /** Measured recall constants for the deterministic LSH at sf0.01 —
-    * see [[annLshTopK]]; a testdata regeneration changes these and the
-    * gate fails loudly (the simhash planted-pair oracles make the same
-    * fixture-property bargain).
+  /** FULL LSH REPLAY oracle (replaced the round-8 fixture-constant
+    * VALUES table, which was measured at sf0.01 and failed at any other
+    * scale): DuckDB re-derives the 16 sign bits per vector from the
+    * spliced hyperplane literals, folds them into the same 4-bit band
+    * keys, regenerates band-collision candidates, re-scores them with
+    * the exact cosine and the Spark tie-breaks, and aggregates the same
+    * recall summary against its own brute-force top-15 — a true oracle
+    * at EVERY sf, same technique as annPipelineSql's centroid replay.
     */
-  private val annLshTopKSql = """
-    SELECT CAST(query_id AS BIGINT) AS query_id,
-           CAST(n_returned AS BIGINT) AS n_returned,
-           CAST(hits_top5 AS BIGINT) AS hits_top5,
-           CAST(max_brute_rank AS BIGINT) AS max_brute_rank
-    FROM (VALUES (0, 5, 4, 6), (1, 5, 3, 8), (2, 5, 3, 11))
-      AS t(query_id, n_returned, hits_top5, max_brute_rank)"""
+  private val annLshTopKSql = {
+    val planes = Ann.hyperplanes(16, 64, seed = 42L)
+    val values = planes.zipWithIndex
+      .map { case (p, i) => s"($i, [${p.mkString(", ")}]::DOUBLE[])" }.mkString(", ")
+    def dotSql(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))"
+    def cosSql(a: String, b: String) = {
+      val normProd = s"(sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+      s"CASE WHEN $normProd > 0 THEN ${dotSql(a, b)} / $normProd ELSE 0.0 END"
+    }
+    s"""
+    WITH pl(pid, pvec) AS (VALUES $values),
+    sb AS (
+      SELECT e.vec_id, pl.pid,
+             CASE WHEN ${dotSql("e.embedding", "pl.pvec")} >= 0 THEN 1 ELSE 0 END AS bit
+      FROM embeddings e CROSS JOIN pl),
+    bk AS (
+      SELECT vec_id, pid // 4 AS band,
+             sum(bit * (1 << (pid % 4))) AS key
+      FROM sb GROUP BY vec_id, pid // 4),
+    cand AS (
+      SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+      FROM bk cb JOIN bk qb ON cb.band = qb.band AND cb.key = qb.key
+      WHERE qb.vec_id < 3 AND cb.vec_id <> qb.vec_id),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             ${cosSql("eq.embedding", "en.embedding")} AS cos_raw
+      FROM cand c
+      JOIN embeddings eq ON eq.vec_id = c.query_id
+      JOIN embeddings en ON en.vec_id = c.neighbor_id),
+    lsh AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rn
+            FROM scored)
+      WHERE rn <= 5),
+    brute AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY ${cosSql("q.embedding", "e.embedding")} DESC, e.vec_id ASC) AS brank
+      FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 3) q
+      WHERE e.vec_id <> q.vec_id
+      QUALIFY brank <= 15)
+    SELECT l.query_id,
+           count(*) AS n_returned,
+           CAST(sum(CASE WHEN b.brank <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS hits_top5,
+           max(coalesce(b.brank, 9999)) AS max_brute_rank
+    FROM lsh l LEFT JOIN brute b USING (query_id, neighbor_id)
+    GROUP BY l.query_id"""
+  }
 
   /** The LSH top-k machinery at full recall: 16 bands of ONE bit each —
     * a pair escapes candidacy only if all 16 sign bits differ (measure

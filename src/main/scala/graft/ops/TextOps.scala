@@ -116,9 +116,16 @@ object TextOps {
     val lengthScore = least(len / lit(500.0), lit(1.0))
     val meanTokLen = when(nToks > 0, len / nToks).otherwise(lit(0.0))
     val tokLenScore = when(meanTokLen >= 3 && meanTokLen <= 12, lit(1.0)).otherwise(lit(0.5))
-    round(greatest(lit(0.0),
+    // 6-digit rounding via floor(x*1e6 + 0.5): pure double ops that any
+    // engine evaluates bit-identically. Spark's round() goes through
+    // BigDecimal on the value's DECIMAL string while DuckDB rounds the
+    // scaled double — the two disagree on half-ties, and quality values
+    // (sums of small ratios) land on such ties often enough that sf0.1
+    // hit two. Scores are >= 0, so floor(+0.5) is exactly half-up.
+    val raw = greatest(lit(0.0),
       lit(0.4) * lengthScore + lit(0.3) * diversity +
-        lit(0.2) * tokLenScore - lit(0.3) * digitRatio), 6)
+        lit(0.2) * tokLenScore - lit(0.3) * digitRatio)
+    floor(raw * lit(1000000.0) + lit(0.5)).cast(DoubleType) / lit(1000000.0)
   }
 
   /** Content fingerprint: hash of the punctuation/whitespace/case
