@@ -317,29 +317,50 @@ object Dedup {
     * neighbor to the minimum of its closed neighborhood
     * min(Γ(u) ∪ {u}). Edges come in canonical (big, small) orientation
     * and leave the same way (the emitted (v, m) always has m < v).
+    *
+    * Shape: ONE exchange (the per-node window min), not the
+    * groupBy + join + distinct formulation's three. The bidirectional
+    * view is an explode (one input scan, not a two-scan union), the
+    * neighborhood min rides the window, and the output is NOT deduped
+    * here — duplicate (v, m) rows (same pair reachable via different
+    * centers) are bounded by the degree sum 2|E| and fall out in
+    * [[smallStar]]'s terminal distinct, one exchange later. Min
+    * aggregation is insensitive to duplicate edges, so correctness is
+    * untouched; only the probe needs distinct edges, and it runs on
+    * smallStar's output.
     */
   private def largeStar(edges: DataFrame): DataFrame = {
-    val bidir = edges.select(col("_eu").as("u"), col("_ev").as("v"))
-      .union(edges.select(col("_ev").as("u"), col("_eu").as("v")))
-    val m = bidir.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
-    bidir.join(m, Seq("u"))
+    import org.apache.spark.sql.expressions.Window
+    val bidir = edges.select(explode(array(
+      struct(col("_eu").as("u"), col("_ev").as("v")),
+      struct(col("_ev").as("u"), col("_eu").as("v")))).as("_e"))
+      .select(col("_e.u").as("u"), col("_e.v").as("v"))
+    val m = least(min(col("v")).over(Window.partitionBy("u")), col("u"))
+    bidir.withColumn("m", m)
       .where(col("v") > col("u"))
       .select(col("v").as("_eu"), col("m").as("_ev"))
       .where(col("_eu") =!= col("_ev"))
-      .distinct()
   }
 
   /** One small-star round: every node u links its SMALLER neighbors —
     * and itself — to the minimum of those neighbors. Input and output
     * are canonical (big, small) edges.
+    *
+    * Two exchanges: the per-node window min and the terminal distinct
+    * (which also dedups [[largeStar]]'s undeduped output — the round's
+    * ONLY dedup, and the probe's precondition: duplicate (leaf, center)
+    * rows would falsely read as two parents).
     */
   private def smallStar(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // canonical edges already point big -> small, so the smaller
     // neighborhood of u is exactly its outgoing edge list
-    val m = edges.groupBy("_eu").agg(min(col("_ev")).as("m"))
-    val withM = edges.join(m, Seq("_eu"))
-    withM.select(col("_ev").as("_eu"), col("m").as("_ev"))
-      .union(withM.select(col("_eu"), col("m").as("_ev")))
+    val withM = edges
+      .withColumn("m", min(col("_ev")).over(Window.partitionBy("_eu")))
+    withM.select(explode(array(
+      struct(col("_ev").as("a"), col("m").as("b")),
+      struct(col("_eu").as("a"), col("m").as("b")))).as("_e"))
+      .select(col("_e.a").as("_eu"), col("_e.b").as("_ev"))
       .where(col("_eu") =!= col("_ev"))
       .distinct()
   }
@@ -417,19 +438,23 @@ object Dedup {
     }
     // Convergence/validity probe: the edge set IS a star forest iff no
     // center appears as a leaf (a node on both edge sides) and no leaf
-    // has two parents. Computed as ONE map-combined aggregation over a
-    // union of per-side markers — a single shuffle of (node, 2 longs)
-    // rows, vs. the distinct + semi-join + groupBy formulation this
-    // replaced (three shuffles per round). limit(1) stops the result
-    // collection at the first violating node; cache materialization is
-    // NOT this probe's job (see the count() in the round loop).
+    // has two parents. Computed as ONE map-combined aggregation over
+    // exploded per-side markers — a single scan of the input (the
+    // union-of-two-selects formulation this replaced scanned it twice)
+    // and a single shuffle of (node, 2 longs) rows. The single scan is
+    // load-bearing for the round loop below: the probe over a
+    // just-persisted frame IS the action that fills its cache, so one
+    // pass materializes AND probes (the separate count() it replaced
+    // cost a full extra pass through the round's shuffle chain).
     def starForestViolations(df: DataFrame): Long = {
-      val sides = df.select(col("_eu").as("_n"), lit(1L).as("_leaf"), lit(0L).as("_ctr"))
-        .union(df.select(col("_ev").as("_n"), lit(0L).as("_leaf"), lit(1L).as("_ctr")))
+      val sides = df.select(explode(array(
+        struct(col("_eu").as("_n"), lit(1L).as("_leaf"), lit(0L).as("_ctr")),
+        struct(col("_ev").as("_n"), lit(0L).as("_leaf"), lit(1L).as("_ctr")))).as("_s"))
+        .select(col("_s._n").as("_n"), col("_s._leaf").as("_leaf"), col("_s._ctr").as("_ctr"))
       sides.groupBy("_n")
         .agg(sum(col("_leaf")).as("_leaves"), sum(col("_ctr")).as("_ctrs"))
         .where(col("_leaves") > 1 || (col("_leaves") > 0 && col("_ctrs") > 0))
-        .limit(1).count()
+        .count()
     }
     // canonical (big, small) edge list, self-loops dropped
     var edges = pairs
@@ -457,16 +482,11 @@ object Dedup {
             contracted.write.mode("overwrite").parquet(roundPath(iter))
             spark.read.parquet(roundPath(iter))
           case None =>
-            val framed = reRoot(contracted).persist(StorageLevel.MEMORY_AND_DISK)
-            // materialize the cache with a cheap count BEFORE the
-            // previous round's persist is dropped — otherwise a
-            // short-circuiting probe leaves the cache partial and the
-            // next round recomputes this one's lineage. A count is far
-            // cheaper than making the probe full-scan for the same
-            // effect (the probe carries a join + two aggregates).
-            framed.count()
-            framed
+            reRoot(contracted).persist(StorageLevel.MEMORY_AND_DISK)
         }
+        // the probe's single scan (see starForestViolations) fully
+        // materializes the fresh persist before the previous round's is
+        // dropped — one action per round does both jobs
         converged = starForestViolations(next) == 0
         edges.unpersist() // no-op for a parquet-backed round
         if (checkpointDir.isDefined) deleteRound(iter - 1)
