@@ -2276,6 +2276,175 @@ items:
            sum(CAST(round(value*100,0) AS BIGINT)) AS value_cents
     FROM sess GROUP BY user_id, sid"""
 
+  /** Stream-stream interval join through a REAL AvailableNow run: each
+    * `view` event joins `purchase` events of the same user within 30
+    * minutes after it — the attribution shape. The two sides are
+    * SEPARATE file-stream sources over the same staged events file
+    * (distinct lineage, so key columns resolve without self-join
+    * ambiguity), each watermarked; the join condition time-bounds the
+    * purchase side in both directions, which is what lets the join
+    * evict state at watermark + horizon. Inner join ⇒ every match
+    * emits in append mode once both sides arrive, so the AvailableNow
+    * run must reproduce the batch interval join the oracle computes —
+    * the stream-stream sibling of events_enrich_stream's stream-static
+    * parity. Timestamps compare at microsecond precision on BOTH
+    * engines (the oracle joins on epoch_us arithmetic, not raw
+    * nanosecond timestamps, mirroring Spark's micros event time).
+    */
+  def eventsStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val path = s"$dir/events.parquet"
+    val schema = s.read.parquet(path).schema
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_ss_join")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+      streamDir.resolve("events.parquet"))
+    def side(evType: String, idAs: String, tsAs: String) =
+      s.readStream.schema(schema).parquet(streamDir.toString)
+        .where(col("event_type") === evType)
+        .select(col("event_id").as(idAs), col("user_id"),
+          timestamp_micros(expr("ts DIV 1000")).as(tsAs), col("value"))
+        .withWatermark(tsAs, "2 hours")
+    val views = side("view", "view_id", "view_time").drop("value")
+    val purchases = side("purchase", "purchase_id", "purchase_time")
+    val joined = graft.streaming.EventStreams.intervalJoin(
+      views, purchases, Seq("user_id"), "view_time", "purchase_time",
+      horizonSeconds = 1800)
+    val name = "events_ss_join_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = joined
+      .select(views("user_id"), col("view_id"), col("purchase_id"),
+        (unix_micros(col("purchase_time")) - unix_micros(col("view_time"))).as("lag_us"),
+        cents(col("value")).as("value_cents"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = s.table(name).orderBy("view_id", "purchase_id")
+    s.catalog.dropTempView(name)
+    deleteRecursively(streamDir.toFile)
+    out
+  }
+
+  private val eventsStreamJoinSql = """
+    SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+           epoch_us(p.ts) - epoch_us(v.ts) AS lag_us,
+           CAST(round(p.value*100,0) AS BIGINT) AS value_cents
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND epoch_us(p.ts) >= epoch_us(v.ts)
+     AND epoch_us(p.ts) <= epoch_us(v.ts) + 1800000000
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'"""
+
+  /** Per-document TF-IDF top-3 terms (TextOps.tfidfTopTerms). The score
+    * ranking is integer arithmetic on the 6-decimal-frozen idf (see the
+    * operator scaladoc), so ranks and scores hash-match DuckDB exactly.
+    */
+  def tfidfTopK(s: SparkSession, dir: String): DataFrame =
+    TextOps.tfidfTopTerms(T(s, dir, "documents"), k = 3)
+      .orderBy("doc_id", "term")
+
+  private val tfidfTopKSql = """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+'), x -> x <> '')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfc AS (SELECT term, count(*) AS n_docs_with_term FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfc.n_docs_with_term,
+             tf.tf * CAST(floor(ln((n.n + 1.0) / (dfc.n_docs_with_term + 1.0)) * 1000000.0 + 0.5) AS BIGINT) AS ss
+      FROM tf JOIN dfc USING (term) CROSS JOIN n)
+    SELECT doc_id, term, tf, n_docs_with_term, CAST(ss AS DOUBLE) / 1000000.0 AS score
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY ss DESC, term ASC) AS rk
+          FROM scored)
+    WHERE rk <= 3"""
+
+  /** Corpus-level top-20 bigrams (TextOps.topNgrams) — integer counts,
+    * deterministic (count desc, ngram asc) boundary, exact oracle.
+    */
+  def ngramTopK(s: SparkSession, dir: String): DataFrame =
+    TextOps.topNgrams(T(s, dir, "documents"), n = 2, k = 20)
+
+  private val ngramTopKSql = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+'), x -> x <> '') AS t
+      FROM documents),
+    ng AS (
+      SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS ngram
+      FROM toks WHERE len(t) >= 2)
+    SELECT ngram, count(*) AS n_occurrences
+    FROM ng GROUP BY 1
+    ORDER BY n_occurrences DESC, ngram ASC LIMIT 20"""
+
+  /** Johnson–Lindenstrauss random projection gated as a RECALL AUDIT
+    * (the ann_lsh_topk pattern): corpus and queries project 64 → 16
+    * dims through the deterministic seed-7 matrix, brute-force top-5
+    * runs in PROJECTED space, and the output is the per-query summary
+    * against the exactly-oracled full-space top-15 (result count, hits
+    * inside the true top-5, worst true rank — an out-of-top-15 result
+    * surfaces as 9999 and fails the gate loudly). The oracle REPLAYS
+    * the projection end-to-end in DuckDB from spliced matrix literals —
+    * dot products evaluate left-to-right in both engines, so the
+    * projected vectors are bit-identical and the row holds at every sf.
+    * This pins the approximation quality of the 4× narrower vectors the
+    * 100 TB path ships to its banding/bucketing stages.
+    */
+  def rpTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val proj = Ann.randomProject(col("embedding"), dim = 64, outDim = 16, seed = 7L)
+    val corpusP = emb.select(col("vec_id"), proj.as("embedding"))
+    val queriesP = emb.where(col("vec_id") < 3).select(col("vec_id"), proj.as("embedding"))
+    val rp = Ann.bruteForceTopK(corpusP, queriesP, k = 5)
+    val brute = Ann.bruteForceTopK(emb, emb.where(col("vec_id") < 3), k = 15)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("_brank"))
+    rp.select("query_id", "neighbor_id")
+      .join(brute, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_returned"),
+        sum(when(col("_brank") <= 5, 1L).otherwise(0L)).as("hits_top5"),
+        max(coalesce(col("_brank").cast(LongType), lit(9999L))).as("max_brute_rank"))
+      .orderBy("query_id")
+  }
+
+  private val rpTopKSql = {
+    val planes = Ann.hyperplanes(16, 64, seed = 7L)
+    val values = planes.zipWithIndex
+      .map { case (p, i) => s"($i, [${p.mkString(", ")}]::DOUBLE[])" }.mkString(", ")
+    def dotSql(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))"
+    def cosSql(a: String, b: String) = {
+      val normProd = s"(sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+      s"CASE WHEN $normProd > 0 THEN ${dotSql(a, b)} / $normProd ELSE 0.0 END"
+    }
+    s"""
+    WITH pm(pid, pvec) AS (VALUES $values),
+    proj AS (
+      SELECT vec_id, list(d ORDER BY pid) AS p
+      FROM (SELECT e.vec_id, pm.pid, ${dotSql("e.embedding", "pm.pvec")} AS d
+            FROM embeddings e CROSS JOIN pm)
+      GROUP BY vec_id),
+    rp AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY ${cosSql("q.p", "c.p")} DESC, c.vec_id ASC) AS rn
+      FROM proj c CROSS JOIN (SELECT * FROM proj WHERE vec_id < 3) q
+      WHERE c.vec_id <> q.vec_id
+      QUALIFY rn <= 5),
+    brute AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY ${cosSql("q.embedding", "e.embedding")} DESC, e.vec_id ASC) AS brank
+      FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 3) q
+      WHERE e.vec_id <> q.vec_id
+      QUALIFY brank <= 15)
+    SELECT r.query_id,
+           count(*) AS n_returned,
+           CAST(sum(CASE WHEN b.brank <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS hits_top5,
+           max(coalesce(b.brank, 9999)) AS max_brute_rank
+    FROM rp r LEFT JOIN brute b USING (query_id, neighbor_id)
+    GROUP BY r.query_id"""
+  }
+
   /** Top-k by price with deterministic tiebreak. */
   def topK(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "lineitem")
@@ -2365,6 +2534,10 @@ items:
     ("asof_join", asofJoinQ _, Some(asofJoinSql)),
     ("approx_distinct", approxDistinct _, Some(approxDistinctSql)),
     ("events_enrich_stream", eventsEnrichStream _, Some(eventsEnrichStreamSql)),
+    ("events_stream_join", eventsStreamJoin _, Some(eventsStreamJoinSql)),
+    ("tfidf_topk", tfidfTopK _, Some(tfidfTopKSql)),
+    ("ngram_topk", ngramTopK _, Some(ngramTopKSql)),
+    ("rp_topk", rpTopK _, Some(rpTopKSql)),
     ("ann_lsh_full_recall", annLshFullRecall _, Some(annBruteSql)),
     ("topk", topK _, Some(topKSql)),
     // engine path: metadata doc -> schema DAG -> clean -> pipeline -> cache
@@ -2397,12 +2570,14 @@ items:
     "d2_attribute", "e5_select", "e10_weighted_avg", "e12_quantile", "e12c_median_sketch", "e13_decile",
     "e7e8_cpi", "e9_equivalence", "isc_summary", "isc_summary_bucketed",
     "dedup_exact", "dedup_paragraphs", "text_stats", "rep_signals", "lang_id", "quality_score", "ngram_jaccard",
+    "tfidf_topk", "ngram_topk",
     "pii_redact", "contamination", "decontaminate", "pack_shards", "chunk_docs", "curation_pipeline",
     "minhash_pairs", "minhash_near_dups", "simhash_pairs", "simhash_near_dups",
-    "ann_brute_topk", "ann_int8_topk", "ann_lsh_query",
+    "ann_brute_topk", "ann_int8_topk", "ann_lsh_query", "rp_topk",
     "ann_cosine_dedup", "ivf_topk", "ivf_int8_topk", "kmeans_step", "ann_pipeline", "dedup_clusters", "skew_salted_agg",
     "multimodal_features",
     "events_window_agg", "events_window_stream", "events_dedup_stream", "events_enrich_stream",
+    "events_stream_join",
     "approx_distinct",
     "events_sessionize", "events_session_window", "asof_join", "topk")
 }

@@ -95,6 +95,26 @@ object Ann {
       u * 2.0 - 1.0
     }
 
+  /** Johnson–Lindenstrauss random projection: `dim`-dimensional vectors
+    * down to `outDim` dimensions through a deterministic pseudo-random
+    * matrix (the [[hyperplanes]] generator, so the matrix is a pure
+    * function of (seed, outDim, dim) — reproducible across executors,
+    * retries, and engines with no broadcast state). Distances/angles are
+    * preserved within the JL distortion bound, so downstream cosine
+    * ranking in projected space approximates full-space ranking at
+    * outDim/dim of the compute and shuffle width.
+    *
+    * Pure projection — one codegen'd [[dot]] kernel call per output
+    * dimension, no shuffle, no UDF. At 100 TB this is the standard
+    * embedding-compaction step before banding/bucketing: project once at
+    * write time, keep the full vector at rest for re-scoring.
+    *
+    * Unscaled (no 1/sqrt(outDim) factor): cosine is scale-invariant and
+    * omitting the factor keeps the oracle replay a plain dot product.
+    */
+  def randomProject(vec: Column, dim: Int, outDim: Int, seed: Long = 42L): Column =
+    array(hyperplanes(outDim, dim, seed).map(row => dot(vec, array(row.map(lit): _*))): _*)
+
   /** Sign-bit signature of a vector against the planes: bit p = 1 iff
     * dot(v, plane_p) >= 0, folded into a long (numPlanes <= 63).
     */

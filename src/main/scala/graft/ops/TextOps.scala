@@ -156,6 +156,90 @@ object TextOps {
       .select(cols.map(c => col(s"_row.$c").as(c)): _*)
   }
 
+  /** The fingerprint/shingle text normalization as a token array:
+    * lower-case, non-alphanumerics to spaces, whitespace-split. The
+    * shared vocabulary view for corpus statistics ([[tfidfTopTerms]],
+    * [[topNgrams]]).
+    */
+  private def normTokens(text: Column): Column =
+    tokens(regexp_replace(lower(coalesce(text, lit(""))), "[^a-z0-9]+", " "))
+
+  /** Per-document top-k terms by TF-IDF — the classic keyword-extraction
+    * / document-representation primitive. For each document: term
+    * frequency over normalized tokens; document frequency over the
+    * corpus; idf = ln((N+1)/(df+1)) (always >= 0 since df <= N);
+    * score = tf·idf. The top `k` terms per document by (score desc,
+    * term asc) survive.
+    *
+    * Determinism across engines: idf is frozen to the half-up 6-decimal
+    * grid (floor(ln·1e6 + 0.5) — an integer), so score_scaled = tf ·
+    * idf_scaled is INTEGER arithmetic and ranking never depends on
+    * float summation order; the exported score divides back to a
+    * double at the end.
+    *
+    * Scale shape: explode → two map-combined hash aggregations (doc,
+    * term) then (term) → an equi-join of slim (term, df) rows back onto
+    * tf rows → one window bounded per document. The corpus total N
+    * rides a broadcast single-row cross join (no driver action, stays
+    * lazy). Nothing is ever all-pairs; vocabulary rows are (term, long).
+    */
+  def tfidfTopTerms(
+      df: DataFrame,
+      k: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val termRows = df.select(col(idCol), explode(normTokens(col(textCol))).as("term"))
+    val tf = termRows.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val dfCounts = tf.groupBy("term").agg(count(lit(1)).as("n_docs_with_term"))
+    val n = df.select(count(lit(1)).as("_n"))
+    val idfScaled = floor(
+      log((col("_n") + 1.0) / (col("n_docs_with_term") + 1.0)) * 1e6 + 0.5).cast(LongType)
+    val win = Window.partitionBy(idCol).orderBy(col("_score_scaled").desc, col("term").asc)
+    tf.join(dfCounts, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("_score_scaled", col("tf") * idfScaled)
+      .withColumn("_rk", row_number().over(win))
+      .where(col("_rk") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("n_docs_with_term"),
+        (col("_score_scaled").cast(DoubleType) / 1e6).as("score"))
+  }
+
+  /** Corpus-level top-k word n-grams: the frequency table a tokenizer /
+    * LM-data analysis pass starts from. N-grams are built per document
+    * with window `lead`s over positionally-exploded normalized tokens
+    * (the [[repetitionSignals]] shape: the shuffle is by document, state
+    * bounded per document — no interpreted higher-order lambda in the
+    * per-row path), then ONE map-combined hash aggregation counts each
+    * n-gram corpus-wide. The result is top-k by (count desc, n-gram
+    * asc) — a deterministic boundary, so the LIMIT is engine-stable.
+    */
+  def topNgrams(
+      df: DataFrame,
+      n: Int = 2,
+      k: Int = 20,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1, "n >= 1")
+    val tokRows = df.select(col(idCol), posexplode(normTokens(col(textCol))).as(Seq("_p", "_t")))
+    val w = Window.partitionBy(idCol).orderBy(col("_p"))
+    val parts = (0 until n).map(i => if (i == 0) col("_t") else lead(col("_t"), i).over(w))
+    tokRows
+      // window expressions must land in a projection before the filter
+      // can reference them (no window calls inside WHERE)
+      .select((col(idCol) +: parts.zipWithIndex.map { case (c, i) => c.as(s"_t$i") }): _*)
+      // a short tail window (any lead null) must not emit a truncated n-gram
+      .where((0 until n).map(i => col(s"_t$i").isNotNull).reduce(_ && _))
+      .select(concat_ws(" ", (0 until n).map(i => col(s"_t$i")): _*).as("_ng"))
+      .groupBy(col("_ng").as("ngram"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("ngram").asc)
+      .limit(k)
+  }
+
   /** Intra-document repetition signals (the Gopher-style quality
     * filters of Rae et al. 2021, §A1.1 — public):
     *

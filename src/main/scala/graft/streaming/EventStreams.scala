@@ -158,4 +158,34 @@ object EventStreams {
           }
       }
   }
+
+  /** Stream-stream interval join — the attribution shape: each left
+    * event (e.g. a view) joins right events (e.g. purchases) of the
+    * same key whose event time falls in [left_ts, left_ts + horizon].
+    * Both sides carry watermarks and the join condition time-bounds the
+    * right side relative to the left in BOTH directions, which is what
+    * lets Spark derive state-eviction bounds: neither side's buffered
+    * state outlives watermark + horizon. Inner join ⇒ matches emit as
+    * soon as both sides arrive (append mode); at scale both streams
+    * shuffle once on the key and state is per-key, horizon-bounded.
+    *
+    * `leftTimeCol`/`rightTimeCol` must be the WATERMARKED event-time
+    * columns of their streams. Columns are referenced through the
+    * passed frames, so callers filtering one source twice (a
+    * self-join) must alias disambiguating names first.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTimeCol: String,
+      rightTimeCol: String,
+      horizonSeconds: Long,
+  ): DataFrame = {
+    require(horizonSeconds > 0, "horizonSeconds must be positive")
+    val keyCond = keyCols.map(k => left(k) === right(k)).reduce(_ && _)
+    val timeCond = right(rightTimeCol) >= left(leftTimeCol) &&
+      right(rightTimeCol) <= left(leftTimeCol) + expr(s"INTERVAL $horizonSeconds SECONDS")
+    left.join(right, keyCond && timeCond, "inner")
+  }
 }

@@ -44,6 +44,8 @@ class CatalogPlanLintSpec extends SparkSpec {
     "ann_int8_topk",      // int8 sibling of the same all-pairs baseline
     "ann_lsh_topk",       // recall audit re-scores against the exact baseline
     "ann_lsh_full_recall", // ditto
+    "rp_topk",            // projected-space brute pass + the exact-baseline audit
+    "tfidf_topk",         // the corpus total N rides a broadcast SINGLE-ROW cross join
   )
 
   /** Every physical node, descending through AQE wrappers and subqueries

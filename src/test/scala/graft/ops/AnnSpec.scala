@@ -219,4 +219,30 @@ class AnnSpec extends SparkSpec {
       .select("cluster").collect().map(_.getInt(0))
     assert(clusters.toSeq == again.toSeq)
   }
+
+  test("random projection: shape, determinism, exact replay, zero vector") {
+    val outDim = 4
+    val projected = vecs(10)
+      .withColumn("p", Ann.randomProject(col("embedding"), dim, outDim, seed = 7L))
+      .select("vec_id", "embedding", "p").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getSeq[Double](2)))
+    val planes = Ann.hyperplanes(outDim, dim, seed = 7L)
+    projected.foreach { case (_, v, p) =>
+      assert(p.length == outDim)
+      // the projection is exactly the left-to-right double dot per plane
+      val expect = planes.map(_.zip(v).foldLeft(0.0) { case (acc, (a, b)) => acc + a * b.toDouble })
+      assert(p.toArray.toSeq == expect.toSeq)
+    }
+    // determinism across evaluations
+    val again = vecs(10)
+      .withColumn("p", Ann.randomProject(col("embedding"), dim, outDim, seed = 7L))
+      .select("p").collect().map(_.getSeq[Double](0))
+    assert(projected.map(_._3.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // zero in, zero out; and perfect self-similarity survives projection
+    import spark.implicits._
+    val z = Seq((0L, Seq.fill(dim)(0f))).toDF("vec_id", "embedding")
+      .select(Ann.randomProject(col("embedding"), dim, outDim, seed = 7L).as("p"))
+      .collect()(0).getSeq[Double](0)
+    assert(z.forall(_ == 0.0))
+  }
 }

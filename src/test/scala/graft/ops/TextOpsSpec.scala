@@ -109,4 +109,53 @@ class TextOpsSpec extends SparkSpec {
     assert(out(3L)._2 == math.round(7.0 / 13.0 * 1e6) / 1e6)
     assert(out(4L) == ((0.0, 0.0)) && out(5L) == ((0.0, 0.0)))
   }
+
+  test("tfidf top terms: hand-computed scores, tie and k semantics") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "apple banana cherry dog"),
+      (4L, null: String), // no terms -> no rows
+    ).toDF("doc_id", "text")
+    val out = TextOps.tfidfTopTerms(docs, k = 3).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("term")) ->
+        ((r.getAs[Long]("tf"), r.getAs[Long]("n_docs_with_term"), r.getAs[Double]("score"))))
+      .toMap
+    // N=4 (null doc still counts in the corpus size): idf_scaled =
+    // floor(ln(5/(df+1))*1e6+0.5); df: apple 2, banana 3, cherry 2, dog 1
+    val idfAppleScaled = math.floor(math.log(5.0 / 3.0) * 1e6 + 0.5).toLong
+    val idfDog = math.floor(math.log(5.0 / 2.0) * 1e6 + 0.5) / 1e6
+    assert(out((1L, "apple")) == ((2L, 2L, (2 * idfAppleScaled).toDouble / 1e6)))
+    // doc 3 has 4 distinct terms but k=3: banana (idf ln(5/4), lowest
+    // score) must be cut; tie between apple and cherry (same tf, same
+    // df) is broken by term asc — both survive ahead of banana
+    val doc3Terms = out.keys.filter(_._1 == 3L).map(_._2).toSet
+    assert(doc3Terms == Set("dog", "apple", "cherry"))
+    assert(out((3L, "dog"))._3 == idfDog)
+    // the null-text doc contributes no rows
+    assert(!out.keys.exists(_._1 == 4L))
+  }
+
+  test("top ngrams: counts, tie order, short docs, normalization") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b"),     // bigrams: "a b", "b a", "a b"
+      (2L, "B,a"),         // normalizes to tokens [b, a] -> "b a"
+      (3L, "solo"),        // single token: no bigrams
+      (4L, ""),            // empty: no rows
+    ).toDF("doc_id", "text")
+    val out = TextOps.topNgrams(docs, n = 2, k = 10).collect()
+      .map(r => (r.getAs[String]("ngram"), r.getAs[Long]("n_occurrences")))
+    // "a b" x2, "b a" x2 — equal counts, lexicographic ascending
+    assert(out.toSeq == Seq(("a b", 2L), ("b a", 2L)))
+    // k truncates at the deterministic (count desc, ngram asc) boundary
+    val top1 = TextOps.topNgrams(docs, n = 2, k = 1).collect()
+      .map(r => r.getAs[String]("ngram")).toSeq
+    assert(top1 == Seq("a b"))
+    // trigrams
+    val tri = TextOps.topNgrams(docs, n = 3, k = 10).collect()
+      .map(r => (r.getAs[String]("ngram"), r.getAs[Long]("n_occurrences"))).toSeq
+    assert(tri == Seq(("a b a", 1L), ("b a b", 1L)))
+  }
 }

@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 import java.sql.Timestamp
 
@@ -202,6 +203,38 @@ class EventStreamsSpec extends SparkSpec {
       assert(sessions.length == 1, s"got ${sessions.toSeq}")
       assert(sessions(0).session_start == ts(85) && sessions(0).session_end == ts(105))
       assert(sessions(0).n_events == 4 && sessions(0).total_value == 15.0)
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join: horizon bounds, key isolation, inclusive edge") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    def slim(df: org.apache.spark.sql.DataFrame, id: String, t: String) =
+      df.select(col("event_id").as(id), col("user_id"), col("ts").as(t), col("value"))
+        .withWatermark(t, "1 hour")
+    val joined = EventStreams.intervalJoin(
+      slim(views.toDF(), "view_id", "view_time").drop("value"),
+      slim(purchases.toDF(), "purchase_id", "purchase_time"),
+      Seq("user_id"), "view_time", "purchase_time", horizonSeconds = 600)
+    val q = joined
+      .select(col("view_id"), col("purchase_id"))
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode(OutputMode.Append).start()
+    try {
+      views.addData(
+        Event(1, ts(0), 1, "view", 0.0),
+        Event(2, ts(0), 2, "view", 0.0))
+      purchases.addData(
+        Event(10, ts(5), 1, "purchase", 5.0),  // within 10 min of view 1
+        Event(11, ts(10), 1, "purchase", 6.0), // exactly at the horizon: inclusive
+        Event(12, ts(11), 1, "purchase", 7.0), // past the horizon
+        Event(13, ts(5), 3, "purchase", 8.0))  // no matching view user
+      q.processAllAvailable()
+      val got = spark.table("ss_join").collect()
+        .map(r => (r.getAs[Long]("view_id"), r.getAs[Long]("purchase_id"))).toSet
+      assert(got == Set((1L, 10L), (1L, 11L)), s"got $got")
     } finally q.stop()
   }
 }
