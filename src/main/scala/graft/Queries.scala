@@ -27,6 +27,27 @@ object Queries {
   private def cents(c: Column): Column = round(c * 100, 0).cast(LongType)
   private val centsSql = (c: String) => s"CAST(round($c*100,0) AS BIGINT)"
 
+  /** Event-time micros-since-epoch as BIGINT, robust to both `ts`
+    * encodings the fixture has shipped: TIMESTAMP(MICROS) parquet (read
+    * as TIMESTAMP_NTZ; session timezone is pinned UTC so the NTZ→TZ cast
+    * is exact) and TIMESTAMP(NANOS) read as nanos-long via
+    * spark.sql.legacy.parquet.nanosAsLong. DuckDB's `epoch_us(ts)` is
+    * the oracle-side equivalent for either encoding.
+    */
+  private def tsUsOf(df: DataFrame, tsCol: String = "ts"): Column =
+    df.schema(tsCol).dataType match {
+      case LongType => expr(s"$tsCol DIV 1000")
+      case _        => unix_micros(col(tsCol).cast(TimestampType))
+    }
+
+  /** Event-time as a TIMESTAMP column (micros precision), same two-encoding
+    * tolerance as [[tsUsOf]]. */
+  private def tsEventTimeOf(df: DataFrame, tsCol: String = "ts"): Column =
+    df.schema(tsCol).dataType match {
+      case LongType => timestamp_micros(expr(s"$tsCol DIV 1000"))
+      case _        => col(tsCol).cast(TimestampType)
+    }
+
   private object NoProvider extends Pipeline.TableProvider {
     def table(name: String, years: Seq[Int]): DataFrame =
       throw new UnsupportedOperationException(name)
@@ -483,7 +504,7 @@ items:
 
   private val e10Sql = s"""
     SELECT round(sum(NULLIF(l_quantity, 50.0) * ${centsSql("l_extendedprice")})
-                 / sum(${centsSql("l_extendedprice")}), 6) AS Qty
+                 / CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT), 6) AS Qty
     FROM lineitem"""
 
   /** E11 grouped weighted averages over several columns. */
@@ -499,8 +520,8 @@ items:
 
   private val e11SqlReal = s"""
     SELECT l_returnflag,
-           round(sum(NULLIF(l_quantity, 50.0) * ${centsSql("l_extendedprice")}) / sum(${centsSql("l_extendedprice")}), 6) AS Qty,
-           round(sum((l_quantity + 1.0) * ${centsSql("l_extendedprice")}) / sum(${centsSql("l_extendedprice")}), 6) AS QtyPlus
+           round(sum(NULLIF(l_quantity, 50.0) * ${centsSql("l_extendedprice")}) / CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT), 6) AS Qty,
+           round(sum((l_quantity + 1.0) * ${centsSql("l_extendedprice")}) / CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT), 6) AS QtyPlus
     FROM lineitem GROUP BY l_returnflag"""
 
   /** E12 weighted quantile: cumulative weight / total weight per year. */
@@ -575,10 +596,35 @@ items:
       .orderBy("l_returnflag")
   }
 
+  /** Bench-only crossover pair (SCALE.md, E12): the SAME weighted median
+    * at EXTREME group cardinality (one group per l_orderkey — ~150k
+    * groups at sf0.1, rows-per-group ~4) computed both ways, so the
+    * "sketch vs window" guidance carries a measured number.
+    * [[e12WindowHiCard]] pays a full (group, value)-sort under a window
+    * function before its aggregate; [[e12SketchHiCard]] is ONE hash
+    * aggregate with map-side partial merge and no sort. At low group
+    * counts the window path's sort amortizes and its exactness wins; as
+    * groups → rows the sort dominates and the sketch's fixed-size
+    * mergeable state takes over. Not oracled (the pair is a perf probe;
+    * the semantics of both paths are gated by e12_quantile /
+    * e12b_weighted_median / e12c_median_sketch).
+    */
+  def e12WindowHiCard(s: SparkSession, dir: String): DataFrame = {
+    val df = T(s, dir, "lineitem").select(col("l_orderkey").as("G"),
+      col("l_quantity").as("V"), cents(col("l_extendedprice")).as("W"))
+    Stats.weightedPercentileValue(df, "V", "W", Seq("G"), 0.5)
+  }
+
+  def e12SketchHiCard(s: SparkSession, dir: String): DataFrame = {
+    val df = T(s, dir, "lineitem").select(col("l_orderkey").as("G"),
+      col("l_quantity").as("V"), cents(col("l_extendedprice")).as("W"))
+    WeightedQuantileSketch.weightedPercentileSketch(df, "V", "W", Seq("G"), 0.5)
+  }
+
   private val e12cSql = """
     WITH s AS (
       SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS v,
-             sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS w
+             CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS w
       FROM lineitem GROUP BY 1, 2),
     c AS (
       SELECT l_returnflag, v,
@@ -607,7 +653,7 @@ items:
     SELECT o.OrderKey, o.Year, CAST(o.Total_Cents AS DOUBLE) / CAST(c.CPI AS DOUBLE) * 100 AS Deflated
     FROM (SELECT o_orderkey AS OrderKey, CAST(year(o_orderdate) AS INTEGER) AS Year,
                  CAST(round(o_totalprice*100,0) AS BIGINT) AS Total_Cents FROM orders) o
-    JOIN (SELECT CAST(year(o_orderdate) AS INTEGER) AS Year, sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS CPI
+    JOIN (SELECT CAST(year(o_orderdate) AS INTEGER) AS Year, CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS CPI
           FROM orders GROUP BY 1) c USING (Year)"""
 
   /** E9 equivalence-scale adjustment: join scale on (Year,ID), divide. */
@@ -2011,14 +2057,16 @@ items:
   // ------------------------------------------------------------------ events
 
   /** Hourly tumbling-window aggregation over the events table.
-    * `ts` arrives as TIMESTAMP(NANOS) parquet, read as nanos-long
-    * (spark.sql.legacy.parquet.nanosAsLong) — bucketing is integer math.
+    * Bucketing is integer math on event-time micros ([[tsUsOf]] absorbs
+    * the fixture's ts encoding).
     */
-  def eventsWindowAgg(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "events")
+  def eventsWindowAgg(s: SparkSession, dir: String): DataFrame = {
+    val ev0 = T(s, dir, "events")
+    ev0.withColumn("_ts_us", tsUsOf(ev0))
       .groupBy(col("event_type"),
-        (expr("ts DIV 3600000000000") * lit(3600L)).as("hour_epoch"))
+        expr("(_ts_us DIV 3600000000) * 3600").as("hour_epoch"))
       .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+  }
 
   private val eventsWindowSql = s"""
     SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
@@ -2043,10 +2091,10 @@ items:
     java.nio.file.Files.copy(java.nio.file.Paths.get(path),
       streamDir.resolve("events.parquet"))
     val name = "events_stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val agg = s.readStream.schema(schema).parquet(streamDir.toString)
-      // ts arrives as nanos-long (nanosAsLong): derive an event-time
-      // column for windowing
-      .withColumn("_event_time", timestamp_micros(expr("ts DIV 1000")))
+    val src = s.readStream.schema(schema).parquet(streamDir.toString)
+    val agg = src
+      // derive an event-time column for windowing (encoding-robust)
+      .withColumn("_event_time", tsEventTimeOf(src))
       .withWatermark("_event_time", "2 hours")
       .groupBy(col("event_type"), window(col("_event_time"), "1 hour"))
       .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
@@ -2099,7 +2147,7 @@ items:
 
   private val eventsEnrichStreamSql = """
     SELECT n.n_name, count(*) AS n_events,
-           sum(CAST(round(e.value*100,0) AS BIGINT)) AS value_cents
+           CAST(sum(CAST(round(e.value*100,0) AS BIGINT)) AS BIGINT) AS value_cents
     FROM events e JOIN nation n ON CAST(e.user_id % 25 AS INT) = n.n_nationkey
     GROUP BY n.n_name"""
 
@@ -2117,10 +2165,11 @@ items:
     java.nio.file.Files.copy(java.nio.file.Paths.get(path), streamDir.resolve("copy_a.parquet"))
     java.nio.file.Files.copy(java.nio.file.Paths.get(path), streamDir.resolve("copy_b.parquet"))
     val name = "events_dedup_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val stream = s.readStream.schema(schema).parquet(streamDir.toString)
-      // compare at microsecond precision: DuckDB reads TIMESTAMP(NANOS)
-      // parquet at us precision (epoch_us(ts) == ts DIV 1000)
-      .withColumn("ts_us", expr("ts DIV 1000"))
+    val src = s.readStream.schema(schema).parquet(streamDir.toString)
+    val stream = src
+      // compare at microsecond precision — DuckDB's epoch_us(ts) is the
+      // oracle-side equivalent for either ts encoding
+      .withColumn("ts_us", tsUsOf(src))
       .withColumn("ts", timestamp_micros(col("ts_us")))
     val dd = graft.streaming.EventStreams.dedupEvents(stream, Seq("event_id"))
     val q = dd.writeStream.format("memory").queryName(name)
@@ -2150,8 +2199,9 @@ items:
   def eventsSessionize(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val tsUs = expr("ts DIV 1000")
-    val ev = T(s, dir, "events")
+    val ev0 = T(s, dir, "events")
+    val tsUs = tsUsOf(ev0)
+    val ev = ev0
       .withColumn("prev_us", lag(tsUs, 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_us").isNull ||
@@ -2216,7 +2266,8 @@ items:
     * is exercised only where both engines agree by construction.
     */
   def asofJoinQ(s: SparkSession, dir: String): DataFrame = {
-    val ev = T(s, dir, "events").withColumn("ts_us", expr("ts DIV 1000"))
+    val ev0 = T(s, dir, "events")
+    val ev = ev0.withColumn("ts_us", tsUsOf(ev0))
     val left = ev.select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
     val right = ev.where(col("event_id") % 20 === 0)
       .select(col("user_id"), col("ts_us"),
@@ -2247,8 +2298,8 @@ items:
     * events_sessionize uses `>`.
     */
   def eventsSessionWindow(s: SparkSession, dir: String): DataFrame = {
-    val ev = T(s, dir, "events")
-      .withColumn("_et", timestamp_micros(expr("ts DIV 1000")))
+    val ev0 = T(s, dir, "events")
+    val ev = ev0.withColumn("_et", tsEventTimeOf(ev0))
     ev.groupBy(col("user_id"), session_window(col("_et"), "30 minutes").as("sw"))
       .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("value_cents"))
       .select(col("user_id"),
@@ -2273,8 +2324,71 @@ items:
       FROM flagged)
     SELECT user_id, min(ts_us) AS start_us, max(ts_us) + 1800000000 AS end_us,
            count(*) AS n_events,
-           sum(CAST(round(value*100,0) AS BIGINT)) AS value_cents
+           CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS value_cents
     FROM sess GROUP BY user_id, sid"""
+
+  /** The native session_window sessionizer executed by the Structured
+    * Streaming engine — the streaming twin of [[eventsSessionWindow]]
+    * (same groupBy, same 30-minute gap), proving the scaladoc's
+    * "streaming-capable with a watermark unchanged" claim under a REAL
+    * AvailableNow run against the same DuckDB oracle. Append-mode
+    * session windows only emit once the watermark passes a session's
+    * end, so a finite backlog would hold its tail sessions in state
+    * forever; the standard drain technique applies — stage ONE
+    * far-future sentinel event (max ts + 1 day, user_id -1) alongside
+    * the real file, which advances the global watermark past every real
+    * session's end on the no-data flush batch. The sentinel's own
+    * session stays unemitted (its end is beyond the final watermark)
+    * and is filtered defensively. At scale this is exactly how a
+    * backfill drain works: the watermark, not the job's end, releases
+    * state — bounded memory regardless of corpus size.
+    */
+  def eventsSessionStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val path = s"$dir/events.parquet"
+    val batch = s.read.parquet(path)
+    val schema = batch.schema
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_session_stream")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(path),
+      streamDir.resolve("events.parquet"))
+    // sentinel: one row, ts bumped a day past the corpus max (encoding-
+    // robust), parked on user_id -1 so it can never merge with a real
+    // user's session. The max-ts lookup is a one-scalar metadata read.
+    val bumped = schema("ts").dataType match {
+      case LongType => (max(col("ts")) + lit(86400L * 1000000000L)).as("ts")
+      case dt       => (max(col("ts")).cast(TimestampType) + expr("INTERVAL 1 DAY")).cast(dt).as("ts")
+    }
+    val sentTs = batch.agg(bumped)
+    val sentinel = batch.limit(1).drop("ts").crossJoin(sentTs)
+      .withColumn("user_id", lit(-1L))
+      .select(schema.fieldNames.map(col).toSeq: _*)
+    val sentDir = java.nio.file.Files.createTempDirectory("graft_session_sent")
+    sentinel.coalesce(1).write.mode("overwrite").parquet(sentDir.toString)
+    val part = sentDir.toFile.listFiles().find(_.getName.endsWith(".parquet"))
+      .getOrElse(sys.error("sentinel part file missing"))
+    java.nio.file.Files.copy(part.toPath, streamDir.resolve("zz_sentinel.parquet"))
+    deleteRecursively(sentDir.toFile)
+
+    val name = "events_session_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val src = s.readStream.schema(schema).parquet(streamDir.toString)
+    val q = src
+      .withColumn("_et", tsEventTimeOf(src))
+      .withWatermark("_et", "2 hours")
+      .groupBy(col("user_id"), session_window(col("_et"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("value_cents"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"),
+        col("n_events"), col("value_cents"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = s.table(name).where(col("user_id") =!= -1L)
+      .orderBy("user_id", "start_us")
+    s.catalog.dropTempView(name)
+    deleteRecursively(streamDir.toFile)
+    out
+  }
 
   /** Stream-stream interval join through a REAL AvailableNow run: each
     * `view` event joins `purchase` events of the same user within 30
@@ -2298,12 +2412,13 @@ items:
     val streamDir = java.nio.file.Files.createTempDirectory("graft_ss_join")
     java.nio.file.Files.copy(java.nio.file.Paths.get(path),
       streamDir.resolve("events.parquet"))
-    def side(evType: String, idAs: String, tsAs: String) =
-      s.readStream.schema(schema).parquet(streamDir.toString)
-        .where(col("event_type") === evType)
+    def side(evType: String, idAs: String, tsAs: String) = {
+      val src = s.readStream.schema(schema).parquet(streamDir.toString)
+      src.where(col("event_type") === evType)
         .select(col("event_id").as(idAs), col("user_id"),
-          timestamp_micros(expr("ts DIV 1000")).as(tsAs), col("value"))
+          tsEventTimeOf(src).as(tsAs), col("value"))
         .withWatermark(tsAs, "2 hours")
+    }
     val views = side("view", "view_id", "view_time").drop("value")
     val purchases = side("purchase", "purchase_id", "purchase_time")
     val joined = graft.streaming.EventStreams.intervalJoin(
@@ -2531,6 +2646,7 @@ items:
     ("events_dedup_stream", eventsDedupStream _, Some(eventsDedupStreamSql)),
     ("events_sessionize", eventsSessionize _, Some(eventsSessionizeSql)),
     ("events_session_window", eventsSessionWindow _, Some(eventsSessionWindowSql)),
+    ("events_session_stream", eventsSessionStream _, Some(eventsSessionWindowSql)),
     ("asof_join", asofJoinQ _, Some(asofJoinSql)),
     ("approx_distinct", approxDistinct _, Some(approxDistinctSql)),
     ("events_enrich_stream", eventsEnrichStream _, Some(eventsEnrichStreamSql)),
@@ -2559,7 +2675,9 @@ items:
     * (and mask regressions in) the LSH wall-clock.
     */
   val benchExtra: Map[String, (SparkSession, String) => DataFrame] =
-    Map("ann_lsh_query" -> (annLshQuery _))
+    Map("ann_lsh_query" -> (annLshQuery _),
+      "e12_window_hicard" -> (e12WindowHiCard _),
+      "e12_sketch_hicard" -> (e12SketchHiCard _))
 
   /** Subset used by Bench at sf0.1 (representative of every operator
     * family; a1_csv_roundtrip is excluded because it writes).
@@ -2567,7 +2685,8 @@ items:
   val benchNames: Seq[String] = Seq(
     "q1_agg", "b1_clean", "c7_numeric", "c8_categorical", "c10_groupby_sum",
     "c12_join", "c13_members", "d1_classification", "d1_expr_classification",
-    "d2_attribute", "e5_select", "e10_weighted_avg", "e12_quantile", "e12c_median_sketch", "e13_decile",
+    "d2_attribute", "e5_select", "e10_weighted_avg", "e12_quantile", "e12c_median_sketch",
+    "e12_window_hicard", "e12_sketch_hicard", "e13_decile",
     "e7e8_cpi", "e9_equivalence", "isc_summary", "isc_summary_bucketed",
     "dedup_exact", "dedup_paragraphs", "text_stats", "rep_signals", "lang_id", "quality_score", "ngram_jaccard",
     "tfidf_topk", "ngram_topk",
@@ -2579,5 +2698,5 @@ items:
     "events_window_agg", "events_window_stream", "events_dedup_stream", "events_enrich_stream",
     "events_stream_join",
     "approx_distinct",
-    "events_sessionize", "events_session_window", "asof_join", "topk")
+    "events_sessionize", "events_session_window", "events_session_stream", "asof_join", "topk")
 }

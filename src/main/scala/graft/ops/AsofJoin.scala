@@ -30,6 +30,16 @@ import org.apache.spark.sql.functions._
   * Multiple right rows at the same (key, ts) resolve to the last by
   * `rightTieCols` order; pass explicit tie columns when right
   * timestamps can collide.
+  *
+  * Null semantics: the latest right row attaches WHOLESALE, nulls
+  * included — all payload columns come from the same right row. (A
+  * per-column last(ignoreNulls) would backfill a legitimately-NULL
+  * payload cell from an OLDER right row and could mix columns from
+  * different right rows.) Implemented as one
+  * last(struct(payloads), ignoreNulls) carried over the window —
+  * right rows contribute a non-null struct even when every payload
+  * inside is null, so only genuinely-preceding-row-less left rows
+  * get all-null payloads.
   */
 object AsofJoin {
 
@@ -52,9 +62,18 @@ object AsofJoin {
       .partitionBy(keyCols.map(col): _*)
       .orderBy((col(tsCol).asc +: col("_side").asc +: rightTieCols.map(col(_).asc)): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payloadCols.foldLeft(u) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(ordered))
+    // One carried struct, not one last() per column: the latest right
+    // row must win wholesale (nulls included). Right rows contribute a
+    // non-null struct (left rows contribute null), so ignoreNulls skips
+    // exactly the left rows — a null payload CELL inside the struct is
+    // preserved, never backfilled from an older right row.
+    val carried = u
+      .withColumn("_pay",
+        when(col("_side") === 0, struct(payloadCols.map(col): _*)))
+      .withColumn("_pay", last(col("_pay"), ignoreNulls = true).over(ordered))
+    val unpacked = payloadCols.foldLeft(carried) { (df, c) =>
+      df.withColumn(c, col("_pay").getField(c))
     }
-    filled.where(col("_side") === 1).drop("_side")
+    unpacked.where(col("_side") === 1).drop("_side", "_pay")
   }
 }

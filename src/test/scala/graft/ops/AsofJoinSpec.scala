@@ -32,6 +32,37 @@ class AsofJoinSpec extends SparkSpec {
     assert(out.length == 1 && out(0).getAs[String]("v") == "second")
   }
 
+  test("asof join: the latest right row wins WHOLESALE — null payload cells " +
+    "are attached as null, never backfilled from an older right row") {
+    import spark.implicits._
+    val left = Seq((1, 20L, "probe")).toDF("k", "t", "tag")
+    // older right row has both payloads set; the LATEST right row has a
+    // legitimately-NULL v2. A per-column fill would emit (v1=new, v2=old)
+    // — a row that never existed on the right.
+    val right = Seq(
+      (1, 5L, Some("old1"), Some("old2")),
+      (1, 10L, Some("new1"), None),
+    ).toDF("k", "t", "v1", "v2")
+    val out = AsofJoin.asofJoin(left, right, "t", Seq("k")).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("v1") == "new1")
+    assert(out(0).getAs[String]("v2") == null,
+      s"null payload in the latest right row must survive, got ${out(0)}")
+  }
+
+  test("asof join: a right row whose payloads are ALL null still matches " +
+    "(it is a real right row, not the absence of one)") {
+    import spark.implicits._
+    val left = Seq((1, 20L)).toDF("k", "t")
+    val right = Seq(
+      (1, 5L, Some("old")),
+      (1, 10L, Option.empty[String]),
+    ).toDF("k", "t", "v")
+    val out = AsofJoin.asofJoin(left, right, "t", Seq("k")).collect()
+    assert(out.length == 1 && out(0).getAs[String]("v") == null,
+      s"latest right row (all-null payload) must win, got ${out.toSeq}")
+  }
+
   test("asof join rejects colliding payload columns and empty payloads") {
     import spark.implicits._
     val left = Seq((1, 5L, "x")).toDF("k", "t", "v")
