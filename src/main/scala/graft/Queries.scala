@@ -611,6 +611,7 @@ items:
     */
   def e12WindowHiCard(s: SparkSession, dir: String): DataFrame = {
     val df = T(s, dir, "lineitem").select(col("l_orderkey").as("G"),
+      col("l_linenumber").as("ID"), // addQuantile's deterministic tie-break
       col("l_quantity").as("V"), cents(col("l_extendedprice")).as("W"))
     Stats.weightedPercentileValue(df, "V", "W", Seq("G"), 0.5)
   }
