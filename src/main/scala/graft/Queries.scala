@@ -2287,6 +2287,132 @@ items:
     FROM events l
     ASOF LEFT JOIN r ON l.user_id = r.user_id AND epoch_us(l.ts) >= r.ts_us"""
 
+  /** FORWARD as-of join (earliest status at or after each event) —
+    * the direction="forward" half of the merge_asof surface, oracled
+    * against DuckDB's native ASOF with the inequality flipped (`<=`
+    * defines the forward direction there) — again an independent
+    * implementation, not a replay.
+    */
+  def asofJoinForwardQ(s: SparkSession, dir: String): DataFrame = {
+    val ev0 = T(s, dir, "events")
+    val ev = ev0.withColumn("ts_us", tsUsOf(ev0))
+    val left = ev.select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+    val right = ev.where(col("event_id") % 20 === 0)
+      .select(col("user_id"), col("ts_us"),
+        col("event_id").as("status_id"), col("value").as("status_value"))
+    AsofJoin.asofJoin(left, right, "ts_us", Seq("user_id"), Seq("status_id"),
+      direction = AsofJoin.Forward)
+      .select("event_id", "user_id", "ts_us", "value", "status_id", "status_value")
+      .orderBy("event_id")
+  }
+
+  private val asofJoinForwardSql = """
+    WITH r AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id AS status_id, value AS status_value
+      FROM events WHERE event_id % 20 = 0)
+    SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, l.value,
+           r.status_id, r.status_value
+    FROM events l
+    ASOF LEFT JOIN r ON l.user_id = r.user_id AND epoch_us(l.ts) <= r.ts_us"""
+
+  /** NEAREST as-of join (closer of backward/forward, ties backward —
+    * pandas merge_asof direction="nearest") with a tolerance: matches
+    * farther than 10 minutes are dropped wholesale. The oracle composes
+    * DuckDB's two native ASOF directions and replays the same
+    * choose-and-filter arithmetic — per-candidate tolerance BEFORE the
+    * nearest choice, so a closer-but-out-of-tolerance side cannot
+    * shadow the in-tolerance one.
+    */
+  def asofJoinNearestQ(s: SparkSession, dir: String): DataFrame = {
+    val ev0 = T(s, dir, "events")
+    val ev = ev0.withColumn("ts_us", tsUsOf(ev0))
+    val left = ev.select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+    val right = ev.where(col("event_id") % 20 === 0)
+      .select(col("user_id"), col("ts_us"),
+        col("event_id").as("status_id"), col("value").as("status_value"))
+    AsofJoin.asofJoin(left, right, "ts_us", Seq("user_id"), Seq("status_id"),
+      direction = AsofJoin.Nearest, tolerance = Some(600000000L))
+      .select("event_id", "user_id", "ts_us", "value", "status_id", "status_value")
+      .orderBy("event_id")
+  }
+
+  private val asofJoinNearestSql = """
+    WITH r AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id AS status_id, value AS status_value
+      FROM events WHERE event_id % 20 = 0),
+    b AS (
+      SELECT l.event_id,
+             CASE WHEN epoch_us(l.ts) - r.ts_us <= 600000000 THEN r.ts_us END AS m_ts,
+             CASE WHEN epoch_us(l.ts) - r.ts_us <= 600000000 THEN r.status_id END AS m_sid,
+             CASE WHEN epoch_us(l.ts) - r.ts_us <= 600000000 THEN r.status_value END AS m_sv
+      FROM events l
+      ASOF LEFT JOIN r ON l.user_id = r.user_id AND epoch_us(l.ts) >= r.ts_us),
+    f AS (
+      SELECT l.event_id,
+             CASE WHEN r.ts_us - epoch_us(l.ts) <= 600000000 THEN r.ts_us END AS m_ts,
+             CASE WHEN r.ts_us - epoch_us(l.ts) <= 600000000 THEN r.status_id END AS m_sid,
+             CASE WHEN r.ts_us - epoch_us(l.ts) <= 600000000 THEN r.status_value END AS m_sv
+      FROM events l
+      ASOF LEFT JOIN r ON l.user_id = r.user_id AND epoch_us(l.ts) <= r.ts_us)
+    SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, l.value,
+           CASE WHEN b.m_ts IS NOT NULL AND (f.m_ts IS NULL
+                      OR epoch_us(l.ts) - b.m_ts <= f.m_ts - epoch_us(l.ts))
+                THEN b.m_sid ELSE f.m_sid END AS status_id,
+           CASE WHEN b.m_ts IS NOT NULL AND (f.m_ts IS NULL
+                      OR epoch_us(l.ts) - b.m_ts <= f.m_ts - epoch_us(l.ts))
+                THEN b.m_sv ELSE f.m_sv END AS status_value
+    FROM events l
+    JOIN b ON b.event_id = l.event_id
+    JOIN f ON f.event_id = l.event_id"""
+
+  /** Trailing-hour rolling aggregates per user over irregular event
+    * times ([[TimeSeries.rolling]], RANGE frame): for every event, the
+    * count and cents-sum of that user's events in [ts - 1h, ts]. RANGE
+    * (not ROWS) makes equal-timestamp peers aggregate identically —
+    * deterministic under any tie order — and Spark evaluates the
+    * trailing frame incrementally after one sort per user partition.
+    */
+  def eventsRolling(s: SparkSession, dir: String): DataFrame = {
+    val ev0 = T(s, dir, "events")
+    val ev = ev0.select(col("event_id"), col("user_id"), tsUsOf(ev0).as("ts_us"),
+      cents(col("value")).as("_c"))
+    TimeSeries.rolling(ev, "ts_us", Seq("user_id"), 3600000000L,
+      Seq("n_1h" -> count(lit(1)), "cents_1h" -> sum(col("_c"))))
+      .select("event_id", "user_id", "ts_us", "n_1h", "cents_1h")
+      .orderBy("event_id")
+  }
+
+  private val eventsRollingSql = """
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           count(*) OVER w AS n_1h,
+           CAST(sum(CAST(round(value*100,0) AS BIGINT)) OVER w AS BIGINT) AS cents_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"""
+
+  /** Explicit salted join ([[Skew.saltedJoin]]): the fact side salted
+    * into 8 deterministic buckets, the dim side replicated 8×, join on
+    * (key, salt) — the by-construction skew split for when one join key
+    * holds more rows than an executor (AQE's skew handling is the first
+    * resort; this is the explicit tool). The oracle is the PLAIN join +
+    * aggregate: salting must be result-invariant.
+    */
+  def skewSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem")
+      .select(col("l_suppkey").as("SK"), cents(col("l_extendedprice")).as("C"))
+    val sup = T(s, dir, "supplier").select(col("s_suppkey").as("SK"), col("s_nationkey"))
+    Skew.saltedJoin(li, sup, Seq("SK"), salt = 8)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n"), sum(col("C")).as("cents"))
+      .orderBy("s_nationkey")
+  }
+
+  private val skewSaltedJoinSql = """
+    SELECT s_nationkey, count(*) AS n,
+           CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS BIGINT) AS cents
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey"""
+
   /** Sessionization via the NATIVE session_window operator — the
     * built-in-first sibling of the flatMapGroupsWithState sessionizer
     * (EventStreams.sessionize) and the gaps-and-islands window
@@ -2649,6 +2775,10 @@ items:
     ("events_session_window", eventsSessionWindow _, Some(eventsSessionWindowSql)),
     ("events_session_stream", eventsSessionStream _, Some(eventsSessionWindowSql)),
     ("asof_join", asofJoinQ _, Some(asofJoinSql)),
+    ("asof_join_forward", asofJoinForwardQ _, Some(asofJoinForwardSql)),
+    ("asof_join_nearest", asofJoinNearestQ _, Some(asofJoinNearestSql)),
+    ("events_rolling", eventsRolling _, Some(eventsRollingSql)),
+    ("skew_salted_join", skewSaltedJoin _, Some(skewSaltedJoinSql)),
     ("approx_distinct", approxDistinct _, Some(approxDistinctSql)),
     ("events_enrich_stream", eventsEnrichStream _, Some(eventsEnrichStreamSql)),
     ("events_stream_join", eventsStreamJoin _, Some(eventsStreamJoinSql)),
@@ -2699,5 +2829,6 @@ items:
     "events_window_agg", "events_window_stream", "events_dedup_stream", "events_enrich_stream",
     "events_stream_join",
     "approx_distinct",
-    "events_sessionize", "events_session_window", "events_session_stream", "asof_join", "topk")
+    "events_sessionize", "events_session_window", "events_session_stream",
+    "asof_join", "asof_join_nearest", "events_rolling", "skew_salted_join", "topk")
 }

@@ -63,6 +63,83 @@ class AsofJoinSpec extends SparkSpec {
       s"latest right row (all-null payload) must win, got ${out.toSeq}")
   }
 
+  test("asof join forward: earliest right row at or after each left ts") {
+    import spark.implicits._
+    val left = Seq(
+      (1, 5L, "l5"), (1, 10L, "l10"), (1, 20L, "l20"), (2, 10L, "l2-10"),
+    ).toDF("k", "t", "tag")
+    val right = Seq(
+      (1, 10L, "a"), (1, 15L, "b"), (2, 5L, "c"),
+    ).toDF("k", "t", "v")
+    val out = AsofJoin.asofJoin(left, right, "t", Seq("k"),
+      direction = AsofJoin.Forward).collect()
+      .map(r => (r.getAs[Int]("k"), r.getAs[Long]("t")) -> r.getAs[String]("v")).toMap
+    assert(out == Map(
+      (1, 5L) -> "a",   // earliest of {10 -> a, 15 -> b}
+      (1, 10L) -> "a",  // inclusive: right AT the left ts matches
+      (1, 20L) -> null, // nothing at or after 20
+      (2, 10L) -> null, // key 2's only right row is earlier
+    ), s"got $out")
+  }
+
+  test("asof join forward ties: same-(key,ts) right rows resolve to the FIRST by tie columns") {
+    import spark.implicits._
+    val left = Seq((1, 10L)).toDF("k", "t")
+    val right = Seq((1, 15L, 1, "first"), (1, 15L, 2, "second")).toDF("k", "t", "seq", "v")
+    val out = AsofJoin.asofJoin(left, right, "t", Seq("k"), rightTieCols = Seq("seq"),
+      direction = AsofJoin.Forward).collect()
+    assert(out.length == 1 && out(0).getAs[String]("v") == "first")
+  }
+
+  test("asof join nearest: closer side wins, exact ties go backward") {
+    import spark.implicits._
+    val left = Seq(
+      (1, 10L), // back at 8 (d=2), fwd at 15 (d=5) -> back
+      (1, 14L), // back at 8 (d=6), fwd at 15 (d=1) -> fwd
+      (1, 3L),  // no back, fwd at 8 -> fwd
+      (2, 9L),  // back at 8 (d=1), fwd at 10 (d=1): tie -> backward
+    ).toDF("k", "t")
+    val right = Seq(
+      (1, 8L, "b8"), (1, 15L, "f15"), (2, 8L, "b8"), (2, 10L, "f10"),
+    ).toDF("k", "t", "v")
+    val out = AsofJoin.asofJoin(left, right, "t", Seq("k"),
+      direction = AsofJoin.Nearest).collect()
+      .map(r => (r.getAs[Int]("k"), r.getAs[Long]("t")) -> r.getAs[String]("v")).toMap
+    assert(out == Map(
+      (1, 10L) -> "b8", (1, 14L) -> "f15", (1, 3L) -> "b8", (2, 9L) -> "b8",
+    ), s"got $out")
+  }
+
+  test("asof join tolerance: per-candidate filter precedes the nearest choice") {
+    import spark.implicits._
+    // back at 90 (d=10, OUT of tol 5), fwd at 103 (d=3, in tol):
+    // nearest-then-tolerance would pick... back is closer? no — d_back=10
+    // > d_fwd=3 so nearest picks fwd anyway; force the shadow case:
+    // back at 99 (d=1, in tol), fwd at 150 (d=50, out) -> back.
+    // and: back at 90 (d=10, out), fwd at 103 (d=3, in) -> fwd.
+    // and tolerance kills both: back 90 (d=10), fwd 150 (d=50), tol 5 -> null.
+    val left = Seq((1, 100L), (2, 100L), (3, 100L)).toDF("k", "t")
+    val right = Seq(
+      (1, 99L, "b"), (1, 150L, "f"),
+      (2, 90L, "b"), (2, 103L, "f"),
+      (3, 90L, "b"), (3, 150L, "f"),
+    ).toDF("k", "t", "v")
+    val out = AsofJoin.asofJoin(left, right, "t", Seq("k"),
+      direction = AsofJoin.Nearest, tolerance = Some(5L)).collect()
+      .map(r => r.getAs[Int]("k") -> r.getAs[String]("v")).toMap
+    assert(out == Map(1 -> "b", 2 -> "f", 3 -> null), s"got $out")
+  }
+
+  test("asof join backward tolerance: distant matches drop wholesale") {
+    import spark.implicits._
+    val left = Seq((1, 100L), (1, 200L)).toDF("k", "t")
+    val right = Seq((1, 95L, "near", 7), (1, 120L, "far", 9)).toDF("k", "t", "v", "w")
+    val out = AsofJoin.asofJoin(left, right, "t", Seq("k"), tolerance = Some(10L))
+      .collect().map(r => r.getAs[Long]("t") -> (r.getAs[String]("v"), r.get(r.fieldIndex("w")))).toMap
+    assert(out(100L) == (("near", 7)))
+    assert(out(200L) == ((null, null)), s"both payloads must drop together, got $out")
+  }
+
   test("asof join rejects colliding payload columns and empty payloads") {
     import spark.implicits._
     val left = Seq((1, 5L, "x")).toDF("k", "t", "v")
