@@ -250,6 +250,28 @@ object Queries {
     SELECT l_returnflag, l_linestatus, sum(l_quantity) AS l_quantity
     FROM lineitem GROUP BY 1, 2"""
 
+  /** Multi-level aggregation in ONE pass: ROLLUP over (flag, status)
+    * produces the detail rows, per-flag subtotals, and the grand total
+    * from a single shuffle (Spark expands the grouping sets map-side),
+    * with grouping_id disambiguating a real NULL key from a subtotal
+    * row. This replaces the manual detail-UNION-total pattern (the
+    * reference's average_table "Total" row, isc_summary's second
+    * aggregation) with one operator when all levels are wanted — at
+    * 100 TB the difference is one fact-table pass instead of one per
+    * level.
+    */
+  def aggRollup(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("l_extendedprice"))).as("cents"),
+        grouping_id().as("gid"))
+
+  private val aggRollupSql = """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS BIGINT) AS cents,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
+
   private def membersBase(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "lineitem").select(
       year(col("l_shipdate")).as("Year"),
@@ -2390,6 +2412,53 @@ items:
     WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"""
 
+  /** Long→wide pivot with an EXPLICIT value vocabulary: per-user event
+    * counts, one column per event type. The explicit list keeps the
+    * plan single-pass (no values-discovery scan + collect before the
+    * real aggregation) and the output schema stable when a partition
+    * happens to miss a type — both required at 100 TB, where pivot
+    * without a vocabulary is two corpus scans and a schema that drifts
+    * with the data. Compiles to one hash aggregate with 5 conditional
+    * counts, which is exactly what the oracle writes out.
+    */
+  def eventsPivot(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+
+  private val eventsPivotSql = """
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+    FROM events GROUP BY user_id"""
+
+  /** Set operators over derived key sets: purchasers ∩ viewers ∖
+    * error-throwers. Spark's INTERSECT/EXCEPT are aggregate-backed
+    * (left-semi/anti over distinct rows — hash shuffles on the full
+    * row as the key, no sort), the relational complement of the
+    * curation layer's explicit anti-joins; both engines implement
+    * SQL set semantics (distinct output), which the oracle mirrors.
+    */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+    def users(t: String) = ev.where(col("event_type") === t).select("user_id")
+    users("purchase").intersect(users("view")).except(users("error"))
+      .orderBy("user_id")
+  }
+
+  private val setOpsSql = """
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'view'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'error'"""
+
   /** Explicit salted join ([[Skew.saltedJoin]]): the fact side salted
     * into 8 deterministic buckets, the dim side replicated 8×, join on
     * (key, salt) — the by-construction skew split for when one join key
@@ -2713,6 +2782,7 @@ items:
     ("c8_categorical", c8Categorical _, Some(c8Sql)),
     ("c9_filter", c9Filter _, Some(c9Sql)),
     ("c10_groupby_sum", c10GroupbySum _, Some(c10SumSql)),
+    ("agg_rollup", aggRollup _, Some(aggRollupSql)),
     ("c10_melt", c10Melt _, Some(c10MeltSql)),
     ("c12_join", c12Join _, Some(c12Sql)),
     ("c13_members", c13Members _, Some(c13Sql)),
@@ -2778,6 +2848,8 @@ items:
     ("asof_join_forward", asofJoinForwardQ _, Some(asofJoinForwardSql)),
     ("asof_join_nearest", asofJoinNearestQ _, Some(asofJoinNearestSql)),
     ("events_rolling", eventsRolling _, Some(eventsRollingSql)),
+    ("events_pivot", eventsPivot _, Some(eventsPivotSql)),
+    ("set_ops", setOps _, Some(setOpsSql)),
     ("skew_salted_join", skewSaltedJoin _, Some(skewSaltedJoinSql)),
     ("approx_distinct", approxDistinct _, Some(approxDistinctSql)),
     ("events_enrich_stream", eventsEnrichStream _, Some(eventsEnrichStreamSql)),
@@ -2830,5 +2902,6 @@ items:
     "events_stream_join",
     "approx_distinct",
     "events_sessionize", "events_session_window", "events_session_stream",
-    "asof_join", "asof_join_nearest", "events_rolling", "skew_salted_join", "topk")
+    "asof_join", "asof_join_nearest", "events_rolling", "skew_salted_join",
+    "agg_rollup", "events_pivot", "set_ops", "topk")
 }
