@@ -2459,6 +2459,32 @@ items:
     EXCEPT
     SELECT user_id FROM events WHERE event_type = 'error'"""
 
+  /** JSON property extraction over the events `props` column: ONE typed
+    * from_json parse per row against an explicit schema, then an
+    * ordinary aggregate over the extracted field. The explicit schema
+    * is the scale rule: `get_json_object` re-parses the string once
+    * per PATH and schema inference (`schema_of_json`) is an extra
+    * corpus pass — from_json with a declared struct parses once,
+    * yields typed columns, and stays inside codegen. Oracled against
+    * DuckDB's independent JSON extension.
+    */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .select(col("event_type"),
+        from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+          .getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"),
+        min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+      .orderBy("event_type")
+
+  private val jsonExtractSql = """
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
+           min(CAST(json_extract_string(props, '$.k') AS INT)) AS k_min,
+           max(CAST(json_extract_string(props, '$.k') AS INT)) AS k_max
+    FROM events GROUP BY event_type"""
+
   /** Explicit salted join ([[Skew.saltedJoin]]): the fact side salted
     * into 8 deterministic buckets, the dim side replicated 8×, join on
     * (key, salt) — the by-construction skew split for when one join key
@@ -2850,6 +2876,7 @@ items:
     ("events_rolling", eventsRolling _, Some(eventsRollingSql)),
     ("events_pivot", eventsPivot _, Some(eventsPivotSql)),
     ("set_ops", setOps _, Some(setOpsSql)),
+    ("json_extract", jsonExtract _, Some(jsonExtractSql)),
     ("skew_salted_join", skewSaltedJoin _, Some(skewSaltedJoinSql)),
     ("approx_distinct", approxDistinct _, Some(approxDistinctSql)),
     ("events_enrich_stream", eventsEnrichStream _, Some(eventsEnrichStreamSql)),
@@ -2903,5 +2930,5 @@ items:
     "approx_distinct",
     "events_sessionize", "events_session_window", "events_session_stream",
     "asof_join", "asof_join_nearest", "events_rolling", "skew_salted_join",
-    "agg_rollup", "events_pivot", "set_ops", "topk")
+    "agg_rollup", "events_pivot", "set_ops", "json_extract", "topk")
 }
