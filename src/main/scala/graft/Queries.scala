@@ -2565,17 +2565,19 @@ items:
     * backfill drain works: the watermark, not the job's end, releases
     * state — bounded memory regardless of corpus size.
     */
-  def eventsSessionStream(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
+  /** Stage the events file plus a far-future sentinel event (corpus max
+    * ts + 1 day, user_id -1 — encoding-robust) into a fresh stream
+    * directory: the watermark-advance drain used by the append-mode
+    * streaming gate rows. The max-ts lookup is a one-scalar metadata
+    * read.
+    */
+  private def stageEventsWithSentinel(s: SparkSession, dir: String): java.nio.file.Path = {
     val path = s"$dir/events.parquet"
     val batch = s.read.parquet(path)
     val schema = batch.schema
     val streamDir = java.nio.file.Files.createTempDirectory("graft_session_stream")
     java.nio.file.Files.copy(java.nio.file.Paths.get(path),
       streamDir.resolve("events.parquet"))
-    // sentinel: one row, ts bumped a day past the corpus max (encoding-
-    // robust), parked on user_id -1 so it can never merge with a real
-    // user's session. The max-ts lookup is a one-scalar metadata read.
     val bumped = schema("ts").dataType match {
       case LongType => (max(col("ts")) + lit(86400L * 1000000000L)).as("ts")
       case dt       => (max(col("ts")).cast(TimestampType) + expr("INTERVAL 1 DAY")).cast(dt).as("ts")
@@ -2590,7 +2592,13 @@ items:
       .getOrElse(sys.error("sentinel part file missing"))
     java.nio.file.Files.copy(part.toPath, streamDir.resolve("zz_sentinel.parquet"))
     deleteRecursively(sentDir.toFile)
+    streamDir
+  }
 
+  def eventsSessionStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val streamDir = stageEventsWithSentinel(s, dir)
     val name = "events_session_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val src = s.readStream.schema(schema).parquet(streamDir.toString)
     val q = src
@@ -2611,6 +2619,72 @@ items:
     deleteRecursively(streamDir.toFile)
     out
   }
+
+  /** The CUSTOM-STATE sessionizer ([[graft.streaming.EventStreams
+    * .sessionize]], flatMapGroupsWithState + event-time timeout) under a
+    * real AvailableNow run, oracled — until now this escape-hatch path
+    * had only MemoryStream specs while its built-in siblings
+    * (events_session_window/_stream) carried oracles. Closed sessions
+    * emit in-batch; each user's final OPEN session emits via event-time
+    * TIMEOUT when the sentinel advances the watermark — so the oracle
+    * exercises exactly the state-eviction path that bounds memory on an
+    * unbounded stream. The state machine works in epoch MILLIS
+    * (java.sql.Timestamp.getTime) with a strict `>` gap rule, and the
+    * oracle mirrors both (epoch_ms, gap > 1800000). Event values are
+    * projected to integer cents BEFORE sessionization so the state's
+    * running double sum is exact and order-independent — same-millisecond
+    * ties then cannot perturb the hash.
+    */
+  def eventsSessionizeFmgws(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val streamDir = stageEventsWithSentinel(s, dir)
+    val name = "events_fmgws_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val src = s.readStream.schema(schema).parquet(streamDir.toString)
+    import s.implicits._
+    val typed = src.select(col("event_id"),
+      tsEventTimeOf(src).as("ts"),
+      col("user_id"), col("event_type"),
+      cents(col("value")).cast(DoubleType).as("value"))
+      .as[graft.streaming.EventStreams.Event]
+    val q = graft.streaming.EventStreams.sessionize(typed, gapSeconds = 1800)
+      .toDF()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = s.table(name).where(col("user_id") =!= -1L)
+      .select(col("user_id"),
+        unix_millis(col("session_start")).as("start_ms"),
+        unix_millis(col("session_end")).as("end_ms"),
+        col("n_events"), col("total_value").as("total_c"))
+      .orderBy("user_id", "start_ms")
+    s.catalog.dropTempView(name)
+    deleteRecursively(streamDir.toFile)
+    out
+  }
+
+  private val eventsSessionizeFmgwsSql = """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS ms,
+             CAST(round(value*100,0) AS BIGINT) AS c
+      FROM events),
+    l AS (
+      SELECT user_id, event_id, ms, c,
+             lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev
+      FROM e),
+    f AS (
+      SELECT user_id, event_id, ms, c,
+             CASE WHEN prev IS NULL OR ms - prev > 1800000 THEN 1 ELSE 0 END AS ns
+      FROM l),
+    x AS (
+      SELECT user_id, ms, c,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY ms, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM f)
+    SELECT user_id, min(ms) AS start_ms, max(ms) AS end_ms,
+           count(*) AS n_events,
+           CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) AS total_c
+    FROM x GROUP BY user_id, sid"""
 
   /** Stream-stream interval join through a REAL AvailableNow run: each
     * `view` event joins `purchase` events of the same user within 30
@@ -2870,6 +2944,7 @@ items:
     ("events_sessionize", eventsSessionize _, Some(eventsSessionizeSql)),
     ("events_session_window", eventsSessionWindow _, Some(eventsSessionWindowSql)),
     ("events_session_stream", eventsSessionStream _, Some(eventsSessionWindowSql)),
+    ("events_sessionize_fmgws", eventsSessionizeFmgws _, Some(eventsSessionizeFmgwsSql)),
     ("asof_join", asofJoinQ _, Some(asofJoinSql)),
     ("asof_join_forward", asofJoinForwardQ _, Some(asofJoinForwardSql)),
     ("asof_join_nearest", asofJoinNearestQ _, Some(asofJoinNearestSql)),
