@@ -68,6 +68,9 @@ object RecallSurface {
       rows += (("RP", s"outDim=$outDim", recallOf(Ann.bruteForceTopK(corpusP, queriesP, k))))
     }
 
+    rows += (("INT8", "symmetric per-vector max-abs",
+      recallOf(Ann.int8TopK(emb, queries, k))))
+
     val init = Ann.hyperplanes(4, dim, seed = 7L)
     val trained = Ann.trainCentroids(emb, init, iterations = 1)
     val ivfDir = java.nio.file.Files.createTempDirectory("graft_recall_ivf").toString
