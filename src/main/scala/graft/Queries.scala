@@ -2279,6 +2279,55 @@ items:
            TRUE AS within
     FROM documents GROUP BY source"""
 
+  /** Daily active users + cumulative distinct-to-date — the sketch-REUSE
+    * pattern: one `hll_sketch_agg` pass builds a mergeable per-day
+    * sketch (Datasketches HLL, fixed-size state), and every cumulative
+    * number is a `hll_union_agg` over the already-built sketches — the
+    * corpus is scanned ONCE no matter how many running totals are
+    * derived. At 100 TB this is the only viable "distinct users to
+    * date" plan: the exact alternative re-scans an expanding prefix per
+    * day (quadratic). Gated as an HONEST AUDIT (approx_distinct's
+    * pattern): exact DAU and exact cumulative count hash-compare, plus
+    * a boolean asserting the sketch estimate landed within 5% of exact.
+    * The exact cumulative rides the first-seen-day trick — count users
+    * whose min(day) ≤ d via one agg + a running sum over the
+    * metadata-bounded day table (single-partition window over ~30 rows,
+    * not the fact table).
+    */
+  def eventsDailyActive(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev0 = T(s, dir, "events")
+    val ev = ev0.select(col("user_id"), tsUsOf(ev0).as("_us"))
+      .withColumn("day", expr("_us DIV 86400000000"))
+    val daily = ev.groupBy("day")
+      .agg(count_distinct(col("user_id")).as("dau_exact"),
+        hll_sketch_agg(col("user_id")).as("_sk"))
+    val wCum = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = daily.withColumn("_cum_est",
+      hll_sketch_estimate(hll_union_agg(col("_sk")).over(wCum)))
+    val firstSeen = ev.groupBy("user_id").agg(min(col("day")).as("fday"))
+    val newPerDay = firstSeen.groupBy(col("fday").as("day")).agg(count(lit(1)).as("_new"))
+    withCum.join(newPerDay, Seq("day"), "left")
+      .withColumn("cum_exact", sum(coalesce(col("_new"), lit(0L))).over(wCum))
+      .select(col("day"), col("dau_exact"), col("cum_exact"),
+        (abs(col("_cum_est") - col("cum_exact")).cast(DoubleType) / col("cum_exact") <= 0.05)
+          .as("within"))
+      .orderBy("day")
+  }
+
+  private val eventsDailyActiveSql = """
+    WITH e AS (
+      SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events),
+    daily AS (SELECT day, count(DISTINCT user_id) AS dau_exact FROM e GROUP BY day),
+    fs AS (SELECT user_id, min(day) AS fday FROM e GROUP BY user_id),
+    npd AS (SELECT fday AS day, count(*) AS nnew FROM fs GROUP BY fday)
+    SELECT d.day, d.dau_exact,
+           CAST(sum(coalesce(n.nnew, 0)) OVER (ORDER BY d.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_exact,
+           TRUE AS within
+    FROM daily d LEFT JOIN npd n ON d.day = n.day"""
+
   /** As-of join: every event picks up the most recent "status" row at
     * or before its timestamp per user (every 20th event doubles as a
     * status update — both sides derive deterministically from the
@@ -2952,6 +3001,7 @@ items:
     ("events_pivot", eventsPivot _, Some(eventsPivotSql)),
     ("set_ops", setOps _, Some(setOpsSql)),
     ("json_extract", jsonExtract _, Some(jsonExtractSql)),
+    ("events_daily_active", eventsDailyActive _, Some(eventsDailyActiveSql)),
     ("skew_salted_join", skewSaltedJoin _, Some(skewSaltedJoinSql)),
     ("approx_distinct", approxDistinct _, Some(approxDistinctSql)),
     ("events_enrich_stream", eventsEnrichStream _, Some(eventsEnrichStreamSql)),

@@ -237,4 +237,44 @@ class EventStreamsSpec extends SparkSpec {
       assert(got == Set((1L, 10L), (1L, 11L)), s"got $got")
     } finally q.stop()
   }
+
+  test("checkpoint resume is exactly-once: a restarted query processes only new " +
+    "files and restored state suppresses duplicates from before the restart") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_ckpt_src")
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ckpt_out").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_state").toString
+
+    def stage(name: String, events: Seq[Event]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ckpt_stage")
+      events.toDF().coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, srcDir.resolve(name))
+    }
+    val schema = Seq(Event(0, ts(0), 0, "x", 0.0)).toDF().schema
+
+    def runOnce(): Unit = {
+      val q = EventStreams.dedupEvents(
+        spark.readStream.schema(schema).parquet(srcDir.toString), Seq("event_id"))
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    stage("a.parquet", (1L to 5L).map(i => Event(i, ts(i), i % 2, "view", i.toDouble)))
+    runOnce()
+    assert(spark.read.parquet(outDir).count() == 5)
+
+    // the restart file carries DUPLICATES of already-emitted keys (3..5)
+    // plus new keys (6..8): only the restored state can know 3..5 were
+    // already seen — re-emission means state was lost, re-reading
+    // a.parquet means source progress was lost
+    stage("b.parquet", (3L to 8L).map(i => Event(i, ts(i), i % 2, "view", i.toDouble)))
+    runOnce()
+    val ids = spark.read.parquet(outDir).select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == (1L to 8L), s"exactly-once violated: $ids")
+  }
 }
