@@ -2475,7 +2475,9 @@ items:
       .groupBy(col("user_id"))
       .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
       .agg(count(lit(1)))
-      .na.fill(0L)
+      // scope the zero-fill to the pivoted columns — an unscoped fill
+      // would also rewrite a NULL group key to 0
+      .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
       .orderBy("user_id")
 
   private val eventsPivotSql = """
@@ -2623,6 +2625,10 @@ items:
   private def stageEventsWithSentinel(s: SparkSession, dir: String): java.nio.file.Path = {
     val path = s"$dir/events.parquet"
     val batch = s.read.parquet(path)
+    // an empty fixture would stage an empty sentinel file: the watermark
+    // would never advance and the streaming gates would silently return
+    // zero rows — make the precondition loud instead
+    require(!batch.isEmpty, s"$path is empty: sentinel watermark drain needs at least one event")
     val schema = batch.schema
     val streamDir = java.nio.file.Files.createTempDirectory("graft_session_stream")
     java.nio.file.Files.copy(java.nio.file.Paths.get(path),
@@ -3055,5 +3061,5 @@ items:
     "approx_distinct",
     "events_sessionize", "events_session_window", "events_session_stream",
     "asof_join", "asof_join_nearest", "events_rolling", "skew_salted_join",
-    "agg_rollup", "events_pivot", "set_ops", "json_extract", "topk")
+    "agg_rollup", "events_pivot", "set_ops", "json_extract", "events_daily_active", "topk")
 }

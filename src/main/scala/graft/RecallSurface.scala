@@ -38,6 +38,16 @@ object RecallSurface {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    val ivfDir = java.nio.file.Files.createTempDirectory("graft_recall_ivf")
+    try run(spark, sfDir, nQueries, k, ivfDir.toString)
+    finally {
+      deleteRecursively(ivfDir.toFile)
+      spark.stop()
+    }
+  }
+
+  private def run(spark: SparkSession, sfDir: String, nQueries: Int, k: Int,
+      ivfDir: String): Unit = {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val queries = emb.where(col("vec_id") < nQueries)
     val dim = 64
@@ -73,7 +83,6 @@ object RecallSurface {
 
     val init = Ann.hyperplanes(4, dim, seed = 7L)
     val trained = Ann.trainCentroids(emb, init, iterations = 1)
-    val ivfDir = java.nio.file.Files.createTempDirectory("graft_recall_ivf").toString
     Ann.ivfWrite(emb, ivfDir, trained)
     for (nProbe <- 1 to 4) {
       val r = recallOf(Ann.ivfTopK(ivfDir, queries, trained, k, nProbe = nProbe))
@@ -84,7 +93,12 @@ object RecallSurface {
     println("| family | operating point | recall@k |")
     println("|---|---|---|")
     rows.foreach { case (fam, point, r) => println(f"| $fam | $point | $r%.3f |") }
-    spark.stop()
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(): Unit
   }
 
   /** (query_id -> neighbor ids) of an ANN result, collected (bounded by

@@ -69,6 +69,12 @@ object AsofJoin {
     require(payloadCols.nonEmpty, "right side needs at least one payload column")
     val clash = payloadCols.intersect(left.columns.toSeq)
     require(clash.isEmpty, s"right payload columns collide with left: ${clash.mkString(", ")}")
+    // fail loudly instead of silently corrupting: _rts is the struct
+    // field carrying the right timestamp, the rest are working columns
+    val reserved = Seq("_rts", "_side", "_pay", "_pb", "_pf", "_pick")
+    val reservedClash = (left.columns ++ right.columns).distinct.intersect(reserved)
+    require(reservedClash.isEmpty,
+      s"column names reserved by asofJoin: ${reservedClash.mkString(", ")}")
 
     val l = left.withColumn("_side", lit(1))
     val r = right.withColumn("_side", lit(0))

@@ -7,21 +7,49 @@ import org.scalatest.funsuite.AnyFunSuite
   * int64 even when every cell is equal (round-9 verdict, What's wrong
   * #1 — two gate rows were red for exactly this). Every integer `sum`
   * in oracle SQL must therefore carry an outer `CAST(... AS BIGINT)`
-  * (or feed a DOUBLE expression before reaching the output). This spec
-  * mechanically bans the bug class catalog-wide: `sum(CAST(` may only
-  * appear immediately preceded by `CAST(`.
+  * (or feed a DOUBLE expression before reaching the output).
+  *
+  * Scope (honest): this is a token lint, not a type checker. It bans
+  * the integer-sum SHAPES that exist in the catalog today —
+  * `sum(CAST(...))` and `sum(coalesce(...))` — whenever they are not
+  * immediately wrapped in `CAST(`; a bare `sum(col)` over an integer
+  * column would still slip through (none exist: bare column sums in
+  * the catalog are all DOUBLE). Whitespace is normalized first so
+  * line breaks inside the call cannot hide a match.
   */
 class OracleSqlLintSpec extends AnyFunSuite {
 
-  test("every integer sum in oracle SQL is wrapped in an outer CAST") {
+  test("every integer-shaped sum in oracle SQL is wrapped in an outer CAST") {
     val bad = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap { case (name, sql) =>
       val compact = sql.replaceAll("\\s+", " ")
-      "(?i)sum\\(CAST\\(".r.findAllMatchIn(compact).toList.collect {
+        .replaceAll("\\(\\s+", "(") // "sum( CAST(" -> "sum(CAST("
+      "(?i)sum\\((?:CAST|coalesce)\\(".r.findAllMatchIn(compact).toList.collect {
         case m if !compact.regionMatches(true, m.start - 5, "CAST(", 0, 5) =>
           s"$name: ...${compact.slice(math.max(0, m.start - 25), math.min(compact.length, m.end + 35))}..."
       }
     }
     assert(bad.isEmpty, "uncast integer sums in oracle SQL (wrap in CAST(... AS BIGINT)):\n" +
       bad.mkString("\n"))
+  }
+
+  test("no bare integer-typed column sums sneak into oracle SELECT output unchecked") {
+    // the complementary guard: any NEW bare `sum(identifier)` must be a
+    // known DOUBLE column (or an internal alias consumed before output).
+    // Extend this allowlist consciously when adding oracles.
+    val doubleOrInternal = Set(
+      "l_quantity", // DOUBLE in the fixture
+      "w", "ws", "nnew", "ns", "new_session", // internal aliases consumed/cast downstream
+      "n_tokens", // pack_shards: window sum feeds /2000.0 double division before output
+      "weight", "n", "c", "cnt", "value")
+    val bad = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap { case (name, sql) =>
+      val compact = sql.replaceAll("\\s+", " ").replaceAll("\\(\\s+", "(")
+      "(?i)sum\\(([a-z_][a-z0-9_.]*)\\)".r.findAllMatchIn(compact).toList.collect {
+        case m if !compact.regionMatches(true, m.start - 5, "CAST(", 0, 5) &&
+            !doubleOrInternal.contains(m.group(1).toLowerCase.split('.').last) =>
+          s"$name: sum(${m.group(1)})"
+      }
+    }
+    assert(bad.isEmpty,
+      "bare column sums not on the known-DOUBLE/internal allowlist:\n" + bad.mkString("\n"))
   }
 }
