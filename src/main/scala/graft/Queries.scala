@@ -2124,9 +2124,11 @@ items:
       .select(col("event_type"),
         unix_timestamp(col("window.start")).as("hour_epoch"),
         col("n"), col("value_cents"))
-    val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStreamShufflePartitions(s, 8) {
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     // the resolved plan holds the memory sink's rows, so the catalog name
     // and staged source dir can be released immediately — repeated
     // bench/gate runs must not accumulate sink tables or temp dirs
@@ -2159,9 +2161,11 @@ items:
       .join(nation, Seq("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("value_cents"))
-    val q = enriched.writeStream.format("memory").queryName(name)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStreamShufflePartitions(s, 8) {
+      val q = enriched.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     val out = s.table(name).orderBy("n_name")
     s.catalog.dropTempView(name)
     deleteRecursively(streamDir.toFile)
@@ -2195,9 +2199,11 @@ items:
       .withColumn("ts_us", tsUsOf(src))
       .withColumn("ts", timestamp_micros(col("ts_us")))
     val dd = graft.streaming.EventStreams.dedupEvents(stream, Seq("event_id"))
-    val q = dd.writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStreamShufflePartitions(s, 8) {
+      val q = dd.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     val out = s.table(name)
       .select(col("event_id"), col("ts_us"), col("user_id"), col("event_type"),
         col("value"), col("props"))
@@ -2656,18 +2662,20 @@ items:
     val streamDir = stageEventsWithSentinel(s, dir)
     val name = "events_session_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val src = s.readStream.schema(schema).parquet(streamDir.toString)
-    val q = src
-      .withColumn("_et", tsEventTimeOf(src))
-      .withWatermark("_et", "2 hours")
-      .groupBy(col("user_id"), session_window(col("_et"), "30 minutes").as("sw"))
-      .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("value_cents"))
-      .select(col("user_id"),
-        unix_micros(col("sw.start")).as("start_us"),
-        unix_micros(col("sw.end")).as("end_us"),
-        col("n_events"), col("value_cents"))
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStreamShufflePartitions(s, 8) {
+      val q = src
+        .withColumn("_et", tsEventTimeOf(src))
+        .withWatermark("_et", "2 hours")
+        .groupBy(col("user_id"), session_window(col("_et"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("value_cents"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("start_us"),
+          unix_micros(col("sw.end")).as("end_us"),
+          col("n_events"), col("value_cents"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     val out = s.table(name).where(col("user_id") =!= -1L)
       .orderBy("user_id", "start_us")
     s.catalog.dropTempView(name)
@@ -2702,11 +2710,13 @@ items:
       col("user_id"), col("event_type"),
       cents(col("value")).cast(DoubleType).as("value"))
       .as[graft.streaming.EventStreams.Event]
-    val q = graft.streaming.EventStreams.sessionize(typed, gapSeconds = 1800)
-      .toDF()
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStreamShufflePartitions(s, 8) {
+      val q = graft.streaming.EventStreams.sessionize(typed, gapSeconds = 1800)
+        .toDF()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     val out = s.table(name).where(col("user_id") =!= -1L)
       .select(col("user_id"),
         unix_millis(col("session_start")).as("start_ms"),
@@ -2756,6 +2766,22 @@ items:
     * engines (the oracle joins on epoch_us arithmetic, not raw
     * nanosecond timestamps, mirroring Spark's micros event time).
     */
+  /** State-partition sizing (applies to every stateful gate row): a
+    * streaming query's state-store count is frozen from
+    * spark.sql.shuffle.partitions at FIRST start (it lives in the
+    * checkpoint), and per-batch cost includes a commit per store — so
+    * state partitioning must be sized to the STREAM's key volume, not
+    * the batch session default. This helper runs `body` with a
+    * stream-appropriate partition count and restores the session
+    * setting afterwards.
+    */
+  private def withStreamShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   def eventsStreamJoin(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val path = s"$dir/events.parquet"
@@ -2776,13 +2802,17 @@ items:
       views, purchases, Seq("user_id"), "view_time", "purchase_time",
       horizonSeconds = 1800)
     val name = "events_ss_join_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = joined
-      .select(views("user_id"), col("view_id"), col("purchase_id"),
-        (unix_micros(col("purchase_time")) - unix_micros(col("view_time"))).as("lag_us"),
-        cents(col("value")).as("value_cents"))
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    // state partitions sized to the stream (see withStreamShufflePartitions):
+    // the per-batch floor is a commit per store × 4 store types × 2 sides
+    withStreamShufflePartitions(s, 8) {
+      val q = joined
+        .select(views("user_id"), col("view_id"), col("purchase_id"),
+          (unix_micros(col("purchase_time")) - unix_micros(col("view_time"))).as("lag_us"),
+          cents(col("value")).as("value_cents"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     val out = s.table(name).orderBy("view_id", "purchase_id")
     s.catalog.dropTempView(name)
     deleteRecursively(streamDir.toFile)
