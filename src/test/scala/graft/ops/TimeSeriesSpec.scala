@@ -30,6 +30,27 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out == Set(7.0), s"all peers must see the full frame, got $out")
   }
 
+  test("rolling agrees with the brute-force reference on random fixtures " +
+    "(duplicate timestamps, sparse keys, varying spans)") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed * 6133)
+      val rows = (0 until 80).map(i =>
+        (i, rnd.nextInt(4), rnd.nextInt(40).toLong, (rnd.nextInt(20) + 1).toDouble))
+      val span = 3L + seed * 4
+      val got = TimeSeries.rolling(rows.toDF("id", "k", "t", "v"), "t", Seq("k"), span,
+        Seq("n" -> count(lit(1)), "s" -> sum(col("v"))))
+        .collect().map(r => r.getAs[Int]("id") ->
+          ((r.getAs[Long]("n"), r.getAs[Double]("s")))).toMap
+      rows.foreach { case (id, k, t, _) =>
+        val frame = rows.filter { case (_, k2, t2, _) => k2 == k && t2 >= t - span && t2 <= t }
+        val exp = (frame.size.toLong, frame.map(_._4).sum)
+        assert(got(id) == exp, s"seed=$seed span=$span row(id=$id,k=$k,t=$t): " +
+          s"got ${got(id)}, expected $exp")
+      }
+    }
+  }
+
   test("rolling plan: every aggregate rides ONE Window node (single sort)") {
     import spark.implicits._
     val df = (1 to 100).map(i => (i % 3, i.toLong, i.toDouble)).toDF("k", "t", "v")
