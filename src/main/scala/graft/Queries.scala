@@ -36,15 +36,25 @@ object Queries {
     */
   private def tsUsOf(df: DataFrame, tsCol: String = "ts"): Column =
     df.schema(tsCol).dataType match {
-      case LongType => expr(s"$tsCol DIV 1000")
+      case LongType =>
+        // The LongType branch exists for TIMESTAMP(NANOS) parquet read
+        // under nanosAsLong. Guard the magnitude per-row: nanos for any
+        // plausible event time are ≥1e17 (~1973); a fixture regen that
+        // ships epoch-MICROS as plain INT64 would land ~1e15 and must
+        // fail loudly instead of silently dividing by 1000 into
+        // wrong-but-plausible results.
+        expr(s"""CASE WHEN $tsCol IS NULL THEN CAST(NULL AS BIGINT)
+                 WHEN abs($tsCol) < 100000000000000000 THEN
+                   raise_error(concat('$tsCol: LongType assumed nanos-since-epoch but value is too small for nanos: ', CAST($tsCol AS STRING)))
+                 ELSE $tsCol DIV 1000 END""")
       case _        => unix_micros(col(tsCol).cast(TimestampType))
     }
 
   /** Event-time as a TIMESTAMP column (micros precision), same two-encoding
-    * tolerance as [[tsUsOf]]. */
+    * tolerance (and nanos-magnitude guard) as [[tsUsOf]]. */
   private def tsEventTimeOf(df: DataFrame, tsCol: String = "ts"): Column =
     df.schema(tsCol).dataType match {
-      case LongType => timestamp_micros(expr(s"$tsCol DIV 1000"))
+      case LongType => timestamp_micros(tsUsOf(df, tsCol))
       case _        => col(tsCol).cast(TimestampType)
     }
 
@@ -2496,17 +2506,52 @@ items:
     FROM events GROUP BY user_id"""
 
   /** Set operators over derived key sets: purchasers ∩ viewers ∖
-    * error-throwers. Spark's INTERSECT/EXCEPT are aggregate-backed
-    * (left-semi/anti over distinct rows — hash shuffles on the full
-    * row as the key, no sort), the relational complement of the
-    * curation layer's explicit anti-joins; both engines implement
-    * SQL set semantics (distinct output), which the oracle mirrors.
+    * high-severity-error users. Spark's INTERSECT/EXCEPT are
+    * aggregate-backed (left-semi/anti over distinct rows — hash
+    * shuffles on the full row as the key, no sort), the relational
+    * complement of the curation layer's explicit anti-joins; both
+    * engines implement SQL set semantics (distinct output), which the
+    * oracle mirrors.
+    *
+    * The EXCEPT leg is value-thresholded (`value > 200`): the events
+    * fixture is dense (every user has every event type), so an
+    * unrestricted `∖ error-users` would empty the result and the gate
+    * would hash two empty sets — schema-only evidence. The threshold
+    * keeps both legs discriminating at sf0.01 and sf0.1, enforced by
+    * a loud one-time precondition below.
     */
   def setOps(s: SparkSession, dir: String): DataFrame = {
     val ev = T(s, dir, "events")
     def users(t: String) = ev.where(col("event_type") === t).select("user_id")
-    users("purchase").intersect(users("view")).except(users("error"))
-      .orderBy("user_id")
+    val kept = users("purchase").intersect(users("view"))
+    val excluded = ev
+      .where(col("event_type") === "error" && col("value") > 200)
+      .select("user_id")
+    assertSetOpsDiscriminates(kept, excluded, dir)
+    kept.except(excluded).orderBy("user_id")
+  }
+
+  /** One-time-per-fixture guard that the set_ops gate stays
+    * non-degenerate: the EXCEPT must remove at least one user AND
+    * leave at least one — otherwise the oracle hash proves nothing
+    * about set semantics (the round-11 failure mode: an empty result
+    * hashed equal to an empty oracle).
+    */
+  private val setOpsDiscriminationChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def assertSetOpsDiscriminates(
+      kept: DataFrame, excluded: DataFrame, dir: String): Unit = {
+    if (setOpsDiscriminationChecked.contains(dir)) return
+    val removed = kept.intersect(excluded).limit(1).count()
+    val surviving = kept.except(excluded).limit(1).count()
+    require(removed > 0,
+      "set_ops precondition violated: the EXCEPT leg removes no user — " +
+        "the gate would be insensitive to EXCEPT semantics")
+    require(surviving > 0,
+      "set_ops precondition violated: the EXCEPT leg removes every user — " +
+        "the gate would hash an empty result (schema-only evidence)")
+    setOpsDiscriminationChecked.add(dir)
   }
 
   private val setOpsSql = """
@@ -2514,7 +2559,7 @@ items:
     INTERSECT
     SELECT user_id FROM events WHERE event_type = 'view'
     EXCEPT
-    SELECT user_id FROM events WHERE event_type = 'error'"""
+    SELECT user_id FROM events WHERE event_type = 'error' AND value > 200"""
 
   /** JSON property extraction over the events `props` column: ONE typed
     * from_json parse per row against an explicit schema, then an
@@ -2774,6 +2819,13 @@ items:
     * the batch session default. This helper runs `body` with a
     * stream-appropriate partition count and restores the session
     * setting afterwards.
+    *
+    * SINGLE-THREADED ASSUMPTION: this mutates the SHARED session conf
+    * for the duration of `body`. Verify/Bench run catalog queries
+    * sequentially, so nothing else plans inside the window; if the
+    * harness ever runs queries concurrently on one SparkSession, a
+    * batch query planned here would inherit the stream's partition
+    * count (no per-query writeStream conf path exists to scope it).
     */
   private def withStreamShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"

@@ -54,6 +54,9 @@ object RecallSurface {
 
     // ground truth: exact cosine top-k per query
     val truth: Map[Long, Set[Long]] = pairs(Ann.bruteForceTopK(emb, queries, k))
+    require(truth.nonEmpty,
+      s"no ground-truth neighbors: fixture $sfDir has no vec_id < $nQueries " +
+        "(every recall would print NaN instead of failing here)")
 
     def recallOf(approx: DataFrame): Double = {
       val got = pairs(approx)

@@ -76,8 +76,15 @@ object AsofJoin {
     require(reservedClash.isEmpty,
       s"column names reserved by asofJoin: ${reservedClash.mkString(", ")}")
 
+    // Null event times never participate in a match (pandas merge_asof
+    // rejects null on-keys; DuckDB ASOF leaves them unmatched): a
+    // null-ts RIGHT row would otherwise sort first under the ascending
+    // backward order (Spark asc = nulls-first) and ride forward as a
+    // bogus "predecessor" payload. Drop right nulls entirely; left
+    // null-ts rows are kept (left-join cardinality) but forced
+    // unmatched below.
     val l = left.withColumn("_side", lit(1))
-    val r = right.withColumn("_side", lit(0))
+    val r = right.where(col(tsCol).isNotNull).withColumn("_side", lit(0))
     val u0 = l.unionByName(r, allowMissingColumns = true)
     // One carried struct per direction (right ts rides inside as _rts for
     // the tolerance/nearest arithmetic); right rows contribute a
@@ -125,7 +132,10 @@ object AsofJoin {
         when(pb.isNotNull && (pf.isNull || distBack <= distFwd), pb).otherwise(pf)
     }
 
-    val picked = withDirs.withColumn("_pick", chosen)
+    // a left row with null ts has no defined as-of position (under the
+    // descending forward order it would sort last and absorb a payload)
+    val picked = withDirs.withColumn("_pick",
+      when(col(tsCol).isNotNull, chosen))
     val unpacked = payloadCols.foldLeft(picked) { (df, c) =>
       df.withColumn(c, col("_pick").getField(c))
     }

@@ -34,18 +34,25 @@ class OracleSqlLintSpec extends AnyFunSuite {
 
   test("no bare integer-typed column sums sneak into oracle SELECT output unchecked") {
     // the complementary guard: any NEW bare `sum(identifier)` must be a
-    // known DOUBLE column (or an internal alias consumed before output).
-    // Extend this allowlist consciously when adding oracles.
-    val doubleOrInternal = Set(
-      "l_quantity", // DOUBLE in the fixture
-      "w", "ws", "nnew", "ns", "new_session", // internal aliases consumed/cast downstream
-      "n_tokens", // pack_shards: window sum feeds /2000.0 double division before output
-      "weight", "n", "c", "cnt", "value")
+    // known DOUBLE column (or an internal alias consumed before output),
+    // allowed PER QUERY — a global alias allowlist would let a future
+    // oracle reusing a common name ('n', 'value') slip past the lint
+    // (ADVICE r11). Extend consciously when adding oracles.
+    val allowed: Map[String, Set[String]] = Map(
+      "q1_agg" -> Set("l_quantity"), // DOUBLE in the fixture
+      "c10_groupby_sum" -> Set("l_quantity"), // DOUBLE in the fixture
+      "e12c_median_sketch" -> Set("w"), // internal CTE alias, consumed before output
+      "events_session_stream" -> Set("new_session"), // window sum consumed by GROUP BY key
+      "events_session_window" -> Set("new_session"),
+      "events_sessionize" -> Set("new_session"),
+      "events_sessionize_fmgws" -> Set("ns"),
+      "pack_shards" -> Set("n_tokens"), // feeds /2000.0 double division before output
+    ).withDefaultValue(Set.empty)
     val bad = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap { case (name, sql) =>
       val compact = sql.replaceAll("\\s+", " ").replaceAll("\\(\\s+", "(")
       "(?i)sum\\(([a-z_][a-z0-9_.]*)\\)".r.findAllMatchIn(compact).toList.collect {
         case m if !compact.regionMatches(true, m.start - 5, "CAST(", 0, 5) &&
-            !doubleOrInternal.contains(m.group(1).toLowerCase.split('.').last) =>
+            !allowed(name).contains(m.group(1).toLowerCase.split('.').last) =>
           s"$name: sum(${m.group(1)})"
       }
     }

@@ -140,6 +140,31 @@ class AsofJoinSpec extends SparkSpec {
     assert(out(200L) == ((null, null)), s"both payloads must drop together, got $out")
   }
 
+  test("asof join null timestamps: right nulls never match, left nulls stay unmatched") {
+    import spark.implicits._
+    // a null-ts right row sorts first under asc nulls-first ordering and
+    // would otherwise ride forward as a bogus "predecessor" payload for
+    // left rows with no real match (pandas merge_asof rejects null
+    // on-keys; DuckDB ASOF leaves them unmatched)
+    val left = Seq((1, Option(5L)), (1, Option(100L)), (1, Option.empty[Long]))
+      .toDF("k", "t")
+    val right = Seq((1, Option.empty[Long], "nullts"), (1, Option(50L), "real"))
+      .toDF("k", "t", "v")
+    for (dir <- Seq(AsofJoin.Backward, AsofJoin.Forward, AsofJoin.Nearest)) {
+      val out = AsofJoin.asofJoin(left, right, "t", Seq("k"), direction = dir)
+        .collect().map(r => Option(r.get(r.fieldIndex("t"))) -> r.getAs[String]("v")).toMap
+      assert(out.size == 3, s"$dir: left cardinality must be preserved, got $out")
+      assert(out(None) == null, s"$dir: null-ts left row must be unmatched, got $out")
+      assert(!out.values.toSet.contains("nullts"),
+        s"$dir: null-ts right row must never be carried as a match, got $out")
+      val t5 = out(Some(5L))
+      val expected5 = if (dir == AsofJoin.Backward) null else "real"
+      assert(t5 == expected5, s"$dir: t=5 expected $expected5, got $t5")
+      assert(out(Some(100L)) == (if (dir == AsofJoin.Forward) null else "real"),
+        s"$dir: t=100, got $out")
+    }
+  }
+
   test("asof join rejects colliding payload columns and empty payloads") {
     import spark.implicits._
     val left = Seq((1, 5L, "x")).toDF("k", "t", "v")
