@@ -441,6 +441,83 @@ items:
         Classifier.levelExpr(items, 2, col("Year"), col("Code")))
   }
 
+  /** D1 against the reference's REAL metadata corpus: synthetic
+    * (Year, Code) pairs derived from `part` are classified by the actual
+    * sci_coicop code ranges of hbsir/metadata/commodities.yaml —
+    * classification `original`, the reference API's default, at the
+    * levels its real `defaults:` block declares — compiled through the
+    * same fromYamlTemplated → CategoryResolver → Classifier chain the
+    * engine uses everywhere (RealMetadataSpec proves the whole corpus
+    * COMPILES; this row proves the compiled ranges CLASSIFY correctly).
+    * The oracle embeds the compiled ranges as a VALUES relation,
+    * era-compressed to (year_from, year_to) runs, so DuckDB
+    * independently re-runs the range join and level pivot.
+    */
+  private lazy val realCommodityItems: Seq[Classifier.ClassItem] =
+    Classifier.compile(RealMeta.commodities("original"), RealMeta.AllYears)
+  private lazy val realCommoditySettings: Classifier.Settings =
+    Classifier.settingsFromMeta(RealMeta.commodities("original"))
+
+  def d1RealCommodities(s: SparkSession, dir: String): DataFrame = {
+    val codes = T(s, dir, "part").select(
+      (lit(1363) + pmod(col("p_partkey"), lit(39))).cast(IntegerType).as("Year"),
+      (lit(10000L) + pmod(col("p_partkey") * lit(37L), lit(90000L))).as("Code"))
+      .distinct()
+    Classifier.addClassification(codes, realCommodityItems, realCommoditySettings)
+      .orderBy("Year", "Code")
+  }
+
+  /** Era-compress compiled items to (yearFrom, yearTo, level, lo, hi, key)
+    * rows: identical ranges recur across the years of one coding era, so
+    * contiguous-year runs shrink the oracle's VALUES relation ~20x.
+    */
+  private def compressRealRanges(
+      items: Seq[Classifier.ClassItem], levels: Seq[Int]): Seq[(Int, Int, Int, Long, Long, String)] = {
+    val flat = for {
+      i <- items if levels.contains(i.level)
+      r <- i.codes.ranges
+    } yield {
+      require(r.step == 1, s"stepped range in ${i.key}")
+      (i.level, r.start, r.end, i.key, i.year)
+    }
+    flat.groupBy { case (l, lo, hi, k, _) => (l, lo, hi, k) }
+      .toSeq.flatMap { case ((l, lo, hi, k), rows) =>
+        rows.map(_._5).distinct.sorted
+          .foldLeft(List.empty[(Int, Int)]) {
+            case ((a, b) :: tail, y) if y == b + 1 => (a, y) :: tail
+            case (acc, y)                          => (y, y) :: acc
+          }
+          .map { case (y0, y1) => (y0, y1, l, lo, hi, k) }
+      }
+      .sortBy { case (y0, _, l, lo, _, k) => (l, lo, y0, k) }
+  }
+
+  private lazy val d1RealSql: String = {
+    val levels = realCommoditySettings.levels
+    val values = compressRealRanges(realCommodityItems, levels)
+      .map { case (y0, y1, l, lo, hi, k) => s"($y0, $y1, $l, $lo, $hi, '$k')" }
+      .mkString(",\n      ")
+    val pivots = levels
+      .map(l => s"max(CASE WHEN m.lvl = $l THEN m.k END) AS item_key_$l")
+      .mkString(",\n           ")
+    s"""
+    WITH codes AS (
+      SELECT DISTINCT CAST(1363 + p_partkey % 39 AS INTEGER) AS Year,
+             CAST(10000 + (p_partkey * 37) % 90000 AS BIGINT) AS Code
+      FROM part
+    ), ranges(y0, y1, lvl, lo, hi, k) AS (VALUES
+      $values
+    ), matched AS (
+      SELECT c.Year, c.Code, r.lvl, r.k
+      FROM codes c JOIN ranges r
+        ON c.Year >= r.y0 AND c.Year <= r.y1 AND c.Code >= r.lo AND c.Code < r.hi
+    )
+    SELECT c.Year, c.Code,
+           $pivots
+    FROM codes c LEFT JOIN matched m ON c.Year = m.Year AND c.Code = m.Code
+    GROUP BY c.Year, c.Code"""
+  }
+
   /** D2 ID digit-substring attribute decode — pure expression, no join. */
   def d2Attribute(s: SparkSession, dir: String): DataFrame = {
     val df = T(s, dir, "orders").select(
@@ -3027,6 +3104,7 @@ items:
     ("c15_season", c15Season _, Some(c15Sql)),
     ("d1_classification", d1Classification _, Some(d1Sql)),
     ("d1_expr_classification", d1ExprClassification _, Some(d1Sql)),
+    ("d1_real_commodities", d1RealCommodities _, Some(d1RealSql)),
     ("d2_attribute", d2Attribute _, Some(d2Sql)),
     ("e5_select", e5Select _, Some(e5Sql)),
     ("a1_csv_roundtrip", a1CsvRoundtrip _, Some(a1Sql)),

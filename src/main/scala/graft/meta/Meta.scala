@@ -100,9 +100,16 @@ object Meta {
     case (_, o) => o
   }
 
-  /** Parse a YAML document (snakeyaml ships with Spark) into a Meta tree. */
+  /** Parse a YAML document (snakeyaml ships with Spark) into a Meta tree.
+    * The alias cap is raised from snakeyaml's default 50: the reference's
+    * real tables.yaml/schema.yaml corpus reuses hundreds of column-spec
+    * anchors (e.g. tables.yaml:169-310), which are data, not a billion-
+    * laughs amplification (the code-point cap still bounds expansion).
+    */
   def fromYaml(yaml: String): Meta = {
-    val loaded = new org.yaml.snakeyaml.Yaml().load[Object](yaml)
+    val opts = new org.yaml.snakeyaml.LoaderOptions()
+    opts.setMaxAliasesForCollections(10000)
+    val loaded = new org.yaml.snakeyaml.Yaml(opts).load[Object](yaml)
     fromJava(loaded)
   }
 

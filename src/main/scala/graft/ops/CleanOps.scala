@@ -48,6 +48,11 @@ object CleanOps {
       .get("settings").flatMap(_.get("missings")).map(_.asStr).getOrElse("error")
     val cols = resolved("columns").asMap.flatMap {
       case (k, MStr("drop")) => None
+      // a column spec resolved to null marks a year the raw file does
+      // not carry that column (tables.yaml:1347-1378, e.g. food COL4
+      // 1363/1374): the reference never sees it because it iterates the
+      // raw file's actual columns (data_cleaner.py:141-154)
+      case (_, MNull) => None
       case (k, cm) =>
         val typ = cm.get("type").map(_.asStr) match {
           case None | Some("string") => StrType

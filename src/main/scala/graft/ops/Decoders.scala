@@ -85,10 +85,16 @@ object Classifier {
       }
     }
 
-  /** Defaults block of a classification document -> Settings. */
+  /** Defaults block of a classification document -> Settings.
+    * Mirrors DecoderSettings.model_post_init (decoder.py:267-289):
+    * defaults supply aspects/levels/column_names/missing replacements;
+    * unknown defaults keys (e.g. occupations.yaml's legacy
+    * `output_column_names`) are ignored.
+    */
   def settingsFromMeta(meta: Meta): Settings = {
     val d = meta.get("defaults").getOrElse(MNull)
     Settings(
+      aspects = d.get("aspects").map(_.asList.map(_.asStr)).getOrElse(Seq("item_key")),
       levels = d.get("levels").map(_.asList.map(_.asLong.toInt)).getOrElse(Seq(1)),
       columnNames = d.get("column_names").map(_.asList.map(_.asStr)).getOrElse(Seq.empty),
       missingValueReplacements = d.get("missing_value_replacements")
@@ -246,6 +252,43 @@ object IdDecoder {
       outputCol: Option[String] = None,
   )
 
+  /** Per-year decode availability of an attribute (decoder.py:571-601,
+    * _create_code_builder): positional digit-substring when
+    * `code.position` resolves non-null, an external ID->code mapping
+    * file when `code.external_file` does (County 1387-1391,
+    * household.yaml:180-196), else unavailable (the reference raises
+    * "Code position is not available").
+    */
+  sealed trait YearLayout
+  final case class Positional(version: AttrVersion) extends YearLayout
+  final case class ExternalFile(year: Int, file: String) extends YearLayout
+  final case class Unavailable(year: Int) extends YearLayout
+
+  /** [[compile]] with the reference's full availability dispatch instead
+    * of assuming a positional layout for every year. */
+  def compileOpt(
+      householdMeta: Meta,
+      attr: String,
+      years: Seq[Int],
+      resolver: ResolverSettings = ResolverSettings(),
+  ): Seq[YearLayout] =
+    years.sorted.map { y =>
+      val resolved = new VersionResolver(householdMeta, y, resolver).getVersion
+      val idLen = resolved("ID_Length").asLong.toInt
+      val codeMeta = resolved(attr)("code")
+      codeMeta.get("position").filterNot(_.isNull) match {
+        case Some(pos) =>
+          val labels = parseLabels(resolved(attr))
+          Positional(AttrVersion(y, y + 1, idLen,
+            pos("start").asLong.toInt, pos("end").asLong.toInt, labels))
+        case None =>
+          codeMeta.get("external_file").filterNot(_.isNull) match {
+            case Some(f) => ExternalFile(y, f.asStr)
+            case None    => Unavailable(y)
+          }
+      }
+    }
+
   /** Compile one attribute's versions from household metadata for the
     * given years (household.yaml shape: top-level ID_Length plus
     * `<attr>: {code: {position: {start, end}}, name: {...}}`, all
@@ -262,13 +305,20 @@ object IdDecoder {
       val idLen = resolved("ID_Length").asLong.toInt
       val attrMeta = resolved(attr)
       val pos = attrMeta("code")("position")
-      val labels = attrMeta.get("name").map(_.asMap.map {
-        case (IKey(i), v) => i -> v.asStr
-        case (SKey(s), v) => s.toLong -> v.asStr
-      }.toMap).getOrElse(Map.empty[Long, String])
       AttrVersion(y, y + 1, idLen,
-        pos("start").asLong.toInt, pos("end").asLong.toInt, labels)
+        pos("start").asLong.toInt, pos("end").asLong.toInt, parseLabels(attrMeta))
     }
+
+  /** code -> label map of one resolved attribute. A label resolved to
+    * null means "code undefined this year" (household.yaml:406-431:
+    * counties reassigned to new provinces null out their old code) and
+    * is skipped, like pandas' .map leaving unmapped codes NaN.
+    */
+  private def parseLabels(attrMeta: Meta): Map[Long, String] =
+    attrMeta.get("name").map(_.asMap.collect {
+      case (IKey(i), v) if !v.isNull => i -> v.asStr
+      case (SKey(s), v) if !v.isNull => s.toLong -> v.asStr
+    }.toMap).getOrElse(Map.empty[Long, String])
 
   /** The digit-substring extraction for one version, as a Column. */
   def codeExpr(id: Column, v: AttrVersion): Column = {
