@@ -564,6 +564,63 @@ items:
     FROM orders
     WHERE (3000000000 + (o_orderkey * 4321) % 1000000000) % 1000000000 // 10000000 = 3"""
 
+  /** E16 — geo enrichment join against the reference's REAL map metadata
+    * (map_drawer.py:8-43 + metadata/maps.yaml + household.yaml): orders
+    * tagged with a real Province name are left-joined to a geoseries
+    * built exactly as the reference builds it — shapefile attribute rows
+    * (PCODE, geometry) joined to maps.yaml's survey-code→PCODE pairs
+    * renamed by household.yaml's Province names. Geometries are
+    * deterministic WKT stand-ins (shapefile decode is upstream ingest,
+    * out of scope); the two dimension joins broadcast, the fact side
+    * never shuffles. The oracle re-runs all three joins in DuckDB from
+    * VALUES relations generated from the SAME parsed metadata.
+    */
+  private lazy val e16AreaMap = Geo.areaMap(RealMeta.maps, "humandata", "Province")
+  private lazy val e16Names: Map[Long, String] = RealMeta.areaNames("Province")
+
+  /** Deterministic stand-in geometry: a unit square at x = the numeric
+    * suffix of the PCODE — identical string literal on both sides. */
+  private def e16WktOf(pcode: String): String = {
+    val i = pcode.filter(_.isDigit).toLong
+    s"POLYGON (($i 0, ${i + 1} 0, ${i + 1} 1, $i 1, $i 0))"
+  }
+
+  def e16Geo(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val am = e16AreaMap
+    val geomDf = am.codes.values.toSeq.sorted.map(p => (p, e16WktOf(p)))
+      .toDF(am.codeColumn, "geometry")
+    val geoseries = Geo.createGeoSeries(geomDf, am, e16Names, "Province")
+    val fact = T(s, dir, "orders").select(
+      col("o_orderkey"),
+      element_at(typedlit(e16Names), col("o_orderkey") % 31).as("Province"))
+    Geo.addGeometry(fact, geoseries).orderBy("o_orderkey")
+  }
+
+  private lazy val e16Sql: String = {
+    val am = e16AreaMap
+    def q(sv: String) = sv.replace("'", "''")
+    val nameVals = e16Names.toSeq.sortBy(_._1)
+      .map { case (c, n) => s"($c, '${q(n)}')" }.mkString(", ")
+    val codeVals = am.codes.toSeq.sortBy(_._1)
+      .map { case (c, p) => s"($c, '${q(p)}')" }.mkString(", ")
+    val geomVals = am.codes.values.toSeq.sorted
+      .map(p => s"('${q(p)}', '${e16WktOf(p)}')").mkString(", ")
+    s"""
+    WITH names(pc, Province) AS (VALUES $nameVals),
+         codes(pc, pcode) AS (VALUES $codeVals),
+         geos(pcode, geometry) AS (VALUES $geomVals),
+         geoseries AS (
+           SELECT n.Province, g.geometry
+           FROM geos g LEFT JOIN codes c ON g.pcode = c.pcode
+                       LEFT JOIN names n ON c.pc = n.pc),
+         fact AS (
+           SELECT o_orderkey, n.Province
+           FROM orders LEFT JOIN names n ON o_orderkey % 31 = n.pc)
+    SELECT f.o_orderkey, f.Province, g.geometry
+    FROM fact f LEFT JOIN geoseries g ON f.Province = g.Province"""
+  }
+
   /** A1/A8: CSV sink + scan round-trip through the clean layer (raw CSV
     * arrives untyped; the clean projection restores types).
     */
@@ -3107,6 +3164,7 @@ items:
     ("d1_real_commodities", d1RealCommodities _, Some(d1RealSql)),
     ("d2_attribute", d2Attribute _, Some(d2Sql)),
     ("e5_select", e5Select _, Some(e5Sql)),
+    ("e16_geo", e16Geo _, Some(e16Sql)),
     ("a1_csv_roundtrip", a1CsvRoundtrip _, Some(a1Sql)),
     ("e6_weight", e6Weight _, Some(e6Sql)),
     ("e10_weighted_avg", e10WeightedAvg _, Some(e10Sql)),

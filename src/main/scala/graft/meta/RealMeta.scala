@@ -40,6 +40,15 @@ object RealMeta {
   lazy val household: Meta = Meta.fromYaml(read("household.yaml"))
   lazy val tables: Meta = Meta.fromYaml(read("tables.yaml"))
   lazy val schema: Meta = Meta.fromYaml(read("schema.yaml"))
+  lazy val maps: Meta = Meta.fromYaml(read("maps.yaml"))
+
+  /** household.yaml area name map (survey code → English name) for a
+    * non-versioned area block like Province (household.yaml:34-71). */
+  def areaNames(area: String): Map[Long, String] =
+    household(area)("name").asMap.map {
+      case (IKey(k), v) => k -> v.asStr
+      case (SKey(k), v) => k.trim.toLong -> v.asStr
+    }.toMap
 
   /** Top-level classification names of a commodities/occupations-shaped
     * document: every key whose value carries an `items` subtree. */
