@@ -2806,8 +2806,20 @@ items:
     * directory: the watermark-advance drain used by the append-mode
     * streaming gate rows. The max-ts lookup is a one-scalar metadata
     * read.
+    *
+    * `timeSplits` > 1 stages the corpus as that many TIME-ORDERED files
+    * with strictly increasing modification times (FileStreamSource
+    * admits files oldest-mod-time first), so a `maxFilesPerTrigger=1`
+    * reader replays the corpus as ≥ timeSplits+1 real micro-batches with
+    * the watermark advancing monotonically between them — sessions from
+    * early chunks emit (and their state evicts) MID-RUN, not only at the
+    * sentinel drain. Time-ordering is what makes the split safe: chunk
+    * i+1's min event time is ≥ chunk i's max, so nothing ever lands
+    * behind the watermark and the multi-batch result stays hash-equal to
+    * the batch oracle.
     */
-  private def stageEventsWithSentinel(s: SparkSession, dir: String): java.nio.file.Path = {
+  private def stageEventsWithSentinel(s: SparkSession, dir: String,
+      timeSplits: Int = 1): java.nio.file.Path = {
     val path = s"$dir/events.parquet"
     val batch = s.read.parquet(path)
     // an empty fixture would stage an empty sentinel file: the watermark
@@ -2816,8 +2828,29 @@ items:
     require(!batch.isEmpty, s"$path is empty: sentinel watermark drain needs at least one event")
     val schema = batch.schema
     val streamDir = java.nio.file.Files.createTempDirectory("graft_session_stream")
-    java.nio.file.Files.copy(java.nio.file.Paths.get(path),
-      streamDir.resolve("events.parquet"))
+    def stamp(p: java.nio.file.Path, seq: Int): Unit =
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + seq * 60000L))
+    if (timeSplits <= 1) {
+      val p = streamDir.resolve("events.parquet")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(path), p)
+      stamp(p, 0)
+    } else {
+      import org.apache.spark.sql.expressions.Window
+      val chunkDir = java.nio.file.Files.createTempDirectory("graft_session_chunks")
+      batch.withColumn("_chunk", ntile(timeSplits).over(Window.orderBy(col("ts"))))
+        .coalesce(1)
+        .write.partitionBy("_chunk").mode("overwrite").parquet(chunkDir.toString)
+      for (i <- 1 to timeSplits) {
+        val part = chunkDir.resolve(s"_chunk=$i").toFile.listFiles()
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"chunk $i part file missing"))
+        val p = streamDir.resolve(f"part_$i%03d.parquet")
+        java.nio.file.Files.copy(part.toPath, p)
+        stamp(p, i)
+      }
+      deleteRecursively(chunkDir.toFile)
+    }
     val bumped = schema("ts").dataType match {
       case LongType => (max(col("ts")) + lit(86400L * 1000000000L)).as("ts")
       case dt       => (max(col("ts")).cast(TimestampType) + expr("INTERVAL 1 DAY")).cast(dt).as("ts")
@@ -2830,17 +2863,28 @@ items:
     sentinel.coalesce(1).write.mode("overwrite").parquet(sentDir.toString)
     val part = sentDir.toFile.listFiles().find(_.getName.endsWith(".parquet"))
       .getOrElse(sys.error("sentinel part file missing"))
-    java.nio.file.Files.copy(part.toPath, streamDir.resolve("zz_sentinel.parquet"))
+    val sentPath = streamDir.resolve("zz_sentinel.parquet")
+    java.nio.file.Files.copy(part.toPath, sentPath)
+    java.nio.file.Files.setLastModifiedTime(sentPath,
+      java.nio.file.attribute.FileTime.fromMillis(1700000000000L + (timeSplits + 1) * 60000L))
     deleteRecursively(sentDir.toFile)
     streamDir
   }
 
+  /** session_window parity under a REAL multi-micro-batch run: the
+    * corpus replays as 5 time-ordered files + sentinel with
+    * maxFilesPerTrigger=1, so watermark advance and state eviction
+    * happen across ≥6 genuine micro-batches (not one bulk batch + one
+    * drain) — and the result still hashes equal to the batch oracle.
+    */
   def eventsSessionStream(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
+    val timeSplits = 5
     val schema = s.read.parquet(s"$dir/events.parquet").schema
-    val streamDir = stageEventsWithSentinel(s, dir)
+    val streamDir = stageEventsWithSentinel(s, dir, timeSplits)
     val name = "events_session_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val src = s.readStream.schema(schema).parquet(streamDir.toString)
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
     withStreamShufflePartitions(s, 8) {
       val q = src
         .withColumn("_et", tsEventTimeOf(src))
@@ -2854,6 +2898,14 @@ items:
         .writeStream.format("memory").queryName(name)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
+      // loud evidence the run was genuinely multi-batch: one admitted
+      // file per trigger → ≥ timeSplits+1 micro-batches (a silent fall
+      // back to bulk admission would still hash-match, hiding the very
+      // state-handoff this gate exists to exercise)
+      val nBatches = q.recentProgress.map(_.batchId).distinct.length
+      require(nBatches >= timeSplits + 1,
+        s"expected >= ${timeSplits + 1} micro-batches (maxFilesPerTrigger=1 over " +
+          s"${timeSplits + 1} files), got $nBatches")
     }
     val out = s.table(name).where(col("user_id") =!= -1L)
       .orderBy("user_id", "start_us")
