@@ -2,6 +2,7 @@ package graft
 
 import graft.meta._
 import graft.ops._
+import graft.sources.RawSources
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -638,6 +639,23 @@ items:
     ), missings = "drop")
     cleanTable(raw, spec)
   }
+
+  /** JSONL sink + declared-schema scan round-trip over the documents
+    * corpus — the LLM-pipeline interchange path (gzip'd
+    * object-per-line). The gate proves losslessness: the round-tripped
+    * corpus must hash-equal the parquet original, and the scan declares
+    * its schema (no inference pass — at 100 TB inference is a full extra
+    * corpus read).
+    */
+  def jsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val tmp = s"/tmp/graft_jsonl_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+    RawSources.writeJsonl(docs, tmp)
+    RawSources.readJsonl(s, tmp, docs.schema)
+      .select(docs.columns.map(col).toSeq: _*)
+  }
+
+  private val jsonlSql = "SELECT doc_id, text, lang, source, n_chars FROM documents"
 
   private val a1Sql = """
     SELECT s_suppkey AS SuppKey, s_name AS Name, CAST(s_acctbal AS DOUBLE) AS Balance
@@ -3218,6 +3236,7 @@ items:
     ("e5_select", e5Select _, Some(e5Sql)),
     ("e16_geo", e16Geo _, Some(e16Sql)),
     ("a1_csv_roundtrip", a1CsvRoundtrip _, Some(a1Sql)),
+    ("jsonl_roundtrip", jsonlRoundtrip _, Some(jsonlSql)),
     ("e6_weight", e6Weight _, Some(e6Sql)),
     ("e10_weighted_avg", e10WeightedAvg _, Some(e10Sql)),
     ("e11_average_table", e11AverageTable _, Some(e11SqlReal)),

@@ -81,6 +81,24 @@ object RawSources {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 
+  /** JSONL sink (gzip) — the LLM-pipeline interchange format: one JSON
+    * object per line, splittable across files (one file per partition),
+    * the shape Common-Crawl-style corpora ship in.
+    */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("compression", "gzip").json(path)
+
+  /** JSONL scan with a DECLARED schema: at 100 TB, schema inference is a
+    * full extra pass over the corpus before the first real job — the
+    * schema is a contract the caller states, never something the engine
+    * rediscovers per run. Unknown keys are dropped by the projection;
+    * corrupt lines land in the standard `_corrupt_record` flow
+    * (PERMISSIVE) so one bad line cannot kill a multi-hour scan.
+    */
+  def readJsonl(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** Bucketed-and-sorted at-rest layout: write `df` as an external table
     * hash-bucketed (and sorted within buckets) by `keys`. Two tables
     * written with the SAME keys and bucket count join with ZERO exchange

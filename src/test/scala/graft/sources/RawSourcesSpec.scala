@@ -68,4 +68,38 @@ columns: {}
     val back = spark.read.option("header", "true").csv(dir)
     assert(back.count() == 2)
   }
+
+  test("jsonl sink + declared-schema scan round-trips hostile content losslessly") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_jsonl").toString + "/out"
+    // newlines, quotes, backslashes, unicode, empty string, nulls — the
+    // content a real scraped corpus contains
+    val docs = Seq(
+      (1L, "line one\nline two", "en"),
+      (2L, "quote \" and \\ backslash", "en"),
+      (3L, "unicode éü中文 tab\there", "zh"),
+      (4L, "", "en"),
+      (5L, null: String, null: String),
+    ).toDF("doc_id", "text", "lang")
+    RawSources.writeJsonl(docs, dir)
+    val back = RawSources.readJsonl(spark, dir, docs.schema)
+      .select("doc_id", "text", "lang")
+    // a JSON scan is always nullable (any line may omit a key), so
+    // compare names+types, not nullability
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      docs.schema.map(f => (f.name, f.dataType)))
+    val got = back.collect().map(r => (r.get(0), r.get(1), r.get(2))).toSet
+    val exp = docs.collect().map(r => (r.get(0), r.get(1), r.get(2))).toSet
+    assert(got == exp)
+    // the sink really wrote gzip'd line files
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+    assert(files.exists(_.endsWith(".json.gz")), files.mkString(","))
+    // a corrupt line must not kill the scan (PERMISSIVE null-fill)
+    val bad = Files.createTempDirectory("graft_jsonl_bad").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(bad, "part-0.json"),
+      "{\"doc_id\": 9, \"text\": \"ok\", \"lang\": \"en\"}\nnot json at all\n".getBytes("UTF-8"))
+    val tolerant = RawSources.readJsonl(spark, bad, docs.schema)
+    assert(tolerant.count() == 2)
+    assert(tolerant.where($"doc_id" === 9).count() == 1)
+  }
 }
