@@ -2861,18 +2861,25 @@ items:
       java.nio.file.Files.copy(java.nio.file.Paths.get(path), p)
       stamp(p, 0)
     } else {
-      import org.apache.spark.sql.expressions.Window
+      // PARALLEL time-range chunking: repartitionByRange assigns
+      // ascending ts ranges to ascending partition ids, and partitionBy
+      // writes one file per (task = chunk) — a distributed range sort,
+      // not a single-partition ntile window (which at 1M+ events made
+      // staging dominate the gate)
       val chunkDir = java.nio.file.Files.createTempDirectory("graft_session_chunks")
-      batch.withColumn("_chunk", ntile(timeSplits).over(Window.orderBy(col("ts"))))
-        .coalesce(1)
+      batch.repartitionByRange(timeSplits, col("ts"))
+        .withColumn("_chunk", spark_partition_id())
         .write.partitionBy("_chunk").mode("overwrite").parquet(chunkDir.toString)
-      for (i <- 1 to timeSplits) {
-        val part = chunkDir.resolve(s"_chunk=$i").toFile.listFiles()
-          .find(_.getName.endsWith(".parquet"))
-          .getOrElse(sys.error(s"chunk $i part file missing"))
-        val p = streamDir.resolve(f"part_$i%03d.parquet")
+      val chunks = chunkDir.toFile.listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("_chunk="))
+        .sortBy(f => f.getName.stripPrefix("_chunk=").toInt)
+      require(chunks.nonEmpty, "range chunking produced no chunks")
+      chunks.zipWithIndex.foreach { case (d, i) =>
+        val part = d.listFiles().find(_.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"chunk ${d.getName} part file missing"))
+        val p = streamDir.resolve(f"part_${i + 1}%03d.parquet")
         java.nio.file.Files.copy(part.toPath, p)
-        stamp(p, i)
+        stamp(p, i + 1)
       }
       deleteRecursively(chunkDir.toFile)
     }
@@ -2907,6 +2914,9 @@ items:
     val timeSplits = 5
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     val streamDir = stageEventsWithSentinel(s, dir, timeSplits)
+    // actual staged file count (range chunking may produce fewer chunks
+    // than requested on a low-cardinality ts domain)
+    val nFiles = streamDir.toFile.listFiles().count(_.getName.endsWith(".parquet"))
     val name = "events_session_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val src = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
@@ -2928,9 +2938,11 @@ items:
       // back to bulk admission would still hash-match, hiding the very
       // state-handoff this gate exists to exercise)
       val nBatches = q.recentProgress.map(_.batchId).distinct.length
-      require(nBatches >= timeSplits + 1,
-        s"expected >= ${timeSplits + 1} micro-batches (maxFilesPerTrigger=1 over " +
-          s"${timeSplits + 1} files), got $nBatches")
+      require(nBatches >= nFiles,
+        s"expected >= $nFiles micro-batches (maxFilesPerTrigger=1 over " +
+          s"$nFiles staged files), got $nBatches")
+      require(nFiles >= 3, // data chunks + sentinel: multi-batch or bust
+        s"staging produced only $nFiles files — the multi-batch evidence is gone")
     }
     val out = s.table(name).where(col("user_id") =!= -1L)
       .orderBy("user_id", "start_us")
