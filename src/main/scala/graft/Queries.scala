@@ -657,6 +657,20 @@ items:
 
   private val jsonlSql = "SELECT doc_id, text, lang, source, n_chars FROM documents"
 
+  /** ORC sink + declared-schema scan round-trip over the documents
+    * corpus — same losslessness gate as [[jsonlRoundtrip]], proving the
+    * engine's second columnar format preserves every value (the oracle
+    * reads the parquet original; the Spark side reads back what it
+    * wrote as ORC).
+    */
+  def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val tmp = s"/tmp/graft_orc_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+    RawSources.writeOrc(docs, tmp)
+    RawSources.readOrc(s, tmp, docs.schema)
+      .select(docs.columns.map(col).toSeq: _*)
+  }
+
   private val a1Sql = """
     SELECT s_suppkey AS SuppKey, s_name AS Name, CAST(s_acctbal AS DOUBLE) AS Balance
     FROM supplier"""
@@ -1289,6 +1303,28 @@ items:
   private val hashSampleSql = s"""
     SELECT doc_id, source FROM documents
     WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${Curation.hashSampleThreshold(0.25)}'"""
+
+  /** Deterministic stratified bottom-k sample: exactly 10 docs per
+    * source, the k lowest md5-prefix hashes with key tie-break
+    * (Curation.stratifiedSample). The rank filter sits directly on the
+    * row_number so Spark plans a WindowGroupLimit (map-side per-stratum
+    * top-k BEFORE the exchange — asserted in CurationSpec); the oracle
+    * replays rank and membership with DuckDB's row_number over the same
+    * engine-portable hash order.
+    */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame =
+    Curation.stratifiedSample(T(s, dir, "documents"), k = 10)
+      .select("doc_id", "source", "sample_rank")
+
+  private val stratifiedSampleSql = """
+    SELECT doc_id, source, sample_rank FROM (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) ASC, doc_id ASC) AS INT)
+               AS sample_rank
+      FROM documents)
+    WHERE sample_rank <= 10"""
 
   /** Source-weighted data mixing: keep all of src0, half of src1, a
     * fifth of src2, drop every other source.
@@ -3147,6 +3183,62 @@ items:
     FROM ng GROUP BY 1
     ORDER BY n_occurrences DESC, ngram ASC LIMIT 20"""
 
+  /** Winnowed (MOSS) document fingerprints, k=3 token shingles, window
+    * w=4 — the rolling-hash fingerprinting primitive
+    * (TextOps.winnowFingerprints). The oracle replays the FULL
+    * algorithm independently in DuckDB: same normalization, same
+    * md5-prefix shingle hashes, and the rightmost-minimum selection
+    * re-derived per window via a positional range join +
+    * row_number(ORDER BY fp, pos DESC) instead of Spark's single
+    * struct-min window pass — two different plans, bit-identical
+    * selected sets.
+    */
+  def winnowFingerprintsQ(s: SparkSession, dir: String): DataFrame =
+    TextOps.winnowFingerprints(T(s, dir, "documents"), k = 3, w = 4)
+      .orderBy("doc_id", "pos")
+
+  private def winnowBaseSql(k: Int, w: Int): String = s"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+'), x -> x <> '') AS t
+      FROM documents),
+    tn AS (SELECT doc_id, t, len(t) AS n FROM toks),
+    grams AS (
+      SELECT doc_id, i - 1 AS pos,
+             substring(md5(${(0 until k).map(j => s"t[i + $j]").mkString(" || ' ' || ")}), 1, 16) AS fp
+      FROM tn, unnest(range(1, n - $k + 2)) AS u(i)
+      WHERE n >= $k),
+    m AS (SELECT doc_id, count(*) AS m FROM grams GROUP BY 1),
+    starts AS (
+      SELECT g.doc_id, g.pos AS i FROM grams g JOIN m USING (doc_id)
+      WHERE g.pos <= greatest(m.m - $w, 0)),
+    cand AS (
+      SELECT s.doc_id, s.i, g.pos, g.fp,
+             row_number() OVER (PARTITION BY s.doc_id, s.i ORDER BY g.fp ASC, g.pos DESC) AS rn
+      FROM starts s JOIN grams g ON s.doc_id = g.doc_id AND g.pos BETWEEN s.i AND s.i + $w - 1),
+    winnowed AS (SELECT DISTINCT doc_id, pos, fp FROM cand WHERE rn = 1)"""
+
+  private val winnowFingerprintsSql =
+    winnowBaseSql(3, 4) + "\n    SELECT doc_id, pos, fp FROM winnowed"
+
+  /** Fingerprint-overlap near-duplicates over the winnowed set
+    * (TextOps.winnowNearDups, minShared=3, maxDf=20): at the fixture's
+    * scale this surfaces EXACTLY the planted near-dup pairs — the same
+    * 25-pair truth set the MinHash and SimHash gates converge on, found
+    * by a third independent mechanism (deterministic positional
+    * minima, not random permutations or hyperplanes).
+    */
+  def winnowNearDupsQ(s: SparkSession, dir: String): DataFrame =
+    TextOps.winnowNearDups(T(s, dir, "documents"), k = 3, w = 4, minShared = 3, maxDf = 20)
+
+  private val winnowNearDupsSql = winnowBaseSql(3, 4) + """,
+    sel AS (SELECT DISTINCT doc_id, fp FROM winnowed),
+    dfc AS (SELECT fp, count(*) AS ndocs FROM sel GROUP BY 1),
+    kept AS (SELECT s.doc_id, s.fp FROM sel s JOIN dfc USING (fp) WHERE dfc.ndocs <= 20)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+    FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 3"""
+
   /** Johnson–Lindenstrauss random projection gated as a RECALL AUDIT
     * (the ann_lsh_topk pattern): corpus and queries project 64 → 16
     * dims through the deterministic seed-7 matrix, brute-force top-5
@@ -3256,6 +3348,7 @@ items:
     ("e16_geo", e16Geo _, Some(e16Sql)),
     ("a1_csv_roundtrip", a1CsvRoundtrip _, Some(a1Sql)),
     ("jsonl_roundtrip", jsonlRoundtrip _, Some(jsonlSql)),
+    ("orc_roundtrip", orcRoundtrip _, Some(jsonlSql)),
     ("e6_weight", e6Weight _, Some(e6Sql)),
     ("e10_weighted_avg", e10WeightedAvg _, Some(e10Sql)),
     ("e11_average_table", e11AverageTable _, Some(e11SqlReal)),
@@ -3278,6 +3371,7 @@ items:
     ("chunk_docs", chunkDocs _, Some(chunkDocsSql)),
     ("assign_splits", assignSplits _, Some(assignSplitsSql)),
     ("hash_sample", hashSample _, Some(hashSampleSql)),
+    ("stratified_sample", stratifiedSample _, Some(stratifiedSampleSql)),
     ("mix_sources", mixSources _, Some(mixSourcesSql)),
     ("curation_pipeline", curationPipeline _, Some(curationPipelineSql)),
     ("lang_id", langId _, Some(langIdSql)),
@@ -3322,6 +3416,8 @@ items:
     ("events_stream_join", eventsStreamJoin _, Some(eventsStreamJoinSql)),
     ("tfidf_topk", tfidfTopK _, Some(tfidfTopKSql)),
     ("ngram_topk", ngramTopK _, Some(ngramTopKSql)),
+    ("winnow_fingerprints", winnowFingerprintsQ _, Some(winnowFingerprintsSql)),
+    ("winnow_near_dups", winnowNearDupsQ _, Some(winnowNearDupsSql)),
     ("rp_topk", rpTopK _, Some(rpTopKSql)),
     ("ann_lsh_full_recall", annLshFullRecall _, Some(annBruteSql)),
     ("topk", topK _, Some(topKSql)),
@@ -3358,8 +3454,9 @@ items:
     "e12_window_hicard", "e12_sketch_hicard", "e13_decile",
     "e7e8_cpi", "e9_equivalence", "isc_summary", "isc_summary_bucketed",
     "dedup_exact", "dedup_paragraphs", "text_stats", "rep_signals", "lang_id", "quality_score", "ngram_jaccard",
-    "tfidf_topk", "ngram_topk",
-    "pii_redact", "contamination", "decontaminate", "pack_shards", "chunk_docs", "curation_pipeline",
+    "tfidf_topk", "ngram_topk", "winnow_fingerprints", "winnow_near_dups",
+    "pii_redact", "contamination", "decontaminate", "pack_shards", "chunk_docs",
+    "stratified_sample", "curation_pipeline",
     "minhash_pairs", "minhash_near_dups", "simhash_pairs", "simhash_near_dups",
     "ann_brute_topk", "ann_int8_topk", "ann_lsh_query", "rp_topk",
     "ann_cosine_dedup", "ivf_topk", "ivf_int8_topk", "kmeans_step", "ann_pipeline", "dedup_clusters", "skew_salted_agg",

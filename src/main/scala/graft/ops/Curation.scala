@@ -143,6 +143,39 @@ object Curation {
     df.withColumn(out, label)
   }
 
+  /** Deterministic stratified bottom-k sampling: the k rows of each
+    * stratum whose md5-prefix hash sorts lowest (key tie-break). This is
+    * the EXACT-COUNT sibling of [[hashSample]]: a rate-based sample
+    * yields Binomial(n, f) rows per stratum, but eval sets, per-source
+    * quotas, and human-review batches need exactly k — and the bottom-k
+    * of a uniform hash space IS a uniform k-subset, still seedless,
+    * key-stable and engine-replayable.
+    *
+    * Scale shape: `row_number` over (stratum → hash) with the `<= k`
+    * filter directly on it — Spark rewrites that pattern to a
+    * WindowGroupLimit: every map task keeps only its local top-k per
+    * stratum BEFORE the exchange, so the shuffle moves O(strata · k ·
+    * tasks) rows, not the corpus, and no stratum is ever globally
+    * sorted. (A stratum skewed to billions of rows still ships only k
+    * rows per upstream task.) `sample_rank` is exported so consumers
+    * can take nested prefixes (rank ≤ j, j < k) that stay consistent
+    * across corpus versions — the same nesting property assignSplit
+    * guarantees for fractions.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      k: Int,
+      strataCol: String = "source",
+      keyCol: String = "doc_id",
+      out: String = "sample_rank",
+  ): DataFrame = {
+    require(k >= 1, s"sample size must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val h = substring(md5(col(keyCol).cast("string").cast("binary")), 1, 8)
+    val w = Window.partitionBy(strataCol).orderBy(h.asc, col(keyCol).asc)
+    df.withColumn(out, row_number().over(w)).where(col(out) <= k)
+  }
+
   /** Source-weighted data mixing: per-source deterministic sampling
     * rates (the "data mixture" step of a training pipeline — e.g. keep
     * 100% of wiki, 30% of web). A source absent from `rates` is dropped

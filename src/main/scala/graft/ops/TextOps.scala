@@ -290,4 +290,81 @@ object TextOps {
         round(coalesce((col("_topN") * length(col("_topBg"))).cast(DoubleType) /
           nullif(col("_nc"), lit(0)), lit(0.0)), 6).as("top_bigram_frac"))
   }
+
+  // -------------------------------------------------------- winnowing
+
+  /** Winnowing document fingerprints (the MOSS local-fingerprinting
+    * algorithm, Schleimer–Wilkerson–Aiken SIGMOD'03). Every k-token
+    * shingle gets an md5-prefix hash; a window of `w` consecutive
+    * shingle hashes slides over the document and the MINIMUM hash of
+    * each window (rightmost on ties — "robust winnowing") is selected.
+    * The selected (position, hash) rows are the document's fingerprint
+    * set: any two documents sharing a run of w + k - 1 tokens are
+    * GUARANTEED to share a selected hash, at roughly 2/(w+1) the
+    * density of the full shingle set — the rolling-hash fingerprint
+    * primitive of source-plagiarism and training-corpus overlap
+    * detection.
+    *
+    * Scale shape: posexplode → per-doc window lead (shingle assembly,
+    * exactly [[topNgrams]]'s move) → ONE more bounded window pass
+    * (`rowsBetween(current, w-1)`) whose `min(struct(hash, -pos))`
+    * picks each window's rightmost-minimal shingle. All three window
+    * specs share the (doc, pos) shuffle+sort, so the whole operator is
+    * ONE exchange on the id; output density is a fixed fraction of
+    * token count. The md5-prefix hash is the engine-portable decision
+    * idiom ([[Curation.hashSample]]): fixed-width hex-string order ==
+    * numeric order, so DuckDB replays the selection bit-identically.
+    *
+    * Docs with fewer than k tokens yield no fingerprints; docs with
+    * fewer than w shingles yield exactly one window (the whole doc).
+    */
+  def winnowFingerprints(df: DataFrame, k: Int = 3, w: Int = 4,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1 && w >= 1, s"shingle size and window must be positive (k=$k, w=$w)")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol), posexplode(normTokens(col(textCol))).as(Seq("pos", "_t")))
+    val byPos = Window.partitionBy(idCol).orderBy("pos")
+    val gramParts = col("_t") +: (1 until k).map(j => lead(col("_t"), j).over(byPos))
+    // the k-th token's lead marks incomplete edge shingles (concat_ws
+    // would silently skip the null and emit a short gram)
+    val grams = toks
+      .withColumn("_gram", concat_ws(" ", gramParts: _*))
+      .withColumn("_edge", if (k == 1) col("_t") else lead(col("_t"), k - 1).over(byPos))
+      .where(col("_edge").isNotNull)
+      .select(col(idCol), col("pos"), substring(md5(col("_gram")), 1, 16).as("fp"))
+    // shingle positions stay consecutive 0..m-1 per doc, so the ROWS
+    // frame below is exactly the w-shingle positional window
+    val winSel = Window.partitionBy(idCol).orderBy("pos").rowsBetween(Window.currentRow, w - 1)
+    val perDoc = Window.partitionBy(idCol)
+    grams
+      .withColumn("_m", count(lit(1)).over(perDoc))
+      .withColumn("_sel", min(struct(col("fp"), (-col("pos")).as("np"))).over(winSel))
+      .where(col("pos") <= greatest(col("_m") - w, lit(0)))
+      .select(col(idCol), (-col("_sel.np")).as("pos"), col("_sel.fp").as("fp"))
+      .distinct()
+  }
+
+  /** Fingerprint-overlap near-duplicates: document pairs sharing at
+    * least `minShared` distinct winnowed fingerprints. Fingerprints
+    * present in more than `maxDf` documents (ubiquitous boilerplate)
+    * are dropped BEFORE the pair join — the same bucket-bounding move
+    * as the SimHash hot-bucket cap — so the fp equi-join costs
+    * O(Σ df²) with df ≤ maxDf, never O(n²). Unlike MinHash banding
+    * (probabilistic recall) this path is exact w.r.t. its guarantee:
+    * every pair sharing a w+k-1 token run surfaces.
+    */
+  def winnowNearDups(df: DataFrame, k: Int = 3, w: Int = 4, minShared: Int = 3,
+      maxDf: Int = 20, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(minShared >= 1 && maxDf >= 2, s"need minShared >= 1, maxDf >= 2 (got $minShared, $maxDf)")
+    val sel = winnowFingerprints(df, k, w, textCol, idCol)
+      .select(col(idCol), col("fp")).distinct()
+    val dfc = sel.groupBy("fp").agg(count(lit(1)).as("_ndocs"))
+    val kept = sel.join(dfc.where(col("_ndocs") <= maxDf), Seq("fp"))
+      .select(col("fp"), col(idCol))
+    val a = kept.select(col("fp"), col(idCol).as("doc_a"))
+    val b = kept.select(col("fp"), col(idCol).as("doc_b"))
+    a.join(b, Seq("fp")).where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+  }
 }

@@ -99,6 +99,24 @@ object RawSources {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** ORC sink (zstd) — the second columnar at-rest format the engine
+    * speaks natively. Same at-rest contract as the parquet sink:
+    * columnar, splittable, predicate-pushdown-capable (ORC carries
+    * min/max + bloom indexes per stripe), so a corpus interchanged with
+    * ORC-native warehouses costs no conversion pass.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("compression", "zstd").orc(path)
+
+  /** ORC scan with a DECLARED schema — the [[readJsonl]] contract: the
+    * caller states the schema, the engine never spends a discovery pass;
+    * filters and column pruning push into the stripe reader exactly as
+    * with parquet.
+    */
+  def readOrc(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   /** Bucketed-and-sorted at-rest layout: write `df` as an external table
     * hash-bucketed (and sorted within buckets) by `keys`. Two tables
     * written with the SAME keys and bucket count join with ZERO exchange

@@ -140,4 +140,27 @@ class CurationSpec extends SparkSpec {
       .map(r => r.getInt(1) -> r.getString(3)).toMap
     assert(out == Map(0 -> "t0 t1 t2", 1 -> "t3 t4 t5", 2 -> "t6"))
   }
+
+  test("stratifiedSample: exact k per stratum, whole stratum when smaller, nested prefixes") {
+    import spark.implicits._
+    val df = ((1L to 40L).map(i => (i, "big")) ++ (100L to 102L).map(i => (i, "small")))
+      .toDF("doc_id", "source")
+    val out = Curation.stratifiedSample(df, k = 5).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"), r.getAs[Int]("sample_rank")))
+    assert(out.count(_._1 == "big") == 5)
+    assert(out.count(_._1 == "small") == 3) // stratum smaller than k: keep all
+    assert(out.filter(_._1 == "big").map(_._3).sorted.toSeq == (1 to 5))
+    // determinism + prefix nesting: the k=3 sample IS ranks 1..3 of the k=5 sample
+    val k3 = Curation.stratifiedSample(df, k = 3).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"))).toSet
+    assert(k3 == out.filter(_._3 <= 3).map(t => (t._1, t._2)).toSet)
+  }
+
+  test("stratifiedSample plans a WindowGroupLimit (map-side per-stratum top-k)") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "source")
+    val plan = Curation.stratifiedSample(df, k = 4).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter should push a per-group limit below the exchange:\n$plan")
+  }
 }

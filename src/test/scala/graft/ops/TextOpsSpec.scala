@@ -158,4 +158,85 @@ class TextOpsSpec extends SparkSpec {
       .map(r => (r.getAs[String]("ngram"), r.getAs[Long]("n_occurrences"))).toSeq
     assert(tri == Seq(("a b a", 1L), ("b a b", 1L)))
   }
+
+  // ---------------------------------------------------------- winnowing
+
+  private def winnowOf(texts: (Long, String)*): Map[Long, Seq[(Int, String)]] = {
+    import spark.implicits._
+    TextOps.winnowFingerprints(texts.toSeq.toDF("doc_id", "text"), k = 3, w = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), (r.getAs[Int]("pos"), r.getAs[String]("fp"))))
+      .groupBy(_._1).map { case (d, a) => d -> a.map(_._2).toSeq.sorted }
+  }
+
+  test("winnowing edge cases: short docs") {
+    // < k tokens: no shingles, no fingerprints
+    assert(winnowOf((1L, "a b")).isEmpty)
+    // exactly k tokens: one shingle, m=1 < w -> one whole-doc window, one selection at pos 0
+    val exact = winnowOf((1L, "a b c"))(1L)
+    assert(exact.map(_._1) == Seq(0))
+    // m=4 shingles == w: exactly one window start (pos 0), one selected fingerprint
+    val one = winnowOf((1L, "a b c d e f"))(1L)
+    assert(one.size == 1 && one.head._1 >= 0 && one.head._1 <= 3)
+  }
+
+  test("winnowing coverage guarantee: every w-window of shingles contains a selection") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val words = Vector("ab", "cd", "ef", "gh", "ij", "kl", "mn", "op")
+    val docs = (1L to 8L).map(i => (i, Seq.fill(20 + rnd.nextInt(30))(words(rnd.nextInt(words.size))).mkString(" ")))
+    val sel = winnowOf(docs: _*)
+    docs.foreach { case (id, text) =>
+      val m = text.split(" ").length - 3 + 1 // shingle count, k=3
+      val positions = sel(id).map(_._1).toSet
+      (0 to math.max(m - 4, 0)).foreach { i =>
+        assert(positions.exists(p => p >= i && p < i + 4),
+          s"doc $id: window starting at $i has no selected fingerprint (m=$m, sel=$positions)")
+      }
+      // density: winnowing selects far fewer than all shingles on long docs
+      if (m > 10) assert(positions.size < m)
+    }
+  }
+
+  test("winnowing detection guarantee: docs sharing a w+k-1 token run share a fingerprint") {
+    import spark.implicits._
+    // 6 shared tokens (w+k-1 = 4+3-1) embedded in fully distinct contexts
+    val shared = "q1 q2 q3 q4 q5 q6"
+    val docs = Seq(
+      (1L, s"x1 x2 x3 x4 $shared y1 y2 y3"),
+      (2L, s"z1 z2 $shared u1 u2 u3 u4 u5 u6"))
+    val pairs = TextOps.winnowNearDups(docs.toDF("doc_id", "text"),
+      k = 3, w = 4, minShared = 1, maxDf = 20).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getAs[Long]("doc_a") == 1L && pairs(0).getAs[Long]("doc_b") == 2L)
+  }
+
+  test("winnowing near-dups: maxDf drops boilerplate fingerprints") {
+    import spark.implicits._
+    // one unique head token, then an identical 8-token boilerplate tail:
+    // every window past the head holds only shared shingles, so every
+    // SHARED fingerprint is selected by all 6 docs (df exactly 6); the
+    // head shingle is doc-unique (df 1) and can never pair
+    val docs = (1L to 6L).map(i => (i, s"u$i aa bb cc dd ee ff gg hh"))
+    val capped = TextOps.winnowNearDups(docs.toDF("doc_id", "text"),
+      k = 3, w = 4, minShared = 1, maxDf = 5).collect() // shared fps df=6 > 5 -> dropped
+    assert(capped.isEmpty)
+    val uncapped = TextOps.winnowNearDups(docs.toDF("doc_id", "text"),
+      k = 3, w = 4, minShared = 1, maxDf = 6).collect()
+    assert(uncapped.length == 15) // all C(6,2) pairs share the boilerplate mins
+  }
+
+  test("winnowing is deterministic and one-exchange") {
+    import spark.implicits._
+    val docs = (1L to 5L).map(i => (i, s"alpha beta gamma delta epsilon zeta eta theta iota kappa doc$i"))
+    val a = winnowOf(docs: _*)
+    val b = winnowOf(docs: _*)
+    assert(a == b)
+    val plan = TextOps.winnowFingerprints(docs.toDF("doc_id", "text"))
+      .queryExecution.executedPlan.toString
+    // shingle assembly + selection windows must share ONE doc_id exchange
+    // (+1 for the distinct's aggregate exchange)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected <= 2 exchanges, plan:\n$plan")
+  }
 }

@@ -102,4 +102,26 @@ columns: {}
     assert(tolerant.count() == 2)
     assert(tolerant.where($"doc_id" === 9).count() == 1)
   }
+
+  test("orc sink + declared-schema scan round-trips losslessly and prunes/pushes down") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_orc").toString + "/out"
+    val docs = Seq(
+      (1L, "line one\nline two", 1.5),
+      (2L, "unicode éü中文", 2.5),
+      (3L, null: String, 3.5),
+    ).toDF("doc_id", "text", "score")
+    RawSources.writeOrc(docs, dir)
+    val back = RawSources.readOrc(spark, dir, docs.schema)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      docs.schema.map(f => (f.name, f.dataType)))
+    assert(back.collect().map(r => (r.get(0), r.get(1), r.get(2))).toSet ==
+      docs.collect().map(r => (r.get(0), r.get(1), r.get(2))).toSet)
+    // filters and projection must reach the ORC scan
+    val plan = back.where($"doc_id" === 2L).select("text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,2)")
+      || plan.contains("PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,2)]"), plan)
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan)
+  }
 }
