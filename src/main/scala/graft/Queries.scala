@@ -671,6 +671,31 @@ items:
       .select(docs.columns.map(col).toSeq: _*)
   }
 
+  /** Z-order layout round-trip (Layout.writeZOrdered): orders written
+    * range-partitioned + sorted on the Morton interleave of
+    * (o_custkey mod 1024, o_orderkey mod 1024), read back with the
+    * z-value recomputed. The oracle recomputes the SAME bit-interleave
+    * in DuckDB over the original table ([[Layout.zValueSql]] — the
+    * engine-portability proof) and the hash compare doubles as the
+    * losslessness check on the rewritten files. File-level envelope
+    * tightness (the property that makes row-group stats prune BOTH
+    * dims) is asserted per-file in LayoutSpec.
+    */
+  def zorderRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val orders = T(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val dims = Seq(col("o_custkey") % 1024, col("o_orderkey") % 1024)
+    val tmp = s"/tmp/graft_zorder_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+    Layout.writeZOrdered(orders, tmp, dims, bits = 10, numFiles = 8)
+    s.read.parquet(tmp)
+      .select(col("o_orderkey"), col("o_custkey"),
+        Layout.zValue(Seq(col("o_custkey") % 1024, col("o_orderkey") % 1024), bits = 10).as("zval"))
+  }
+
+  private val zorderSql = {
+    val z = graft.ops.Layout.zValueSql(Seq("(o_custkey % 1024)", "(o_orderkey % 1024)"), bits = 10)
+    s"SELECT o_orderkey, o_custkey, $z AS zval FROM orders"
+  }
+
   private val a1Sql = """
     SELECT s_suppkey AS SuppKey, s_name AS Name, CAST(s_acctbal AS DOUBLE) AS Balance
     FROM supplier"""
@@ -3349,6 +3374,7 @@ items:
     ("a1_csv_roundtrip", a1CsvRoundtrip _, Some(a1Sql)),
     ("jsonl_roundtrip", jsonlRoundtrip _, Some(jsonlSql)),
     ("orc_roundtrip", orcRoundtrip _, Some(jsonlSql)),
+    ("zorder_roundtrip", zorderRoundtrip _, Some(zorderSql)),
     ("e6_weight", e6Weight _, Some(e6Sql)),
     ("e10_weighted_avg", e10WeightedAvg _, Some(e10Sql)),
     ("e11_average_table", e11AverageTable _, Some(e11SqlReal)),
