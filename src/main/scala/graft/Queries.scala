@@ -3264,6 +3264,38 @@ items:
     FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
     GROUP BY 1, 2 HAVING count(*) >= 3"""
 
+  /** Incremental near-dup maintenance (TextOps.incrementalNearDups):
+    * the lower half of the corpus is fingerprinted ONCE and persisted
+    * as a slim at-rest (doc_id, fp) index; the upper half arrives as an
+    * increment whose near-dups against the base are found by joining
+    * its fresh fingerprints to the index — the base TEXT is never
+    * re-read. The oracle is the one-shot DuckDB winnow replay
+    * restricted to cross-boundary pairs, which the incremental
+    * composition must equal exactly (including the union-side df-cap).
+    * The midpoint boundary is derived from max(doc_id) in both engines,
+    * so the row is sf-agnostic; the fixture plants cross-boundary
+    * near-dup pairs at every sf.
+    */
+  def incrementalNearDupsQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    // bounded driver scalar (one row): the synthetic base/increment split
+    val bound = (docs.agg(max("doc_id")).head.getLong(0) + 1L) / 2L
+    val tmp = s"/tmp/graft_winnow_idx_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+    TextOps.winnowIndex(docs.where(col("doc_id") < bound))
+      .write.mode("overwrite").parquet(tmp)
+    TextOps.incrementalNearDups(docs.where(col("doc_id") >= bound), s.read.parquet(tmp))
+  }
+
+  private val incrementalNearDupsSql = winnowBaseSql(3, 4) + """,
+    sel AS (SELECT DISTINCT doc_id, fp FROM winnowed),
+    dfc AS (SELECT fp, count(*) AS ndocs FROM sel GROUP BY 1),
+    kept AS (SELECT s.doc_id, s.fp FROM sel s JOIN dfc USING (fp) WHERE dfc.ndocs <= 20),
+    bnd AS (SELECT (max(doc_id) + 1) // 2 AS b FROM documents)
+    SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b, count(*) AS shared
+    FROM kept a JOIN kept b2 ON a.fp = b2.fp CROSS JOIN bnd
+    WHERE a.doc_id < bnd.b AND b2.doc_id >= bnd.b
+    GROUP BY 1, 2 HAVING count(*) >= 3"""
+
   /** Johnson–Lindenstrauss random projection gated as a RECALL AUDIT
     * (the ann_lsh_topk pattern): corpus and queries project 64 → 16
     * dims through the deterministic seed-7 matrix, brute-force top-5
@@ -3444,6 +3476,7 @@ items:
     ("ngram_topk", ngramTopK _, Some(ngramTopKSql)),
     ("winnow_fingerprints", winnowFingerprintsQ _, Some(winnowFingerprintsSql)),
     ("winnow_near_dups", winnowNearDupsQ _, Some(winnowNearDupsSql)),
+    ("incremental_near_dups", incrementalNearDupsQ _, Some(incrementalNearDupsSql)),
     ("rp_topk", rpTopK _, Some(rpTopKSql)),
     ("ann_lsh_full_recall", annLshFullRecall _, Some(annBruteSql)),
     ("topk", topK _, Some(topKSql)),

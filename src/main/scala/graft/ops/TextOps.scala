@@ -367,4 +367,49 @@ object TextOps {
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
       .where(col("shared") >= minShared)
   }
+
+  /** The slim at-rest fingerprint index of a corpus: one (id, fp) row
+    * per distinct selected winnowed fingerprint. THIS is what a 100 TB
+    * pipeline persists next to the corpus — a few percent of the text
+    * bytes — so that corpus growth never pays a rescan (see
+    * [[incrementalNearDups]]).
+    */
+  def winnowIndex(df: DataFrame, k: Int = 3, w: Int = 4,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    winnowFingerprints(df, k, w, textCol, idCol)
+      .select(col(idCol), col("fp")).distinct()
+
+  /** Incremental near-dup detection: pairs between an INCREMENT of new
+    * documents and a base corpus represented ONLY by its at-rest
+    * [[winnowIndex]]. The base text is never read, never fingerprinted
+    * again, never shuffled — fingerprinting cost is O(increment), and
+    * the pair join moves slim (fp, id) rows on both sides. Run per
+    * ingest batch, this maintains corpus-wide near-dup knowledge at
+    * marginal cost; the same composition works with the index stored
+    * bucketed by fp, which removes the index side's shuffle too.
+    *
+    * Semantics match the one-shot [[winnowNearDups]] exactly, restricted
+    * to (base, increment) pairs: the df-cap counts a fingerprint's
+    * documents across base ∪ increment (the union is of slim fp rows,
+    * not text), so boilerplate that only becomes ubiquitous once the
+    * increment lands is still capped.
+    */
+  def incrementalNearDups(
+      increment: DataFrame,
+      index: DataFrame,
+      k: Int = 3, w: Int = 4, minShared: Int = 3, maxDf: Int = 20,
+      textCol: String = "text", idCol: String = "doc_id",
+  ): DataFrame = {
+    require(minShared >= 1 && maxDf >= 2, s"need minShared >= 1, maxDf >= 2 (got $minShared, $maxDf)")
+    val newFps = winnowIndex(increment, k, w, textCol, idCol)
+    val allFps = index.select(col(idCol), col("fp"))
+      .unionByName(newFps)
+    val dfc = allFps.groupBy("fp").agg(count(lit(1)).as("_ndocs"))
+      .where(col("_ndocs") <= maxDf)
+    val a = index.join(dfc, Seq("fp")).select(col("fp"), col(idCol).as("doc_a"))
+    val b = newFps.join(dfc, Seq("fp")).select(col("fp"), col(idCol).as("doc_b"))
+    a.join(b, Seq("fp"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+  }
 }

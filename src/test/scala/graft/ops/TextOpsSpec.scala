@@ -226,6 +226,33 @@ class TextOpsSpec extends SparkSpec {
     assert(uncapped.length == 15) // all C(6,2) pairs share the boilerplate mins
   }
 
+  test("incremental near-dups equal the one-shot run restricted to cross pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val words = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    // random docs + planted near-dup pairs crossing the base/increment boundary
+    val noise = (1L to 30L).map(i =>
+      (i, Seq.fill(15 + rnd.nextInt(10))(words(rnd.nextInt(words.size))).mkString(" ")))
+    val planted = Seq(
+      (3L, "p1 p2 p3 p4 p5 p6 p7 p8 x3a x3b"),
+      (25L, "z1 z2 p1 p2 p3 p4 p5 p6 p7 p8"), // crosses the boundary with doc 3
+      (26L, "q1 q2 q3 q4 q5 q6 q7 q8 y1 y2"),
+      (28L, "y9 q1 q2 q3 q4 q5 q6 q7 q8"))    // new-new pair: must NOT appear
+    val docs = (noise.filterNot(d => planted.exists(_._1 == d._1)) ++ planted).toDF("doc_id", "text")
+    val bound = 20L
+    val oneShot = TextOps.winnowNearDups(docs, minShared = 1, maxDf = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      .filter(t => t._1 < bound && t._2 >= bound)
+    val index = TextOps.winnowIndex(docs.where($"doc_id" < bound))
+    val inc = TextOps.incrementalNearDups(docs.where($"doc_id" >= bound), index,
+      minShared = 1, maxDf = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc == oneShot)
+    assert(inc.exists { case (a, b, _) => a == 3L && b == 25L }) // the planted cross pair surfaced
+    assert(!inc.exists(_._1 >= bound)) // increment-internal pairs are out of contract
+    assert(!inc.exists(t => t._1 == 26L && t._2 == 28L)) // the planted new-new pair stays out
+  }
+
   test("winnowing is deterministic and one-exchange") {
     import spark.implicits._
     val docs = (1L to 5L).map(i => (i, s"alpha beta gamma delta epsilon zeta eta theta iota kappa doc$i"))
