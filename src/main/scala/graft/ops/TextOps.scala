@@ -354,10 +354,14 @@ object TextOps {
     * every pair sharing a w+k-1 token run surfaces.
     */
   def winnowNearDups(df: DataFrame, k: Int = 3, w: Int = 4, minShared: Int = 3,
-      maxDf: Int = 20, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      maxDf: Int = 20, textCol: String = "text", idCol: String = "doc_id",
+      handle: StorageHandle = StorageHandle.unmanaged): DataFrame = {
     require(minShared >= 1 && maxDf >= 2, s"need minShared >= 1, maxDf >= 2 (got $minShared, $maxDf)")
-    val sel = winnowFingerprints(df, k, w, textCol, idCol)
-      .select(col(idCol), col("fp")).distinct()
+    // persist the slim (id, fp) rows: they feed the df-count, and both
+    // sides of the pair join — without the cache the 3-window
+    // fingerprint pipeline re-runs once per consumer (measured 8 full
+    // recomputations in the un-persisted plan)
+    val sel = handle.persist(winnowIndex(df, k, w, textCol, idCol))
     val dfc = sel.groupBy("fp").agg(count(lit(1)).as("_ndocs"))
     val kept = sel.join(dfc.where(col("_ndocs") <= maxDf), Seq("fp"))
       .select(col("fp"), col(idCol))
@@ -399,9 +403,13 @@ object TextOps {
       index: DataFrame,
       k: Int = 3, w: Int = 4, minShared: Int = 3, maxDf: Int = 20,
       textCol: String = "text", idCol: String = "doc_id",
+      handle: StorageHandle = StorageHandle.unmanaged,
   ): DataFrame = {
     require(minShared >= 1 && maxDf >= 2, s"need minShared >= 1, maxDf >= 2 (got $minShared, $maxDf)")
-    val newFps = winnowIndex(increment, k, w, textCol, idCol)
+    // the increment's fingerprints feed the df-count and the pair join;
+    // persist so the fingerprint windows run once (same rationale as
+    // winnowNearDups — the index side is an at-rest scan and stays lazy)
+    val newFps = handle.persist(winnowIndex(increment, k, w, textCol, idCol))
     val allFps = index.select(col(idCol), col("fp"))
       .unionByName(newFps)
     val dfc = allFps.groupBy("fp").agg(count(lit(1)).as("_ndocs"))
