@@ -321,6 +321,27 @@ object TextOps {
   def winnowFingerprints(df: DataFrame, k: Int = 3, w: Int = 4,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(k >= 1 && w >= 1, s"shingle size and window must be positive (k=$k, w=$w)")
+    // winnowing is document-local: the native kernel
+    // (plans/WinnowText.scala) computes the whole selection per row, so
+    // the corpus fingerprint pass is scan -> project -> explode with NO
+    // exchange at all (the windowed sibling below pays a (doc, pos)
+    // shuffle+sort only to route per-document state through posexplode).
+    // Output rows are distinct by construction for distinct input ids.
+    df.select(col(idCol),
+        explode(call_function("winnow_text", col(textCol), lit(k), lit(w))).as("_sel"))
+      .select(col(idCol), col("_sel.pos").as("pos"), col("_sel.fp").as("fp"))
+  }
+
+  /** The window-function formulation of [[winnowFingerprints]] — same
+    * algorithm routed through posexplode + three (doc, pos) window specs
+    * sharing one shuffle+sort. Kept as the independent in-engine
+    * cross-check of the native kernel (TextOpsSpec asserts bit-identical
+    * output on fixtures and hostile inputs); the kernel path is the
+    * production default because it needs no exchange.
+    */
+  def winnowFingerprintsWindowed(df: DataFrame, k: Int = 3, w: Int = 4,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1 && w >= 1, s"shingle size and window must be positive (k=$k, w=$w)")
     import org.apache.spark.sql.expressions.Window
     val toks = df.select(col(idCol), posexplode(normTokens(col(textCol))).as(Seq("pos", "_t")))
     val byPos = Window.partitionBy(idCol).orderBy("pos")

@@ -128,5 +128,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           positiveInt(args(1), "numHashes"), positiveInt(args(2), "k"))
       },
     ))
+    ext.injectFunction((
+      new FunctionIdentifier("winnow_text"),
+      new ExpressionInfo(classOf[WinnowText].getName, "winnow_text"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "winnow_text(text, k, w)")
+        WinnowText(args.head, positiveInt(args(1), "k"), positiveInt(args(2), "w"))
+      },
+    ))
   }
 }

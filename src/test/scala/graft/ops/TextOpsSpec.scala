@@ -253,17 +253,43 @@ class TextOpsSpec extends SparkSpec {
     assert(!inc.exists(t => t._1 == 26L && t._2 == 28L)) // the planted new-new pair stays out
   }
 
-  test("winnowing is deterministic and one-exchange") {
+  test("winnowing is deterministic and the kernel path plans ZERO exchanges") {
     import spark.implicits._
     val docs = (1L to 5L).map(i => (i, s"alpha beta gamma delta epsilon zeta eta theta iota kappa doc$i"))
     val a = winnowOf(docs: _*)
     val b = winnowOf(docs: _*)
     assert(a == b)
+    // document-local computation: scan -> project -> explode, no shuffle
     val plan = TextOps.winnowFingerprints(docs.toDF("doc_id", "text"))
       .queryExecution.executedPlan.toString
-    // shingle assembly + selection windows must share ONE doc_id exchange
-    // (+1 for the distinct's aggregate exchange)
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
-    assert(exchanges <= 2, s"expected <= 2 exchanges, plan:\n$plan")
+    assert(!plan.contains("Exchange"), s"kernel path must be shuffle-free, plan:\n$plan")
+    // the windowed sibling shares ONE doc_id exchange across its three
+    // window specs (+1 for the distinct's aggregate exchange)
+    val wplan = TextOps.winnowFingerprintsWindowed(docs.toDF("doc_id", "text"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(wplan).size
+    assert(exchanges <= 2, s"expected <= 2 exchanges, plan:\n$wplan")
+  }
+
+  test("native winnow kernel is bit-identical to the windowed formulation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val words = Vector("ab", "cd", "ef", "gh", "ij", "kl", "mn", "op", "qr", "st")
+    val hostile = Seq(
+      (100L, ""), (101L, "   "), (102L, "a b"), (103L, "a b c"),
+      (104L, "Unicode éü中文 tab\there and MORE case"),
+      (105L, "punct!!! heavy??? text,,, with... breaks"),
+      (106L, "x " * 50), // degenerate repetition: every shingle identical
+      (107L, null.asInstanceOf[String]))
+    val docs = ((1L to 40L).map(i =>
+      (i, Seq.fill(5 + rnd.nextInt(60))(words(rnd.nextInt(words.size))).mkString(" "))) ++ hostile)
+      .toDF("doc_id", "text")
+    for ((k, w) <- Seq((3, 4), (2, 5), (1, 3), (4, 1))) {
+      val kern = TextOps.winnowFingerprints(docs, k, w).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      val wind = TextOps.winnowFingerprintsWindowed(docs, k, w).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      assert(kern == wind, s"kernel != windowed for k=$k w=$w")
+    }
   }
 }
