@@ -283,6 +283,59 @@ object Queries {
            CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
 
+  /** CUBE sibling of [[aggRollup]]: all 2^n grouping-set combinations
+    * (detail, each single-dim margin, grand total) from ONE shuffle —
+    * the cross-margin completion of the rollup's prefix hierarchy;
+    * grouping_id disambiguates margin rows from genuine NULL keys.
+    */
+  def aggCube(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("l_extendedprice"))).as("cents"),
+        grouping_id().as("gid"))
+
+  private val aggCubeSql = """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS BIGINT) AS cents,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"""
+
+  /** The general window-function surface in one gate: lag/lead with
+    * defaults, first/last value over a running frame, ntile, dense_rank
+    * and percent_rank — per-key frames over ONE (custkey, date, key)
+    * sort. The integer-cents measure keeps every rank/tile decision and
+    * value exact across engines; percent_rank's double is a pure
+    * function of two integer ranks, identical in both.
+    */
+  def windowFuncs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = T(s, dir, "orders").select(
+      col("o_custkey"), col("o_orderkey"),
+      cents(col("o_totalprice")).as("pc"))
+    val w = Window.partitionBy("o_custkey").orderBy(col("pc"), col("o_orderkey"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.select(col("o_custkey"), col("o_orderkey"), col("pc"),
+      lag("pc", 1).over(w).as("prev_pc"),
+      lead("pc", 1, -1L).over(w).as("next_pc"),
+      first("pc").over(run).as("min_pc"),
+      ntile(4).over(w).as("quartile"),
+      dense_rank().over(w).as("drank"),
+      percent_rank().over(w).as("prank"))
+  }
+
+  private val windowFuncsSql = """
+    SELECT o_custkey, o_orderkey, pc,
+           lag(pc, 1) OVER w AS prev_pc,
+           lead(pc, 1, -1) OVER w AS next_pc,
+           first_value(pc) OVER (PARTITION BY o_custkey ORDER BY pc, o_orderkey
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS min_pc,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           CAST(dense_rank() OVER w AS INTEGER) AS drank,
+           percent_rank() OVER w AS prank
+    FROM (SELECT o_custkey, o_orderkey,
+                 CAST(round(o_totalprice*100,0) AS BIGINT) AS pc FROM orders)
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY pc, o_orderkey)"""
+
   private def membersBase(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "lineitem").select(
       year(col("l_shipdate")).as("Year"),
@@ -3392,6 +3445,8 @@ items:
     ("c9_filter", c9Filter _, Some(c9Sql)),
     ("c10_groupby_sum", c10GroupbySum _, Some(c10SumSql)),
     ("agg_rollup", aggRollup _, Some(aggRollupSql)),
+    ("agg_cube", aggCube _, Some(aggCubeSql)),
+    ("window_funcs", windowFuncs _, Some(windowFuncsSql)),
     ("c10_melt", c10Melt _, Some(c10MeltSql)),
     ("c12_join", c12Join _, Some(c12Sql)),
     ("c13_members", c13Members _, Some(c13Sql)),
@@ -3525,5 +3580,6 @@ items:
     "approx_distinct",
     "events_sessionize", "events_session_window", "events_session_stream",
     "asof_join", "asof_join_nearest", "events_rolling", "skew_salted_join",
-    "agg_rollup", "events_pivot", "set_ops", "json_extract", "events_daily_active", "topk")
+    "agg_rollup", "agg_cube", "window_funcs", "events_pivot", "set_ops", "json_extract",
+    "events_daily_active", "topk")
 }

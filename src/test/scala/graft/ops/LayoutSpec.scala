@@ -85,4 +85,26 @@ class LayoutSpec extends SparkSpec {
     val avgY = perFile.map(_._4).sum.toDouble / perFile.length
     assert(avgX < 24 && avgY < 24, s"envelopes too wide: avgX=$avgX avgY=$avgY")
   }
+
+  test("zValue properties on random grids: bijective, range-bounded, recursively local") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 3) {
+      val bits = 2 + rnd.nextInt(4) // 2..5
+      val side = 1 << bits
+      val pts = rnd.shuffle((for { x <- 0 until side; y <- 0 until side } yield (x, y)).toList)
+      val zs = pts.toDF("x", "y")
+        .select(col("x"), col("y"), Layout.zValue(Seq(col("x"), col("y")), bits).as("z"))
+        .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getAs[Long]("z"))).toMap
+      // bijection onto [0, 4^bits)
+      assert(zs.values.toSet == (0L until (1L << (2 * bits))).toSet, s"trial $trial bits $bits")
+      // quadrant recursion: the top interleaved bits ARE the quadrant id,
+      // so all points of a quadrant occupy one contiguous z quarter
+      val quarter = 1L << (2 * bits - 2)
+      pts.foreach { case (x, y) =>
+        val q = 2 * (y >> (bits - 1)) + (x >> (bits - 1))
+        assert(zs((x, y)) / quarter == q, s"($x,$y) not in z-quarter $q")
+      }
+    }
+  }
 }
