@@ -749,6 +749,23 @@ items:
     s"SELECT o_orderkey, o_custkey, $z AS zval FROM orders"
   }
 
+  /** Small-file compaction round-trip (Layout.compact): the documents
+    * corpus is first shattered into 64 splinter files (the streaming-
+    * sink / over-parallel-ingest pathology), then compacted by byte
+    * budget into a handful; the gate reads the compacted layout back
+    * and must hash-equal the original corpus. File-count mechanics are
+    * asserted in LayoutSpec; here the oracle proves the rewrite loses
+    * and alters nothing.
+    */
+  def compactRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val base = s"/tmp/graft_compact_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+    docs.repartition(64).write.mode("overwrite").parquet(s"$base/shattered")
+    Layout.compact(s, s"$base/shattered", s"$base/compacted", targetFileBytes = 4L * 1024 * 1024)
+    s.read.parquet(s"$base/compacted")
+      .select(docs.columns.map(col).toSeq: _*)
+  }
+
   private val a1Sql = """
     SELECT s_suppkey AS SuppKey, s_name AS Name, CAST(s_acctbal AS DOUBLE) AS Balance
     FROM supplier"""
@@ -3462,6 +3479,7 @@ items:
     ("jsonl_roundtrip", jsonlRoundtrip _, Some(jsonlSql)),
     ("orc_roundtrip", orcRoundtrip _, Some(jsonlSql)),
     ("zorder_roundtrip", zorderRoundtrip _, Some(zorderSql)),
+    ("compact_roundtrip", compactRoundtrip _, Some(jsonlSql)),
     ("e6_weight", e6Weight _, Some(e6Sql)),
     ("e10_weighted_avg", e10WeightedAvg _, Some(e10Sql)),
     ("e11_average_table", e11AverageTable _, Some(e11SqlReal)),

@@ -82,4 +82,34 @@ object Layout {
       .sortWithinPartitions("_z")
       .drop("_z")
       .write.mode("overwrite").parquet(path)
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ceil(bytes / targetFileBytes) files. Streaming sinks, per-batch
+    * ingests, and over-parallel writers leave thousands of tiny files;
+    * every downstream scan then pays per-file open/footer/seek costs
+    * and the scheduler pays per-split overhead — at 100 TB, file count
+    * (not byte count) becomes the scan bottleneck. Sizing comes from a
+    * driver-side filesystem LISTING (metadata only, no data read);
+    * `coalesce` keeps the rewrite shuffle-free — each output task
+    * concatenates whole input files. Use [[writeZOrdered]] or
+    * [[graft.sources.RawSources.writeBucketed]] instead when the rewrite
+    * should also fix the ORDER of the data, not just its granularity.
+    */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession,
+      srcPath: String,
+      dstPath: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+  ): Int = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    require(srcPath != dstPath,
+      "compact src and dst must differ: overwriting the directory being read is undefined")
+    val fs = new org.apache.hadoop.fs.Path(srcPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(srcPath)).getLength
+    val numFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    spark.read.parquet(srcPath).coalesce(numFiles)
+      .write.mode("overwrite").parquet(dstPath)
+    numFiles
+  }
 }

@@ -86,6 +86,26 @@ class LayoutSpec extends SparkSpec {
     assert(avgX < 24 && avgY < 24, s"envelopes too wide: avgX=$avgX avgY=$avgY")
   }
 
+  test("compact rewrites many small files into the byte-budgeted count, losslessly") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_compact").toString
+    val df = (1L to 5000L).map(i => (i, s"row $i " + ("x" * 100))).toDF("id", "text")
+    df.repartition(40).write.parquet(s"$base/src")
+    def files(p: String) = new java.io.File(p).listFiles()
+      .filter(f => f.getName.startsWith("part-")).length
+    assert(files(s"$base/src") == 40)
+    val n = Layout.compact(spark, s"$base/src", s"$base/dst", targetFileBytes = 256L * 1024)
+    assert(files(s"$base/dst") == n && n < 40 && n >= 1)
+    val back = spark.read.parquet(s"$base/dst")
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+    // shuffle-free rewrite: coalesce, not an exchange
+    val plan = spark.read.parquet(s"$base/src").coalesce(n).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    // guardrail: in-place compaction is refused
+    intercept[IllegalArgumentException](Layout.compact(spark, s"$base/src", s"$base/src"))
+  }
+
   test("zValue properties on random grids: bijective, range-bounded, recursively local") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
