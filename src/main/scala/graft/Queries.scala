@@ -2438,6 +2438,66 @@ items:
     out
   }
 
+  /** Streaming PARQUET FILE SINK with checkpointed exactly-once commit —
+    * the sink-side evidence the other streaming gates (all memory-sink)
+    * don't carry: real pipelines land files, and the contract that makes
+    * a file-landing stream trustworthy is the checkpoint + `_spark_metadata`
+    * manifest protocol (a batch's files count only once the manifest
+    * commits; readers go through the manifest, so half-written batches
+    * are invisible). The gate runs the hourly aggregation as an
+    * AvailableNow stream in APPEND mode (file sinks are append-only, so
+    * windows must CLOSE to emit — the staged sentinel advances the
+    * watermark past every real window), then STARTS THE STREAM AGAIN on
+    * the same checkpoint with no new input and requires zero new rows —
+    * restart idempotence, the exactly-once property under the recovery
+    * path — and finally reads the directory back through the manifest
+    * for the hash compare against the same batch oracle as
+    * `events_window_agg`.
+    */
+  def eventsStreamSink(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val streamDir = stageEventsWithSentinel(s, dir)
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val base = s"/tmp/graft_streamsink_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+    deleteRecursively(new java.io.File(base)) // fresh checkpoint per invocation
+    val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    def runOnce(): Unit = withStreamShufflePartitions(s, 8) {
+      val src = s.readStream.schema(schema).parquet(streamDir.toString)
+      val q = src
+        .withColumn("_event_time", tsEventTimeOf(src))
+        .withWatermark("_event_time", "2 hours")
+        // NOTE: the sentinel row must flow into the aggregation — a
+        // `user_id != -1` filter here gets predicate-pushed BELOW the
+        // EventTimeWatermark node, so the watermark would never see the
+        // bumped timestamp and the final 2 hours of windows would stay
+        // open (observed: 3370 of 3385 rows). Its one bumped-day window
+        // row is dropped on readback instead.
+        .groupBy(col("event_type"), window(col("_event_time"), "1 hour"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+        .select(col("event_type"),
+          unix_timestamp(col("window.start")).as("hour_epoch"),
+          col("n"), col("value_cents"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val afterFirst = s.read.parquet(out).count()
+    runOnce() // same checkpoint, no new input: must be a no-op
+    val afterSecond = s.read.parquet(out).count()
+    require(afterSecond == afterFirst,
+      s"restart on the same checkpoint emitted rows: $afterFirst -> $afterSecond")
+    require(new java.io.File(s"$out/_spark_metadata").exists(),
+      "file sink wrote no _spark_metadata manifest — exactly-once readback contract missing")
+    deleteRecursively(streamDir.toFile)
+    // drop the sentinel's own window (one row, one day past the real
+    // data; bounded driver scalar pins the boundary)
+    val ev = T(s, dir, "events")
+    val maxRealHour = (ev.agg(max(tsUsOf(ev))).head.getLong(0) / 3600000000L) * 3600L
+    s.read.parquet(out).where(col("hour_epoch") <= maxRealHour)
+  }
+
   /** Stream-static enrichment join: the events STREAM joins the static
     * nation dim (user_id mod 25 as the synthetic FK) and aggregates per
     * nation — the lookup-enrichment shape of a streaming pipeline. The
@@ -3528,6 +3588,7 @@ items:
     ("skew_salted_agg", skewSaltedAgg _, Some(skewSaltedSql)),
     ("events_window_agg", eventsWindowAgg _, Some(eventsWindowSql)),
     ("events_window_stream", eventsWindowStream _, Some(eventsWindowSql)),
+    ("events_stream_sink", eventsStreamSink _, Some(eventsWindowSql)),
     ("events_dedup_stream", eventsDedupStream _, Some(eventsDedupStreamSql)),
     ("events_sessionize", eventsSessionize _, Some(eventsSessionizeSql)),
     ("events_session_window", eventsSessionWindow _, Some(eventsSessionWindowSql)),
@@ -3593,7 +3654,8 @@ items:
     "ann_brute_topk", "ann_int8_topk", "ann_lsh_query", "rp_topk",
     "ann_cosine_dedup", "ivf_topk", "ivf_int8_topk", "kmeans_step", "ann_pipeline", "dedup_clusters", "skew_salted_agg",
     "multimodal_features",
-    "events_window_agg", "events_window_stream", "events_dedup_stream", "events_enrich_stream",
+    "events_window_agg", "events_window_stream", "events_stream_sink",
+    "events_dedup_stream", "events_enrich_stream",
     "events_stream_join",
     "approx_distinct",
     "events_sessionize", "events_session_window", "events_session_stream",
