@@ -572,6 +572,87 @@ items:
     GROUP BY c.Year, c.Code"""
   }
 
+  /** Hand-transcribed golden truths for the real `original` commodity
+    * classification: (Year, Code) -> (item_key_2, item_key_3), each row
+    * read BY HAND from the cited lines of
+    * hbsir/metadata/commodities.yaml and NEVER derived from
+    * Classifier.compile. [[d1RealCommodities]]'s oracle re-runs the
+    * range join in DuckDB but its VALUES come from the same compiled
+    * ranges the engine uses, so it proves join/pivot mechanics only;
+    * THIS gate's oracle VALUES are the literals below, so a YAML
+    * boundary mis-parse on either side fails the hash compare. Keys of
+    * the form `_tobacco` appear stripped (`tobacco`) because the
+    * reference presents `key.strip("_")` (metadata_utils.py:344).
+    * RealMetadataSpec pins the same truths (plus level-1/5 ones) purely
+    * driver-side.
+    */
+  private val commodityGoldenRows: Seq[(Int, Long, Option[String], Option[String])] = Seq(
+    // ---- pre-1383 era: level 2 defines ONLY housing/rentals (yaml:313,319)
+    (1363, 11000L, None, Some("cereals_and_cereal_products")),  // :23-29 1363-keyed [11_000,12_000), start boundary
+    (1370, 11500L, None, Some("cereals_and_cereal_products")),  // :23-29
+    (1382, 11999L, None, Some("cereals_and_cereal_products")),  // :23-29 end-exclusive side
+    (1370, 12500L, None, None),                                 // :55-61 meat_and_sea_foods says `level: 5` (banner comment lies)
+    (1375, 13500L, None, Some("milk_other_dairy_product_and_eggs")), // :81-84
+    (1370, 14500L, None, Some("oils_and_fats")),                // :109-112
+    (1375, 15000L, None, Some("fruits_and_vegetables")),        // :128-131 start boundary
+    (1380, 16999L, None, Some("nuts_and_pulses")),              // :177-180
+    (1378, 17000L, None, Some("sugar_confectionery_and_desserts_tea_coffee_and_cocoa_drinks")), // :197-199
+    (1370, 18500L, None, Some("spices_condiments_and_other_food_products")), // :221-224
+    (1370, 19999L, None, Some("soft_drinks_prepared_foods_and_tobacco")),    // :248-251
+    (1370, 31500L, Some("housing"), None),                      // :312-315 [31_000,32_000); pre-1383 L3 stops at 20_000
+    (1382, 41000L, Some("rentals_for_housing"), None),          // :318-321 [41_000,42_000), start boundary
+    // ---- post-1383 era (sci_coicop_1383, yaml:364)
+    (1383, 10000L, None, None),                                 // :372-377 level-1 only at 10_000 (food L2 starts 11_000)
+    (1390, 11000L, Some("food"), None),                         // :380-385; L3 coverage starts at 11_100 (:388-394)
+    (1390, 11150L, Some("food"), Some("cereals_and_cereal_products")), // :388-394 1383-keyed [11_100,11_200) — era flip of the code dict
+    (1401, 11250L, Some("food"), Some("meat")),                 // :618-622
+    (1395, 11350L, Some("food"), Some("fish_and_other_sea_foods")), // :709-713
+    (1390, 11550L, Some("food"), Some("oils_fats_and_butter")), // :861-865
+    (1385, 11650L, Some("food"), Some("fruits_and_nuts")),      // :919-923
+    (1400, 11700L, Some("food"), Some("vegetables_and_pulses")), // :1050-1054 start boundary
+    (1390, 12150L, Some("non_alcoholic_beverages"), Some("tea_coffee_and_cocoa_drinks")), // :1369-1373, :1377-1381
+    (1390, 22150L, Some("tobacco"), Some("tobacco")),           // :1494-1497 L2, :1501-1504 L3 `_tobacco` stripped
+    (1390, 22999L, Some("tobacco"), None),                      // :1494-1497; `_tobacco` L3 ends 22_200
+    (1390, 23000L, Some("norcotics"), None),                    // :1515-1518 start-inclusive / tobacco end-exclusive
+    (1390, 31150L, Some("clothing"), Some("clothing_materials")), // :1544-1547, :1551-1554 — era flip: was `housing` L2 pre-1383
+    (1390, 31500L, Some("clothing"), None),                     // cleaning_repair L3 ends 31_500 (:1578-1581)
+    (1401, 32100L, Some("footwear"), Some("shoes_and_other_footwear")), // :1585-1588, :1592-1595
+    (1390, 41500L, Some("actual_rentals_for_housing"), None),   // :1613-1616
+    (1395, 42000L, Some("imputed_rentals_for_housing"), None),  // :1620-1623 start boundary
+    (1390, 112050L, Some("accommodation_services"), Some("accommodation_services")), // :1712-1715 L2, :1717-1721 L3 `_accommodation_services` stripped
+    (1390, 139500L, Some("transfer_payments"), None),           // :1746-1749 `_transfer_payments` stripped
+    (1400, 33500L, Some("investing_in_construction"), None),    // :1761-1764
+    (1390, 34999L, Some("other_investments"), None),            // :1768-1771
+  )
+
+  /** D1 real-metadata PARSE-FIDELITY gate: classify the hand-pinned
+    * (Year, Code) pairs with the engine's compiled real `original`
+    * ranges; the oracle is the hand-written truth table itself — the
+    * one derivation in this catalog with no compiled input on the
+    * DuckDB side.
+    */
+  def d1GoldenCommodities(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val codes = commodityGoldenRows.map { case (y, c, _, _) => (y, c) }
+      .toDF("Year", "Code")
+    Classifier.addClassification(codes, realCommodityItems, realCommoditySettings)
+      .orderBy("Year", "Code")
+  }
+
+  private lazy val d1GoldenSql: String = {
+    def q(o: Option[String]) = o.map(k => s"'$k'").getOrElse("NULL")
+    val values = commodityGoldenRows
+      .map { case (y, c, k2, k3) => s"($y, $c, ${q(k2)}, ${q(k3)})" }
+      .mkString(",\n      ")
+    s"""
+    SELECT CAST(Year AS INTEGER) AS Year, CAST(Code AS BIGINT) AS Code,
+           CAST(item_key_2 AS VARCHAR) AS item_key_2,
+           CAST(item_key_3 AS VARCHAR) AS item_key_3
+    FROM (VALUES
+      $values
+    ) t(Year, Code, item_key_2, item_key_3)"""
+  }
+
   /** D2 ID digit-substring attribute decode — pure expression, no join. */
   def d2Attribute(s: SparkSession, dir: String): DataFrame = {
     val df = T(s, dir, "orders").select(
@@ -702,7 +783,7 @@ items:
     */
   def jsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents")
-    val tmp = s"/tmp/graft_jsonl_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+    val tmp = scratchDir("jsonl", dir)
     RawSources.writeJsonl(docs, tmp)
     RawSources.readJsonl(s, tmp, docs.schema)
       .select(docs.columns.map(col).toSeq: _*)
@@ -718,7 +799,7 @@ items:
     */
   def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents")
-    val tmp = s"/tmp/graft_orc_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+    val tmp = scratchDir("orc", dir)
     RawSources.writeOrc(docs, tmp)
     RawSources.readOrc(s, tmp, docs.schema)
       .select(docs.columns.map(col).toSeq: _*)
@@ -737,7 +818,7 @@ items:
   def zorderRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val orders = T(s, dir, "orders").select("o_orderkey", "o_custkey")
     val dims = Seq(col("o_custkey") % 1024, col("o_orderkey") % 1024)
-    val tmp = s"/tmp/graft_zorder_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+    val tmp = scratchDir("zorder", dir)
     Layout.writeZOrdered(orders, tmp, dims, bits = 10, numFiles = 8)
     s.read.parquet(tmp)
       .select(col("o_orderkey"), col("o_custkey"),
@@ -759,7 +840,7 @@ items:
     */
   def compactRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents")
-    val base = s"/tmp/graft_compact_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+    val base = scratchDir("compact", dir)
     docs.repartition(64).write.mode("overwrite").parquet(s"$base/shattered")
     Layout.compact(s, s"$base/shattered", s"$base/compacted", targetFileBytes = 4L * 1024 * 1024)
     s.read.parquet(s"$base/compacted")
@@ -2458,7 +2539,7 @@ items:
     import org.apache.spark.sql.streaming.Trigger
     val streamDir = stageEventsWithSentinel(s, dir)
     val schema = s.read.parquet(s"$dir/events.parquet").schema
-    val base = s"/tmp/graft_streamsink_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+    val base = scratchDir("streamsink", dir)
     deleteRecursively(new java.io.File(base)) // fresh checkpoint per invocation
     val out = s"$base/out"; val ckpt = s"$base/ckpt"
     def runOnce(): Unit = withStreamShufflePartitions(s, 8) {
@@ -2482,15 +2563,20 @@ items:
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
-    runOnce()
-    val afterFirst = s.read.parquet(out).count()
-    runOnce() // same checkpoint, no new input: must be a no-op
-    val afterSecond = s.read.parquet(out).count()
-    require(afterSecond == afterFirst,
-      s"restart on the same checkpoint emitted rows: $afterFirst -> $afterSecond")
-    require(new java.io.File(s"$out/_spark_metadata").exists(),
-      "file sink wrote no _spark_metadata manifest — exactly-once readback contract missing")
-    deleteRecursively(streamDir.toFile)
+    // finally-guarded: a stream failure or tripped require must still
+    // release the staged input dir (out/ckpt are covered by the
+    // scratchDir shutdown hook — they have to outlive this method for
+    // the returned readback plan)
+    try {
+      runOnce()
+      val afterFirst = s.read.parquet(out).count()
+      runOnce() // same checkpoint, no new input: must be a no-op
+      val afterSecond = s.read.parquet(out).count()
+      require(afterSecond == afterFirst,
+        s"restart on the same checkpoint emitted rows: $afterFirst -> $afterSecond")
+      require(new java.io.File(s"$out/_spark_metadata").exists(),
+        "file sink wrote no _spark_metadata manifest — exactly-once readback contract missing")
+    } finally deleteRecursively(streamDir.toFile)
     // drop the sentinel's own window (one row, one day past the real
     // data; bounded driver scalar pins the boundary)
     val ev = T(s, dir, "events")
@@ -2578,6 +2664,27 @@ items:
     val kids = f.listFiles()
     if (kids != null) kids.foreach(deleteRecursively)
     f.delete(): Unit
+  }
+
+  /** Per-JVM-unique scratch directory for gates that write and read back
+    * from disk. Keying on the fixture dir ALONE made two concurrent runs
+    * over the same fixture (bench alongside correctness) race on
+    * overwrite/delete of the same path; the process id disambiguates
+    * them while staying stable WITHIN a run, so repeated invocations in
+    * one JVM (bench reps) reuse — and therefore self-clean via the
+    * fresh-delete each gate does on entry — the same directory. A
+    * shutdown hook removes everything this JVM registered, so nothing
+    * accumulates across processes either.
+    */
+  private val scratchRegistry =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    scratchRegistry.forEach(p => deleteRecursively(new java.io.File(p)))))
+  private def scratchDir(tag: String, dir: String): String = {
+    val slug = dir.replaceAll("[^0-9a-zA-Z]", "_")
+    val p = s"/tmp/graft_${tag}_${slug}_p${ProcessHandle.current().pid()}"
+    scratchRegistry.add(p)
+    p
   }
 
   private val eventsDedupStreamSql = """
@@ -3410,7 +3517,7 @@ items:
     val docs = T(s, dir, "documents")
     // bounded driver scalar (one row): the synthetic base/increment split
     val bound = (docs.agg(max("doc_id")).head.getLong(0) + 1L) / 2L
-    val tmp = s"/tmp/graft_winnow_idx_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+    val tmp = scratchDir("winnow_idx", dir)
     TextOps.winnowIndex(docs.where(col("doc_id") < bound))
       .write.mode("overwrite").parquet(tmp)
     TextOps.incrementalNearDups(docs.where(col("doc_id") >= bound), s.read.parquet(tmp))
@@ -3532,6 +3639,7 @@ items:
     ("d1_classification", d1Classification _, Some(d1Sql)),
     ("d1_expr_classification", d1ExprClassification _, Some(d1Sql)),
     ("d1_real_commodities", d1RealCommodities _, Some(d1RealSql)),
+    ("d1_golden_commodities", d1GoldenCommodities _, Some(d1GoldenSql)),
     ("d2_attribute", d2Attribute _, Some(d2Sql)),
     ("e5_select", e5Select _, Some(e5Sql)),
     ("e16_geo", e16Geo _, Some(e16Sql)),
@@ -3638,7 +3746,12 @@ items:
       "e12_sketch_hicard" -> (e12SketchHiCard _))
 
   /** Subset used by Bench at sf0.1 (representative of every operator
-    * family; a1_csv_roundtrip is excluded because it writes).
+    * family). Pure format-round-trip writers (a1_csv_roundtrip,
+    * jsonl/orc round-trips) are excluded — their wall-clock is sink
+    * I/O, not operator work. `events_stream_sink` is the DELIBERATE
+    * exception to that rule: it writes parquet + a checkpoint and runs
+    * two stream starts per invocation, because the checkpointed-landing
+    * fixed cost IS the thing being measured (see SCALE.md).
     */
   val benchNames: Seq[String] = Seq(
     "q1_agg", "b1_clean", "c7_numeric", "c8_categorical", "c10_groupby_sum",

@@ -101,15 +101,57 @@ object Layout {
       dstPath: String,
       targetFileBytes: Long = 128L * 1024 * 1024,
   ): Int = {
+    import org.apache.hadoop.fs.Path
     require(targetFileBytes > 0, "targetFileBytes must be positive")
-    require(srcPath != dstPath,
-      "compact src and dst must differ: overwriting the directory being read is undefined")
-    val fs = new org.apache.hadoop.fs.Path(srcPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val totalBytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(srcPath)).getLength
-    val numFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    spark.read.parquet(srcPath).coalesce(numFiles)
-      .write.mode("overwrite").parquet(dstPath)
+    val conf = spark.sparkContext.hadoopConfiguration
+    // The in-place guard must survive every spelling of "the same
+    // directory": makeQualified normalizes scheme / authority /
+    // relative-vs-absolute / trailing slash, and for the local
+    // filesystem getCanonicalPath additionally resolves symlinks —
+    // raw string inequality would let `dir/` vs `dir` (or a symlink)
+    // through, and overwrite mode would then delete the directory the
+    // lazy scan is still reading.
+    def canonical(p: String): String = {
+      val path = new Path(p)
+      val q = path.getFileSystem(conf).makeQualified(path)
+      if (q.toUri.getScheme == "file")
+        new java.io.File(q.toUri.getPath).getCanonicalPath
+      else q.toString
+    }
+    require(canonical(srcPath) != canonical(dstPath),
+      "compact src and dst must resolve to different directories: " +
+        "overwriting the directory being read is undefined")
+    val fs = new Path(srcPath).getFileSystem(conf)
+    def dataBytes(dir: String): (Long, Int) = {
+      val it = fs.listFiles(new Path(dir), true)
+      var bytes = 0L; var files = 0
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) { bytes += st.getLen; files += 1 }
+      }
+      (bytes, files)
+    }
+    val totalBytes = dataBytes(srcPath)._1
+    def rewrite(n: Int): Unit =
+      spark.read.parquet(srcPath).coalesce(n)
+        .write.mode("overwrite").parquet(dstPath)
+    var numFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    rewrite(numFiles)
+    // Sizing feedback: the first pass sizes from SOURCE bytes, but
+    // recompression (codec change, shattered-file header overhead
+    // collapsing) can move the written size far from that estimate.
+    // Measure what actually landed and, if mean output file size is
+    // off by more than 2x from target, re-coalesce ONCE from the
+    // measured bytes — still reading from src, so the guard above
+    // keeps the rewrite safe.
+    val (writtenBytes, writtenFiles) = dataBytes(dstPath)
+    if (writtenFiles > 0) {
+      val meanSize = writtenBytes.toDouble / writtenFiles
+      if (meanSize > 2.0 * targetFileBytes || meanSize < targetFileBytes / 2.0) {
+        val corrected = math.max(1, math.ceil(writtenBytes.toDouble / targetFileBytes).toInt)
+        if (corrected != numFiles) { numFiles = corrected; rewrite(numFiles) }
+      }
+    }
     numFiles
   }
 }

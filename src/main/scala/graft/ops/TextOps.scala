@@ -317,6 +317,14 @@ object TextOps {
     *
     * Docs with fewer than k tokens yield no fingerprints; docs with
     * fewer than w shingles yield exactly one window (the whole doc).
+    *
+    * PRECONDITION — `idCol` values must be distinct (one row per
+    * document). The kernel fingerprints each ROW independently, while
+    * [[winnowFingerprintsWindowed]] merges all rows sharing an id into
+    * one token stream through its (doc_id, pos) partition — on
+    * duplicate ids the two forms legitimately diverge, so the
+    * bit-identical kernel≡windowed contract (TextOpsSpec) is stated,
+    * and holds, only for distinct ids.
     */
   def winnowFingerprints(df: DataFrame, k: Int = 3, w: Int = 4,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -337,7 +345,10 @@ object TextOps {
     * sharing one shuffle+sort. Kept as the independent in-engine
     * cross-check of the native kernel (TextOpsSpec asserts bit-identical
     * output on fixtures and hostile inputs); the kernel path is the
-    * production default because it needs no exchange.
+    * production default because it needs no exchange. Same distinct-id
+    * precondition as [[winnowFingerprints]]: duplicate `idCol` values
+    * are merged into one token stream here but fingerprinted per-row by
+    * the kernel, so equivalence holds only for distinct ids.
     */
   def winnowFingerprintsWindowed(df: DataFrame, k: Int = 3, w: Int = 4,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {

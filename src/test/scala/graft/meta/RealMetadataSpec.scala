@@ -144,6 +144,101 @@ class RealMetadataSpec extends AnyFunSuite {
     assert(items.exists(i => i.key == "managers" && i.aspects.get("title").contains("Managers")))
   }
 
+  // ----------------------------------------------------- hand-pinned goldens
+
+  /** (year, code, level) -> expected item key, transcribed BY HAND from
+    * the YAML text (line cites on each row). These literals never touch
+    * Classifier.compile — they are the independent truth that the
+    * YAML→range compilation parses boundaries, year-keyed code dicts,
+    * the `original` era splice, and level numbers faithfully. The other
+    * tests in this suite prove inventory/availability/non-overlap; a
+    * mis-parsed boundary could survive all of those AND the
+    * d1_real_commodities gate (whose oracle VALUES are generated from
+    * the same compiled ranges) — only a hand-written golden catches it.
+    */
+  private val commodityGoldens: Seq[(Int, Long, Int, Option[String])] = Seq(
+    // ---- pre-1383 era (original splices sci_coicop_1363, commodities.yaml:13)
+    (1370, 10500L, 1, Some("food_beverages_and_tobacco")),     // :17-20 [10_000,20_000)
+    (1363, 11000L, 3, Some("cereals_and_cereal_products")),    // :23-29 1363-keyed [11_000,12_000), start-inclusive
+    (1382, 11999L, 3, Some("cereals_and_cereal_products")),    // :23-29 last pre-era year, end-exclusive side
+    // meat_and_sea_foods sits under a "LEVEL 3" banner comment but its
+    // DATA says `level: 5` (:55-61) — the parser must read the data
+    (1370, 12500L, 3, None),
+    (1370, 12500L, 5, Some("meat_and_sea_foods")),             // :55-61 1363-keyed [12_000,13_000)
+    (1375, 13500L, 3, Some("milk_other_dairy_product_and_eggs")), // :81-84 [13_000,14_000)
+    (1370, 14500L, 3, Some("oils_and_fats")),                  // :109-112 [14_000,15_000)
+    (1375, 15000L, 3, Some("fruits_and_vegetables")),          // :128-131 [15_000,16_000), start boundary
+    (1380, 16999L, 3, Some("nuts_and_pulses")),                // :177-180 [16_000,17_000)
+    (1378, 17000L, 3, Some("sugar_confectionery_and_desserts_tea_coffee_and_cocoa_drinks")), // :197-199, proves 17_000 left nuts_and_pulses (end-exclusive)
+    (1370, 18500L, 3, Some("spices_condiments_and_other_food_products")), // :221-224 [18_000,19_000)
+    (1370, 19999L, 3, Some("soft_drinks_prepared_foods_and_tobacco")),    // :248-251 [19_000,20_000)
+    (1370, 31500L, 2, Some("housing")),                        // :312-315 [31_000,32_000)
+    (1382, 41000L, 2, Some("rentals_for_housing")),            // :318-321 [41_000,42_000)
+    (1370, 11500L, 2, None), // pre-1383 defines EXACTLY two level-2 items (:313, :319); 11_500 is in neither
+    // ---- post-1383 era (original splices sci_coicop_1383, commodities.yaml:364)
+    (1383, 10000L, 1, Some("food_and_non_alcoholic_beverages")), // :372-377 1383-keyed [10_000,20_000), first era year
+    (1390, 11500L, 2, Some("food")),                           // :380-385 1383-keyed [11_000,12_000)
+    (1390, 11150L, 3, Some("cereals_and_cereal_products")),    // :388-394 1383-keyed [11_100,11_200) — the code dict flipped with the era
+    (1390, 11000L, 3, None), // 1383-era level-3 coverage starts at 11_100 (:388-394); [11_000,11_100) has no level-3 owner
+    (1401, 11250L, 3, Some("meat")),                           // :618-622 [11_200,11_300)
+    (1395, 11350L, 3, Some("fish_and_other_sea_foods")),       // :709-713 [11_300,11_400)
+    (1390, 11550L, 3, Some("oils_fats_and_butter")),           // :861-865 [11_500,11_600)
+    (1385, 11650L, 3, Some("fruits_and_nuts")),                // :919-923 [11_600,11_700)
+    (1400, 11700L, 3, Some("vegetables_and_pulses")),          // :1050-1054 [11_700,11_800), start boundary
+    (1390, 12150L, 3, Some("tea_coffee_and_cocoa_drinks")),    // :1377-1381 [12_100,12_200)
+    (1390, 12500L, 2, Some("non_alcoholic_beverages")),        // :1369-1373 [12_000,13_000)
+    // NOTE: YAML keys like `_tobacco` disambiguate duplicate map keys;
+    // the reference presents them with underscores stripped from both
+    // ends (metadata_utils.py:344 `key.strip("_")`) — goldens pin the
+    // PRESENTED key
+    (1390, 22150L, 3, Some("tobacco")),                        // :1501-1504 [22_100,22_200), key `_tobacco` -> `tobacco`
+    (1390, 22999L, 2, Some("tobacco")),                        // :1494-1497 [22_000,23_000)
+    (1390, 23000L, 2, Some("norcotics")),                      // :1515-1518 [23_000,24_000) — tobacco's end is exclusive, norcotics' start inclusive
+    (1390, 31500L, 2, Some("clothing")),                       // :1544-1547 [31_000,32_000) — ERA FLIP: same (code, level) was `housing` pre-1383
+    (1401, 32100L, 3, Some("shoes_and_other_footwear")),       // :1592-1595 [32_100,32_200)
+    (1390, 41500L, 2, Some("actual_rentals_for_housing")),     // :1613-1616 [41_000,42_000) — era flip of the pre-1383 `rentals_for_housing` key
+    (1395, 42000L, 2, Some("imputed_rentals_for_housing")),    // :1620-1623 [42_000,43_000)
+    (1390, 112050L, 3, Some("accommodation_services")),        // :1717-1721 [112_000,112_100) ("Yes! it is true!"), key `_accommodation_services`
+    (1390, 139500L, 2, Some("transfer_payments")),             // :1746-1749 [139_000,140_000), key `_transfer_payments`
+    (1400, 33500L, 2, Some("investing_in_construction")),      // :1761-1764 [33_000,34_000)
+    (1390, 34999L, 2, Some("other_investments")),              // :1768-1771 [34_000,35_000)
+  )
+
+  private val occupationGoldens: Seq[(Int, Long, Int, Option[String])] = Seq(
+    (1380, 1500L, 1, Some("managers")),                        // occupations.yaml:8-12 [1000,2000)
+    (1400, 1100L, 2, Some("chief_executives_senior_officials_and_legislators")), // :64-69 [1100,1200), start boundary
+    (1390, 2999L, 1, Some("professionals")),                   // :2001-2005 [2000,3000)
+    (1375, 5000L, 1, Some("service_and_sales_workers")),       // :13080-13084 [5000,6000)
+    (1401, 9999L, 1, Some("elementary_occupations")),          // :21761-21765 [9000,10000)
+  )
+
+  private def checkGoldens(name: String, doc: Meta,
+      goldens: Seq[(Int, Long, Int, Option[String])]): Unit = {
+    val years = goldens.map(_._1).distinct.sorted
+    val items = Classifier.compile(doc, years)
+    val errs = goldens.flatMap { case (y, code, lvl, want) =>
+      val hits = items.filter(i => i.year == y && i.level == lvl && i.codes.contains(code))
+        .map(_.key).distinct
+      (want, hits) match {
+        case (Some(k), Seq(h)) if h == k => None
+        case (None, Seq())               => None
+        case _ => Some(s"$name ($y, $code, level $lvl): want ${want.getOrElse("<none>")}, got ${hits.mkString("[", ",", "]")}")
+      }
+    }
+    assert(errs.isEmpty, s"${errs.size} golden mismatches:\n${errs.mkString("\n")}")
+  }
+
+  test("hand-pinned goldens: commodities `original` reproduces YAML-transcribed truths") {
+    corpus()
+    checkGoldens("original", RealMeta.commodities("original"), commodityGoldens)
+  }
+
+  test("hand-pinned goldens: occupations isco + original reproduce YAML-transcribed truths") {
+    corpus()
+    checkGoldens("isco", RealMeta.occupations("isco"), occupationGoldens)
+    checkGoldens("original", RealMeta.occupations("original"), occupationGoldens)
+  }
+
   // -------------------------------------------------------------- household
 
   test("household.yaml: ID layouts + attribute availability for every year") {
