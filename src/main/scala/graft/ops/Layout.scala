@@ -89,9 +89,12 @@ object Layout {
     * every downstream scan then pays per-file open/footer/seek costs
     * and the scheduler pays per-split overhead — at 100 TB, file count
     * (not byte count) becomes the scan bottleneck. Sizing comes from a
-    * driver-side filesystem LISTING (metadata only, no data read);
+    * driver-side filesystem LISTING (metadata only, no data read),
+    * then a measured-bytes feedback pass corrects it once if
+    * recompression moved the written size off target by more than 2x;
     * `coalesce` keeps the rewrite shuffle-free — each output task
-    * concatenates whole input files. Use [[writeZOrdered]] or
+    * concatenates whole input splits. Returns the number of data files
+    * actually written. Use [[writeZOrdered]] or
     * [[graft.sources.RawSources.writeBucketed]] instead when the rewrite
     * should also fix the ORDER of the data, not just its granularity.
     */
@@ -132,26 +135,40 @@ object Layout {
       (bytes, files)
     }
     val totalBytes = dataBytes(srcPath)._1
-    def rewrite(n: Int): Unit =
-      spark.read.parquet(srcPath).coalesce(n)
-        .write.mode("overwrite").parquet(dstPath)
-    var numFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    rewrite(numFiles)
+    // The scan must be able to produce AT LEAST the desired output file
+    // count: coalesce only merges, so the read's split size (not the
+    // session default, which byte-packs small files into few fat
+    // partitions) is set to the per-output source-byte budget, and
+    // coalesce then trims the over-partitioning that the per-file open
+    // cost introduces. Still shuffle-free end to end.
+    def rewrite(n: Int): Int = {
+      val splitKey = "spark.sql.files.maxPartitionBytes"
+      val prev = spark.conf.get(splitKey)
+      val split = math.max(1L, math.ceil(totalBytes.toDouble / n).toLong)
+      try {
+        spark.conf.set(splitKey, split.toString)
+        spark.read.parquet(srcPath).coalesce(n)
+          .write.mode("overwrite").parquet(dstPath)
+      } finally spark.conf.set(splitKey, prev)
+      dataBytes(dstPath)._2
+    }
+    val estimate = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    var written = rewrite(estimate)
     // Sizing feedback: the first pass sizes from SOURCE bytes, but
     // recompression (codec change, shattered-file header overhead
     // collapsing) can move the written size far from that estimate.
     // Measure what actually landed and, if mean output file size is
-    // off by more than 2x from target, re-coalesce ONCE from the
-    // measured bytes — still reading from src, so the guard above
-    // keeps the rewrite safe.
+    // off by more than 2x from target, rewrite ONCE from the measured
+    // bytes — still reading from src, so the guard above keeps the
+    // rewrite safe.
     val (writtenBytes, writtenFiles) = dataBytes(dstPath)
     if (writtenFiles > 0) {
       val meanSize = writtenBytes.toDouble / writtenFiles
       if (meanSize > 2.0 * targetFileBytes || meanSize < targetFileBytes / 2.0) {
         val corrected = math.max(1, math.ceil(writtenBytes.toDouble / targetFileBytes).toInt)
-        if (corrected != numFiles) { numFiles = corrected; rewrite(numFiles) }
+        if (corrected != writtenFiles) written = rewrite(corrected)
       }
     }
-    numFiles
+    written
   }
 }

@@ -106,6 +106,90 @@ class LayoutSpec extends SparkSpec {
     intercept[IllegalArgumentException](Layout.compact(spark, s"$base/src", s"$base/src"))
   }
 
+  /** Per-row-group (min, max) envelope of each named column, read from
+    * the parquet FOOTER STATS of every part-file under `path` — the
+    * exact metadata a consumer (Spark's vectorized reader, DuckDB,
+    * Trino) uses to decide which row groups a predicate can skip.
+    */
+  private def rowGroupEnvelopes(path: String, cols: Seq[String]): Seq[Map[String, (Long, Long)]] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = new java.io.File(path).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    files.toSeq.flatMap { f =>
+      val rdr = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f.getPath), conf))
+      try rdr.getFooter.getBlocks.asScala.toSeq.map { b =>
+        cols.map { c =>
+          val cc = b.getColumns.asScala.find(_.getPath.toDotString == c)
+            .getOrElse(fail(s"column $c missing from ${f.getName} footer"))
+          val st = cc.getStatistics
+          assert(st != null && !st.isEmpty, s"$c: no stats in ${f.getName}")
+          c -> (st.genericGetMin.asInstanceOf[Number].longValue,
+            st.genericGetMax.asInstanceOf[Number].longValue)
+        }.toMap
+      } finally rdr.close()
+    }
+  }
+
+  test("z-order pruning proof: row-group stats skip scans on EVERY dimension") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_zprune").toString
+    // 128x128 grid; z-ordered vs x-sorted control — the control prunes
+    // only its sort key, which is exactly the deficiency z-order fixes
+    val grid = for { x <- 0 until 128; y <- 0 until 128 } yield (x, y)
+    val df = grid.toDF("x", "y")
+    Layout.writeZOrdered(df, s"$base/z", Seq(col("x"), col("y")), bits = 7, numFiles = 16)
+    df.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.parquet(s"$base/xsort")
+
+    def matching(path: String, c: String, lo: Long, hi: Long): (Int, Int) = {
+      val envs = rowGroupEnvelopes(path, Seq("x", "y"))
+      (envs.count { e => val (mn, mx) = e(c); mx >= lo && mn <= hi }, envs.size)
+    }
+    // selective slice on each dimension: x in [0,15], y in [0,15]
+    val (zx, zTotal) = matching(s"$base/z", "x", 0, 15)
+    val (zy, _)      = matching(s"$base/z", "y", 0, 15)
+    val (sx, sTotal) = matching(s"$base/xsort", "x", 0, 15)
+    val (sy, _)      = matching(s"$base/xsort", "y", 0, 15)
+    assert(zTotal >= 16 && sTotal >= 16, s"too few row groups: z=$zTotal xsort=$sTotal")
+    // the control behaves as expected: prunes its sort key, reads
+    // EVERYTHING for the other dimension
+    assert(sx < sTotal, s"x-sorted layout failed to prune x: $sx/$sTotal")
+    assert(sy == sTotal, s"x-sorted layout unexpectedly pruned y: $sy/$sTotal")
+    // the claim under test: the z-ordered layout prunes BOTH dimensions —
+    // a 1/8-wide slice on either axis skips at least half the row groups
+    assert(zx <= zTotal / 2, s"z layout reads too many row groups for x-slice: $zx/$zTotal")
+    assert(zy <= zTotal / 2, s"z layout reads too many row groups for y-slice: $zy/$zTotal")
+    // and the skipped row groups were genuinely skippable: the slice's
+    // answer is still complete through a real scan
+    assert(spark.read.parquet(s"$base/z").where(col("y") <= 15).count() == 128L * 16)
+    assert(spark.read.parquet(s"$base/z").where(col("x") <= 15).count() == 128L * 16)
+  }
+
+  test("compact sizing feedback: recompression-shifted output lands within 2x of target") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_compact_fb").toString
+    // uncompressed source, snappy destination: the first-pass estimate
+    // (from SOURCE bytes) overshoots the file count badly — the measured
+    // rewrite must correct it
+    val rnd = new scala.util.Random(7)
+    val df = (1L to 60000L).map(i => (i, rnd.alphanumeric.take(64).mkString * 4)).toDF("id", "text")
+    df.repartition(50).write.option("compression", "uncompressed").parquet(s"$base/src")
+    val target = 512L * 1024
+    val n = Layout.compact(spark, s"$base/src", s"$base/dst", targetFileBytes = target)
+    val outFiles = new java.io.File(s"$base/dst").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(outFiles.length == n)
+    val mean = outFiles.map(_.length).sum.toDouble / outFiles.length
+    assert(n == 1 || (mean >= target / 2.0 && mean <= 2.0 * target),
+      s"mean output file size $mean not within 2x of $target across $n files")
+    // losslessness through the corrective second pass
+    assert(spark.read.parquet(s"$base/dst").count() == 60000L)
+  }
+
   test("zValue properties on random grids: bijective, range-bounded, recursively local") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
