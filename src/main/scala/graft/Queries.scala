@@ -2584,6 +2584,79 @@ items:
     s.read.parquet(out).where(col("hour_epoch") <= maxRealHour)
   }
 
+  /** CRASH-RECOVERY evidence for the checkpointed file sink:
+    * [[eventsStreamSink]] proves a COMPLETED run restarts as a no-op;
+    * this gate proves recovery from an INTERRUPTED run — the failure
+    * mode checkpoints exist for. The corpus replays as ~10 time-ordered
+    * files + sentinel with maxFilesPerTrigger=1; the first stream start
+    * is KILLED mid-replay (await the first committed micro-batch, then
+    * stop(), which aborts the in-flight batch); a second start on the
+    * same checkpoint must drain the remainder such that the final
+    * manifest readback still hash-equals the batch oracle — no lost
+    * windows from the committed prefix, no duplicated windows from the
+    * re-run batch, and any part-files orphaned by the kill invisible
+    * because readers go through `_spark_metadata`. Micro-batches at this
+    * sf are fast, so catching the stream mid-flight is retried (fresh
+    * scratch per attempt) and the interruption is REQUIRED, never
+    * silently downgraded to a completed-run restart.
+    */
+  def eventsStreamRecovery(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val streamDir = stageEventsWithSentinel(s, dir, timeSplits = 10)
+    val nFiles = streamDir.toFile.listFiles().count(_.getName.endsWith(".parquet"))
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val base = scratchDir("streamrec", dir)
+    def start(out: String, ckpt: String) = {
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+      src.withColumn("_event_time", tsEventTimeOf(src))
+        .withWatermark("_event_time", "2 hours")
+        .groupBy(col("event_type"), window(col("_event_time"), "1 hour"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+        .select(col("event_type"),
+          unix_timestamp(col("window.start")).as("hour_epoch"),
+          col("n"), col("value_cents"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    }
+    // one recovery attempt; Right(out) when the kill landed mid-replay,
+    // Left(()) when the replay outran the poll and the attempt is void
+    def attempt(i: Int): Either[Unit, String] = withStreamShufflePartitions(s, 8) {
+      val out = s"$base/a$i/out"; val ckpt = s"$base/a$i/ckpt"
+      deleteRecursively(new java.io.File(s"$base/a$i"))
+      val q1 = start(out, ckpt)
+      val deadline = System.nanoTime + 120L * 1000 * 1000 * 1000
+      while (q1.isActive && q1.recentProgress.isEmpty && System.nanoTime < deadline)
+        Thread.sleep(2)
+      val caughtLive = q1.isActive
+      // a batch aborted mid-commit may surface as a StreamingQueryException
+      // here — for this gate that IS the crash being simulated; recovery
+      // must work from whatever state the checkpoint holds
+      q1.stop()
+      try q1.awaitTermination()
+      catch { case scala.util.control.NonFatal(_) => () }
+      val committed = q1.recentProgress.map(_.batchId).distinct.length
+      if (!caughtLive || committed == 0 || committed >= nFiles) Left(())
+      else {
+        val q2 = start(out, ckpt) // same checkpoint: resume, not restart
+        q2.awaitTermination()
+        require(new java.io.File(s"$out/_spark_metadata").exists(),
+          "recovered file sink wrote no _spark_metadata manifest")
+        Right(out)
+      }
+    }
+    try {
+      val out = (1 to 5).iterator.map(attempt).collectFirst { case Right(o) => o }
+        .getOrElse(sys.error(
+          s"could not interrupt the $nFiles-file replay mid-stream in 5 attempts — " +
+            "the crash-recovery evidence is gone; raise timeSplits"))
+      val ev = T(s, dir, "events")
+      val maxRealHour = (ev.agg(max(tsUsOf(ev))).head.getLong(0) / 3600000000L) * 3600L
+      s.read.parquet(out).where(col("hour_epoch") <= maxRealHour)
+    } finally deleteRecursively(streamDir.toFile)
+  }
+
   /** Stream-static enrichment join: the events STREAM joins the static
     * nation dim (user_id mod 25 as the synthetic FK) and aggregates per
     * nation — the lookup-enrichment shape of a streaming pipeline. The
@@ -3697,6 +3770,7 @@ items:
     ("events_window_agg", eventsWindowAgg _, Some(eventsWindowSql)),
     ("events_window_stream", eventsWindowStream _, Some(eventsWindowSql)),
     ("events_stream_sink", eventsStreamSink _, Some(eventsWindowSql)),
+    ("events_stream_recovery", eventsStreamRecovery _, Some(eventsWindowSql)),
     ("events_dedup_stream", eventsDedupStream _, Some(eventsDedupStreamSql)),
     ("events_sessionize", eventsSessionize _, Some(eventsSessionizeSql)),
     ("events_session_window", eventsSessionWindow _, Some(eventsSessionWindowSql)),
@@ -3732,6 +3806,10 @@ items:
     ("e14_cleaned", EngineQueries.e14Cleaned _, Some(EngineQueries.e14CleanedSql)),
     ("e15_view", EngineQueries.e15View _, Some(Queries.d1Sql)),
     ("e18_availability", EngineQueries.e18Availability _, Some(EngineQueries.e18Sql)),
+    // real-metadata DAG execution: raw (era-correct columns) -> cleaned
+    // -> Original_Expenditures -> Expenditures -> Total_Expenditure
+    ("real_total_expenditure", RealPipeline.realTotalExpenditure _,
+      Some(RealPipeline.realTotalExpenditureSql)),
   )
 
   /** Bench-only queries: timed by Bench, absent from the correctness

@@ -33,6 +33,14 @@ object CleanOps {
   final case class TableCleanSpec(
       columns: Vector[ColumnSpec],
       missings: String, // "drop" | "error"
+      /** Raw columns the metadata EXPLICITLY marks `drop`
+        * (data_cleaner.py:146-147): known columns skipped without
+        * consulting the missings policy — distinct from columns absent
+        * from metadata, which under the default `missings: error` are a
+        * hard failure. Conflating the two would make every real
+        * expenditure file throw on its `DYCOL07: drop` column.
+        */
+      dropped: Set[String] = Set.empty,
   )
 
   /** Compile a year-resolved table metadata block (tables.yaml shape:
@@ -46,7 +54,11 @@ object CleanOps {
     // hide metadata drift.
     val missings = resolved
       .get("settings").flatMap(_.get("missings")).map(_.asStr).getOrElse("error")
-    val cols = resolved("columns").asMap.flatMap {
+    val colsMeta = resolved("columns").asMap
+    val dropped = colsMeta.collect {
+      case (k, MStr("drop")) => k.asString.toUpperCase
+    }.toSet
+    val cols = colsMeta.flatMap {
       case (k, MStr("drop")) => None
       // a column spec resolved to null marks a year the raw file does
       // not carry that column (tables.yaml:1347-1378, e.g. food COL4
@@ -76,7 +88,7 @@ object CleanOps {
         }
         Some(ColumnSpec(k.asString, cm("new_name").asStr, typ, replace))
     }
-    TableCleanSpec(cols, missings)
+    TableCleanSpec(cols, missings, dropped)
   }
 
   /** General string scrubbing (data_cleaner.py:216-227): middle-dot -> '.',
@@ -178,6 +190,7 @@ object CleanOps {
     val projections = raw.columns.toSeq.flatMap { c =>
       specByRaw.get(c.toUpperCase) match {
         case Some(cs) => Some(cleanColumn(cs.copy(rawName = c), rawTypes(c)))
+        case None if spec.dropped(c.toUpperCase) => None
         case None if spec.missings == "error" =>
           throw new IllegalArgumentException(s"column '$c' not found in metadata")
         case None => None

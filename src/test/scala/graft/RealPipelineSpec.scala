@@ -1,0 +1,58 @@
+package graft
+
+import graft.meta.RealMeta
+
+/** Execution-level checks on the real-metadata standard-table DAG
+  * (the `real_total_expenditure` gate compares VALUES against DuckDB;
+  * this spec pins the contract and the PLAN SHAPE).
+  */
+class RealPipelineSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("real Total_Expenditure DAG executes across both coding eras") {
+    assume(RealMeta.available && new java.io.File(sfDir).isDirectory)
+    val df = RealPipeline.realTotalExpenditure(spark, sfDir)
+    // the real apply_order (schema.yaml:708-712)
+    assert(df.columns.toSeq ==
+      Seq("Year", "ID", "Gross_Expenditure", "Net_Expenditure"))
+    val years = df.select("Year").distinct().collect().map(_.getInt(0)).toSet
+    assert(years == Set(1382, 1400), s"expected both eras, got $years")
+    // annualization invariant: every per-item value is an exact multiple
+    // of 720 and x/Duration*360 multiplies by 12 (dur 30) or 1 (dur 360),
+    // so household sums must be exact multiples of 720 — a drifted
+    // Duration resolution or a lost fillna(0) breaks this
+    import org.apache.spark.sql.functions._
+    val offGrid = df.where(pmod(col("Gross_Expenditure"), lit(720.0)) =!= 0.0 ||
+      pmod(col("Net_Expenditure"), lit(720.0)) =!= 0.0).count()
+    assert(offGrid == 0L, s"$offGrid household sums off the 720 grid")
+  }
+
+  test("plan shape: union of cleaned scans into per-year hash aggregates, no joins") {
+    assume(RealMeta.available && new java.io.File(sfDir).isDirectory)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val df = RealPipeline.realTotalExpenditure(spark, sfDir)
+    df.collect() // finalize AQE so the executed plan is the real one
+    // walk the FINAL adaptive plan, unwrapping query stages (the plan's
+    // string render duplicates nodes across initial/final sections)
+    def walk(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec        => walk(q.plan)
+      case other                    => other.children.flatMap(walk)
+    })
+    val nodes = walk(df.queryExecution.executedPlan)
+    // the whole DAG is projections + one aggregation per year: any Join
+    // node means a pipeline step silently became a lookup
+    assert(!nodes.exists(_.isInstanceOf[BaseJoinExec]),
+      s"unexpected join:\n${df.queryExecution.executedPlan}")
+    // exchanges: one hash exchange per year's (Year, ID) aggregate plus
+    // the final presentation sort — anything more means a clean/pipeline
+    // stage broke the single-pass shape (e.g. an extra repartition)
+    val exchanges = nodes.count(_.isInstanceOf[ShuffleExchangeLike])
+    assert(exchanges <= 3,
+      s"expected <=3 exchanges, got $exchanges:\n${df.queryExecution.executedPlan}")
+  }
+}

@@ -69,4 +69,26 @@ class CleanOpsSpec extends SparkSpec {
     // row 2: urban, untouched by both later rules
     assert(out == Map(1L -> "settlement", 2L -> "urban"))
   }
+
+  test("explicit `drop` columns skip the missings policy; unknown columns still error") {
+    import spark.implicits._
+    // the reference distinguishes a column the metadata KNOWS and drops
+    // (data_cleaner.py:146-147, e.g. food's `DYCOL07: drop`,
+    // tables.yaml:1386) from one ABSENT from metadata, which under the
+    // default `missings: error` policy is a hard failure
+    // (data_cleaner.py:148-152). Conflating them would make every real
+    // expenditure raw file throw on its drop-marked columns.
+    val meta = graft.meta.Meta.fromYaml(
+      """columns:
+        |  ADDRESS: {new_name: ID, type: unsigned}
+        |  DYCOL07: drop
+        |""".stripMargin)
+    val spec = CleanOps.compileSpec(meta, 1400)
+    assert(spec.missings == "error")
+    val out = CleanOps.cleanTable(Seq((1L, "x")).toDF("ADDRESS", "DYCOL07"), spec)
+    assert(out.columns.toSeq == Seq("ID"))
+    val ex = intercept[IllegalArgumentException](
+      CleanOps.cleanTable(Seq((1L, "x")).toDF("ADDRESS", "MYSTERY"), spec))
+    assert(ex.getMessage.contains("MYSTERY"))
+  }
 }
