@@ -74,8 +74,20 @@ object InflateSf {
       if (i == 0) df
       else df
         .withColumn("doc_id", shift("doc_id", i))
+        // replica AND doc-salted token suffix: the replica part keeps
+        // shingle sets disjoint ACROSS replicas; the per-doc salt makes
+        // texts unique WITHIN a replica, so the official corpus's natural
+        // equal-text/equal-simhash pairs (e.g. (107, 387) at sf0.1) do
+        // not replicate into id territory that the planted-pair gates'
+        // isolation precondition reserves (>= 10000) — simhash_pairs
+        // previously REFUSED the inflated corpus on exactly this
+        // (SCALE.md round-12 notes). Planted near-dup structure is
+        // unaffected: the gates plant copies at QUERY time from the
+        // corpus they read, so copies stay exact. Replica 0 is the
+        // official corpus verbatim, natural pairs intact.
         .withColumn("text", concat_ws(" ",
-          transform(split(col("text"), "\\s+"), x => concat(x, lit(s"x$i")))))
+          transform(split(col("text"), "\\s+"),
+            x => concat(x, lit(s"x$i"), pmod(col("doc_id"), lit(9973L))))))
         .withColumn("n_chars", length(col("text")).cast(LongType)))
     inflate("embeddings")((df, i) =>
       if (i == 0) df

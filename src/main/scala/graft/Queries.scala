@@ -756,6 +756,119 @@ items:
     FROM fact f LEFT JOIN geoseries g ON f.Province = g.Province"""
   }
 
+  /** E16 at the REGION level: the humandata.Region block of the real
+    * maps.yaml (~429 county-level PCODEs, maps.yaml:49+) with names from
+    * household.yaml's County block — the survey's region coding IS the
+    * county coding (maps.yaml Region keys 1..13 = household.yaml County
+    * names :199-213). The County name block is year-versioned with
+    * nulled-out reassigned counties (household.yaml:395-435), so names
+    * resolve at 1400 ([[RealMeta.areaNamesAt]]; the reference reads the
+    * block raw, map_drawer.py:13, which would hand a year-dict to the
+    * geoseries index for those codes). The fact carries BOTH Region and
+    * Province columns, so this gate also pins the Region-over-Province
+    * auto-detect (map_drawer.py:34-37 / [[Geo.addGeometry]]).
+    */
+  private lazy val e16RegionMap = Geo.areaMap(RealMeta.maps, "humandata", "Region")
+  private lazy val e16RegionNames: Map[Long, String] = RealMeta.areaNamesAt("County", 1400)
+
+  def e16GeoRegion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val am = e16RegionMap
+    val geomDf = am.codes.values.toSeq.sorted.map(p => (p, e16WktOf(p)))
+      .toDF(am.codeColumn, "geometry")
+    val geoseries = Geo.createGeoSeries(geomDf, am, e16RegionNames, "Region")
+    val fact = T(s, dir, "orders").select(
+      col("o_orderkey"),
+      element_at(typedlit(e16RegionNames), col("o_orderkey") % 920).as("Region"),
+      element_at(typedlit(e16Names), col("o_orderkey") % 31).as("Province"))
+    // no explicit area: the detector must prefer Region over Province
+    Geo.addGeometry(fact, geoseries).orderBy("o_orderkey")
+  }
+
+  private lazy val e16RegionSql: String = {
+    val am = e16RegionMap
+    def q(sv: String) = sv.replace("'", "''")
+    val regionNameVals = e16RegionNames.toSeq.sortBy(_._1)
+      .map { case (c, n) => s"($c, '${q(n)}')" }.mkString(", ")
+    val provNameVals = e16Names.toSeq.sortBy(_._1)
+      .map { case (c, n) => s"($c, '${q(n)}')" }.mkString(", ")
+    val codeVals = am.codes.toSeq.sortBy(_._1)
+      .map { case (c, p) => s"($c, '${q(p)}')" }.mkString(", ")
+    val geomVals = am.codes.values.toSeq.sorted
+      .map(p => s"('${q(p)}', '${e16WktOf(p)}')").mkString(", ")
+    s"""
+    WITH rnames(pc, Region) AS (VALUES $regionNameVals),
+         pnames(pc, Province) AS (VALUES $provNameVals),
+         codes(pc, pcode) AS (VALUES $codeVals),
+         geos(pcode, geometry) AS (VALUES $geomVals),
+         geoseries AS (
+           SELECT r.Region, g.geometry
+           FROM geos g LEFT JOIN codes c ON g.pcode = c.pcode
+                       LEFT JOIN rnames r ON c.pc = r.pc),
+         fact AS (
+           SELECT o_orderkey, r.Region, p.Province
+           FROM orders LEFT JOIN rnames r ON o_orderkey % 920 = r.pc
+                       LEFT JOIN pnames p ON o_orderkey % 31 = p.pc)
+    SELECT f.o_orderkey, f.Region, f.Province, g.geometry
+    FROM fact f LEFT JOIN geoseries g ON f.Region = g.Region"""
+  }
+
+  /** D2 with the EXTERNAL-FILE code path (County 1387-1391,
+    * household.yaml:180-194): year 1388 decodes through a broadcast
+    * (ID → code) mapping (the reference dict-maps the ID column over the
+    * loaded `counties` file, decoder.py:588-598) while year 1393 decodes
+    * positionally from digits 2-5 of the 11-digit ID — both dispatched
+    * by [[IdDecoder.compileOpt]] over the REAL household.yaml in ONE
+    * query. Planted edge cases: county code 8 (absent from the name map,
+    * household.yaml:199-213 skips it) labels NULL in both paths, and
+    * every 7th external household is missing from the mapping → NULL.
+    * The oracle's name table is HAND-written from the YAML text.
+    */
+  def d2CountyExternal(s: SparkSession, dir: String): DataFrame = {
+    val layouts = IdDecoder.compileOpt(RealMeta.household, "County", Seq(1388, 1393))
+    val base = T(s, dir, "orders").select(col("o_orderkey"))
+    val fact = base.select(
+      col("o_orderkey"),
+      when(col("o_orderkey") % 2 === 0, lit(1388)).otherwise(lit(1393)).as("Year"),
+      when(col("o_orderkey") % 2 === 0,
+        lit(3000000000L) + col("o_orderkey") % 1000000000L)
+        .otherwise(lit(20000000000L) + (lit(1L) + col("o_orderkey") % 13L) * 1000000L
+          + col("o_orderkey") % 1000000L).as("ID"))
+    def counties(year: Int, file: String): DataFrame = {
+      require(year == 1388 && file == "counties",
+        s"unexpected external mapping request: ($year, $file)")
+      base.where(col("o_orderkey") % 2 === 0 && col("o_orderkey") % 7 =!= 0)
+        .select((lit(3000000000L) + col("o_orderkey") % 1000000000L).as("ID"),
+          (lit(1L) + (lit(3000000000L) + col("o_orderkey") % 1000000000L) % 13L).as("code"))
+    }
+    IdDecoder.addAttributeLayouts(fact, layouts, counties, IdDecoder.Settings("County"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Name table hand-transcribed from household.yaml:199-213 (the
+    * Markazi-province counties; code 8 intentionally absent). */
+  private val d2CountySql = """
+    WITH cn(code, name) AS (VALUES
+      (1,'Arak'),(2,'Ashtian'),(3,'Tafresh'),(4,'Khomein'),(5,'Delijan'),
+      (6,'Saveh'),(7,'Shazand'),(9,'Mahallat'),(10,'Zarandieh'),
+      (11,'Komeijan'),(12,'Khondab'),(13,'Farahan')),
+    f AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 2 = 0 THEN 1388 ELSE 1393 END AS Year,
+             CASE WHEN o_orderkey % 2 = 0 THEN 3000000000 + o_orderkey % 1000000000
+                  ELSE 20000000000 + (1 + o_orderkey % 13) * 1000000 + o_orderkey % 1000000
+             END AS ID
+      FROM orders),
+    coded AS (
+      SELECT o_orderkey, Year, ID,
+             CASE WHEN Year = 1393 THEN (ID % 10000000000) // 1000000
+                  WHEN o_orderkey % 7 <> 0 THEN 1 + ID % 13
+                  ELSE NULL END AS c
+      FROM f)
+    SELECT o_orderkey, CAST(Year AS INTEGER) AS Year, CAST(ID AS BIGINT) AS ID,
+           cn.name AS County
+    FROM coded LEFT JOIN cn ON coded.c = cn.code"""
+
   /** A1/A8: CSV sink + scan round-trip through the clean layer (raw CSV
     * arrives untyped; the clean projection restores types).
     */
@@ -1883,9 +1996,12 @@ items:
     val bad = Dedup.simHashes(corpus)
       .groupBy("_sh")
       .agg(min("doc_id").as("lo"), max("doc_id").as("hi"), count(lit(1)).as("n"))
-      .where((col("lo") < 25 || col("hi") >= 10000) &&
+      // only GROUPS (n >= 2) can mint candidate pairs: a singleton whose
+      // id happens to exceed 10000 (every doc of an id-shifted inflated
+      // corpus) is vacuously isolated and must not trip the guard
+      .where(col("n") >= 2 && (col("lo") < 25 || col("hi") >= 10000) &&
         !(col("n") === 2 && col("lo") < 25 && col("hi") === col("lo") + 10000))
-      .limit(1).collect()
+      .select("lo", "hi", "n").limit(1).collect()
     require(bad.isEmpty,
       s"simhash planted-pair oracle precondition violated: equal-hash group " +
         s"(lo=${bad.head.get(0)}, hi=${bad.head.get(1)}, n=${bad.head.get(2)}) " +
@@ -3716,6 +3832,8 @@ items:
     ("d2_attribute", d2Attribute _, Some(d2Sql)),
     ("e5_select", e5Select _, Some(e5Sql)),
     ("e16_geo", e16Geo _, Some(e16Sql)),
+    ("e16_geo_region", e16GeoRegion _, Some(e16RegionSql)),
+    ("d2_county_external", d2CountyExternal _, Some(d2CountySql)),
     ("a1_csv_roundtrip", a1CsvRoundtrip _, Some(a1Sql)),
     ("jsonl_roundtrip", jsonlRoundtrip _, Some(jsonlSql)),
     ("orc_roundtrip", orcRoundtrip _, Some(jsonlSql)),

@@ -50,6 +50,23 @@ object RealMeta {
       case (SKey(k), v) => k.trim.toLong -> v.asStr
     }.toMap
 
+  /** [[areaNames]] for a YEAR-VERSIONED name block (County,
+    * household.yaml:395-435: reassigned counties null out their code in
+    * later years): entries are version-resolved at `year`, null-resolved
+    * codes are dropped. The reference's map_drawer reads the block raw
+    * (map_drawer.py:13) and would hand a year-dict to the geoseries
+    * index for such codes — resolving is the semantics it intends.
+    */
+  def areaNamesAt(area: String, year: Int): Map[Long, String] =
+    household(area)("name").asMap.flatMap { case (k, v) =>
+      val code = k match { case IKey(i) => i; case SKey(s) => s.trim.toLong }
+      val resolved = v match {
+        case m: MMap => new VersionResolver(m, year).getVersion
+        case other   => other
+      }
+      if (resolved.isNull) None else Some(code -> resolved.asStr)
+    }.toMap
+
   /** Top-level classification names of a commodities/occupations-shaped
     * document: every key whose value carries an `items` subtree. */
   def classificationNames(doc: Meta): Seq[String] =

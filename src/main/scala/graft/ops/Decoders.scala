@@ -261,7 +261,8 @@ object IdDecoder {
     */
   sealed trait YearLayout
   final case class Positional(version: AttrVersion) extends YearLayout
-  final case class ExternalFile(year: Int, file: String) extends YearLayout
+  final case class ExternalFile(year: Int, file: String,
+      labels: Map[Long, String] = Map.empty) extends YearLayout
   final case class Unavailable(year: Int) extends YearLayout
 
   /** [[compile]] with the reference's full availability dispatch instead
@@ -283,7 +284,7 @@ object IdDecoder {
             pos("start").asLong.toInt, pos("end").asLong.toInt, labels))
         case None =>
           codeMeta.get("external_file").filterNot(_.isNull) match {
-            case Some(f) => ExternalFile(y, f.asStr)
+            case Some(f) => ExternalFile(y, f.asStr, parseLabels(resolved(attr)))
             case None    => Unavailable(y)
           }
       }
@@ -327,10 +328,15 @@ object IdDecoder {
     floor((id.cast(LongType) % lit(p1)) / lit(p2)).cast(LongType)
   }
 
+  /** code -> label as ONE map-literal lookup. A nested when/otherwise
+    * fold is O(labels) comparisons per row AND O(labels) recursion depth
+    * at plan build — the real County map (~430 names) overflowed the
+    * column-converter stack. `try_element_at` is the ANSI-safe probe:
+    * missing keys (and null codes) yield NULL, exactly pandas' .map.
+    */
   private def labelExpr(code: Column, labels: Map[Long, String]): Column =
-    labels.toSeq.sortBy(_._1).foldLeft(lit(null).cast(StringType)) {
-      case (acc, (k, name)) => when(code === lit(k), lit(name)).otherwise(acc)
-    }
+    if (labels.isEmpty) lit(null).cast(StringType)
+    else try_element_at(typedlit(labels), code)
 
   /** Add the decoded attribute column — one `when` branch per distinct
     * year version, no join.
@@ -348,5 +354,70 @@ object IdDecoder {
         value).otherwise(acc)
     }
     df.withColumn(out, expr)
+  }
+
+  /** [[addAttribute]] over the FULL availability dispatch ([[compileOpt]]):
+    * positional years stay a pure generated-column expression;
+    * external-file years (County 1387-1391, household.yaml:180-194) get
+    * their code from a per-year (ID → code) mapping table — the
+    * reference loads the external file and `.map()`s the ID column over
+    * its dict (decoder.py:588-598), which in Spark is a BROADCAST left
+    * join: the mapping is registry-sized (one row per surveyed
+    * household-year), the fact side never shuffles. An [[Unavailable]]
+    * year is the reference's hard error ("Code position is not
+    * available", decoder.py:600) — refusing beats silently nulling a
+    * column the caller will aggregate by.
+    *
+    * `externalCodes(year, file)` must return a DataFrame whose first two
+    * columns are (ID, code); rows of an external year whose ID is absent
+    * from the mapping decode to NULL (the reference asserts zero misses —
+    * a precondition on the mapping's completeness, not on this operator).
+    */
+  def addAttributeLayouts(
+      df: DataFrame,
+      layouts: Seq[YearLayout],
+      externalCodes: (Int, String) => DataFrame,
+      settings: Settings): DataFrame = {
+    layouts.collectFirst { case Unavailable(y) => y }.foreach { y =>
+      throw new IllegalArgumentException(
+        s"Code position is not available for ${settings.name} in year $y (decoder.py:600)")
+    }
+    val out = settings.outputCol.getOrElse(settings.name)
+    val positionals = layouts.collect { case Positional(v) => v }
+    val externals = layouts.collect { case e: ExternalFile => e }
+    // one broadcast dim for ALL external years: (Year, ID) -> code
+    val extCode = "_ext_code_" + out
+    val withExt =
+      if (externals.isEmpty) df.withColumn(extCode, lit(null).cast(LongType))
+      else {
+        val mapping = externals.map { e =>
+          val m = externalCodes(e.year, e.file)
+          val Seq(idc, cc) = m.columns.take(2).toSeq
+          m.select(lit(e.year).as("_ext_y"), col(idc).cast(LongType).as("_ext_id"),
+            col(cc).cast(LongType).as(extCode))
+        }.reduce(_.unionByName(_))
+        df.join(broadcast(mapping),
+          df(settings.yearCol) === col("_ext_y") && df(settings.idCol) === col("_ext_id"),
+          "left").drop("_ext_y", "_ext_id")
+      }
+    val id = col(settings.idCol)
+    val init = lit(null).cast(StringType)
+    val withPos = positionals.foldLeft(init) { (acc, v) =>
+      val code = codeExpr(id, v)
+      val value = settings.aspect match {
+        case "code" => code.cast(StringType)
+        case _      => labelExpr(code, v.labels)
+      }
+      when(col(settings.yearCol) >= lit(v.fromYear) && col(settings.yearCol) < lit(v.untilYear),
+        value).otherwise(acc)
+    }
+    val full = externals.foldLeft(withPos) { (acc, e) =>
+      val value = settings.aspect match {
+        case "code" => col(extCode).cast(StringType)
+        case _      => labelExpr(col(extCode), e.labels)
+      }
+      when(col(settings.yearCol) === lit(e.year), value).otherwise(acc)
+    }
+    withExt.withColumn(out, full).drop(extCode)
   }
 }

@@ -276,8 +276,11 @@ class RealMetadataSpec extends AnyFunSuite {
       assert(byYear(y) == IdDecoder.Unavailable(y), s"County@$y: ${byYear(y)}")
     for (y <- 1377 to 1386)
       assert(byYear(y).isInstanceOf[IdDecoder.Positional], s"County@$y: ${byYear(y)}")
-    for (y <- 1387 to 1391)
-      assert(byYear(y) == IdDecoder.ExternalFile(y, "counties"), s"County@$y: ${byYear(y)}")
+    for (y <- 1387 to 1391) byYear(y) match {
+      case IdDecoder.ExternalFile(yy, f, labels) =>
+        assert(yy == y && f == "counties" && labels.nonEmpty, s"County@$y: ${byYear(y)}")
+      case other => fail(s"County@$y: $other")
+    }
     for (y <- 1392 to 1401)
       assert(byYear(y).isInstanceOf[IdDecoder.Positional], s"County@$y: ${byYear(y)}")
   }

@@ -142,4 +142,33 @@ Urban_Rural:
       IdDecoder.Settings("Province", aspect = "code"))
     assert(out.collect()(0).getAs[String]("Province") == "23")
   }
+
+  test("D2 layout dispatch: positional + external-file years in one frame; unavailable errors") {
+    import spark.implicits._
+    val labels = Map(1L -> "A", 2L -> "B")
+    val layouts = Seq(
+      IdDecoder.Positional(IdDecoder.AttrVersion(1393, 1394, 3, 1, 3, labels)),
+      IdDecoder.ExternalFile(1388, "counties", labels))
+    val df = Seq(
+      (1393, 912L), // positional: digits 2-3 -> 12?? no: idLen 3, pos 1-3 -> last 2 digits = 12 -> unmapped
+      (1393, 901L), // -> code 1 -> A
+      (1388, 777L), // external: mapped to 2 -> B
+      (1388, 888L), // external: absent from mapping -> null
+    ).toDF("Year", "ID")
+    def ext(year: Int, file: String) = {
+      assert(year == 1388 && file == "counties")
+      Seq((777L, 2L)).toDF("ID", "code")
+    }
+    val out = IdDecoder.addAttributeLayouts(df, layouts, ext, IdDecoder.Settings("County"))
+      .collect().map(r => r.getAs[Long]("ID") -> r.getAs[String]("County")).toMap
+    assert(out(901L) == "A")
+    assert(out(912L) == null) // positional code 12 has no label (pandas .map -> NaN)
+    assert(out(777L) == "B")
+    assert(out(888L) == null) // missing from the external mapping
+    // the reference raises "Code position is not available" (decoder.py:600)
+    val ex = intercept[IllegalArgumentException](
+      IdDecoder.addAttributeLayouts(df, layouts :+ IdDecoder.Unavailable(1370), ext,
+        IdDecoder.Settings("County")))
+    assert(ex.getMessage.contains("not available"))
+  }
 }
