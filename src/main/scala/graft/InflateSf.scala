@@ -93,8 +93,17 @@ object InflateSf {
       if (i == 0) df
       else df
         .withColumn("vec_id", shift("vec_id", i))
+        // per-replica ORTHOGONAL transform: deterministically flip ~half
+        // the coordinate signs (murmur3 of (replica, position)). Sign
+        // flips preserve within-replica cosines EXACTLY — planted-pair
+        // margins and the natural-noise ceiling survive verbatim — while
+        // cross-replica cosines collapse toward 0. The previous
+        // single-coordinate nudge left replica copies at cosine ~0.999,
+        // planting 10-cliques of genuine near-dups that made the LSH
+        // operating point's exact-recall precondition unsatisfiable at
+        // 10x (ann_cosine_dedup sf1 mismatch; SCALE.md round-12 notes).
         .withColumn("embedding", transform(col("embedding"),
-          (x, j) => when(j === lit(i % 64), x + lit(0.05f * i)).otherwise(x)
+          (x, j) => when(pmod(hash(lit(i), j), lit(2)) === 0, -x).otherwise(x)
             .cast(FloatType))))
 
     spark.stop()

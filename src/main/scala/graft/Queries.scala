@@ -2608,8 +2608,7 @@ items:
     // the file stream source wants a directory (its arrival-monitoring
     // unit); stage the single file into one
     val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_gate")
-    java.nio.file.Files.copy(java.nio.file.Paths.get(path),
-      streamDir.resolve("events.parquet"))
+    stageParquet(java.nio.file.Paths.get(path), streamDir, "events")
     val name = "events_stream_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val src = s.readStream.schema(schema).parquet(streamDir.toString)
     val agg = src
@@ -2786,8 +2785,7 @@ items:
     val path = s"$dir/events.parquet"
     val schema = s.read.parquet(path).schema
     val streamDir = java.nio.file.Files.createTempDirectory("graft_enrich_stream")
-    java.nio.file.Files.copy(java.nio.file.Paths.get(path),
-      streamDir.resolve("events.parquet"))
+    stageParquet(java.nio.file.Paths.get(path), streamDir, "events")
     val nation = s.read.parquet(s"$dir/nation.parquet")
       .select(col("n_nationkey"), col("n_name"))
     val name = "events_enrich_" + java.util.UUID.randomUUID.toString.replace("-", "")
@@ -2824,8 +2822,8 @@ items:
     val path = s"$dir/events.parquet"
     val schema = s.read.parquet(path).schema
     val streamDir = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
-    java.nio.file.Files.copy(java.nio.file.Paths.get(path), streamDir.resolve("copy_a.parquet"))
-    java.nio.file.Files.copy(java.nio.file.Paths.get(path), streamDir.resolve("copy_b.parquet"))
+    stageParquet(java.nio.file.Paths.get(path), streamDir, "copy_a")
+    stageParquet(java.nio.file.Paths.get(path), streamDir, "copy_b")
     val name = "events_dedup_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val src = s.readStream.schema(schema).parquet(streamDir.toString)
     val stream = src
@@ -2847,6 +2845,24 @@ items:
     deleteRecursively(streamDir.toFile)
     out
   }
+
+  /** Stage a parquet input — a single FILE or a Spark-written DIRECTORY
+    * of part files — into a stream-source directory. `Files.copy` on a
+    * directory copies only the (empty) directory entry, which at
+    * inflated SFs (fixture tables are directories there) silently
+    * staged ZERO input files: every single-file streaming gate returned
+    * 0 rows in the sf1 oracle sweep. Returns the staged paths.
+    */
+  private def stageParquet(src: java.nio.file.Path, dstDir: java.nio.file.Path,
+      prefix: String): Seq[java.nio.file.Path] =
+    if (java.nio.file.Files.isDirectory(src)) {
+      val parts = src.toFile.listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet")).sortBy(_.getName)
+      require(parts.nonEmpty, s"$src contains no parquet part files")
+      parts.zipWithIndex.toSeq.map { case (f, i) =>
+        java.nio.file.Files.copy(f.toPath, dstDir.resolve(f"${prefix}_$i%04d.parquet"))
+      }
+    } else Seq(java.nio.file.Files.copy(src, dstDir.resolve(s"$prefix.parquet")))
 
   /** Remove a staged temp directory once its streaming run has drained. */
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -3344,9 +3360,10 @@ items:
       java.nio.file.Files.setLastModifiedTime(p,
         java.nio.file.attribute.FileTime.fromMillis(1700000000000L + seq * 60000L))
     if (timeSplits <= 1) {
-      val p = streamDir.resolve("events.parquet")
-      java.nio.file.Files.copy(java.nio.file.Paths.get(path), p)
-      stamp(p, 0)
+      // single-batch staging need not be time-ordered: all data files
+      // share one stamp, only the sentinel must sort last
+      stageParquet(java.nio.file.Paths.get(path), streamDir, "events")
+        .foreach(p => stamp(p, 0))
     } else {
       // PARALLEL time-range chunking: repartitionByRange assigns
       // ascending ts ranges to ascending partition ids, and partitionBy
@@ -3549,8 +3566,7 @@ items:
     val path = s"$dir/events.parquet"
     val schema = s.read.parquet(path).schema
     val streamDir = java.nio.file.Files.createTempDirectory("graft_ss_join")
-    java.nio.file.Files.copy(java.nio.file.Paths.get(path),
-      streamDir.resolve("events.parquet"))
+    stageParquet(java.nio.file.Paths.get(path), streamDir, "events")
     def side(evType: String, idAs: String, tsAs: String) = {
       val src = s.readStream.schema(schema).parquet(streamDir.toString)
       src.where(col("event_type") === evType)
@@ -3928,6 +3944,8 @@ items:
     // -> Original_Expenditures -> Expenditures -> Total_Expenditure
     ("real_total_expenditure", RealPipeline.realTotalExpenditure _,
       Some(RealPipeline.realTotalExpenditureSql)),
+    ("real_income_breakdown", RealPipeline.realIncomeBreakdown _,
+      Some(RealPipeline.realIncomeBreakdownSql)),
   )
 
   /** Bench-only queries: timed by Bench, absent from the correctness

@@ -65,7 +65,14 @@ object RealPipeline {
       when(col("l_linenumber") % 3 === 0, lit(null).cast(DoubleType))
         .otherwise((lit(720L) * (cents(col("l_discount")) % 7L))
           .cast(DoubleType)).as("shs"),
-      (lit(1L) + col("l_linenumber") % 3).as("pm"))
+      // provision-method codes span the full 1383-era category map
+      // (tables.yaml:1191-1203, codes 1..8) plus planted NULLs — the
+      // income DAG's Provision_Method conditions and null-vs-Purchase
+      // filters need every branch populated
+      when((col("l_orderkey") + col("l_linenumber")) % 31 === 0,
+        lit(null).cast(LongType))
+        .otherwise(lit(1L) + pmod(col("l_orderkey") + col("l_linenumber"), lit(8L)))
+        .as("pm"))
 
   /** Synthetic raw file for one (table, year): the era-correct raw
     * column names from tables.yaml —
@@ -81,39 +88,46 @@ object RealPipeline {
     * `drop` spec (tables.yaml:1386,1401) against the default
     * `missings: error` policy.
     */
+  /** DYCOL-era (1383+) raw projection of one expenditure table from a
+    * [[base]] slice — shared by the Total_Expenditure gate (year 1400)
+    * and the Income_Breakdown gate (years 1389 and 1400).
+    */
+  private def dycolTable(sl: DataFrame, name: String): DataFrame = {
+    def fill(mod: Long): Column = (col("code") % mod).cast(DoubleType)
+    name match {
+      case "food" => sl.select(
+        col("address").as("ADDRESS"), col("code").as("DYCOL01"),
+        col("pm").as("DYCOL02"), fill(500L).as("DYCOL03"),
+        fill(20L).as("DYCOL04"), fill(9000L).as("DYCOL05"),
+        col("exp").as("DYCOL06"), lit("x").as("DYCOL07"))
+      case "tobacco" => sl.select(
+        col("address").as("ADDRESS"), col("code").as("DYCOL01"),
+        col("pm").as("DYCOL02"), lit("x").as("DYCOL03"),
+        fill(20L).as("DYCOL04"), fill(9000L).as("DYCOL05"),
+        col("exp").as("DYCOL06"), lit("x").as("DYCOL07"))
+      case "home" => sl.select(
+        col("address").as("ADDRESS"), col("code").as("DYCOL01"),
+        fill(50L).as("DYCOL02"), col("pm").as("DYCOL03"),
+        col("exp").as("DYCOL04"))
+      case "durable" => sl.select(
+        col("address").as("ADDRESS"), col("code").as("DYCOL01"),
+        fill(70L).as("DYCOL02"),
+        concat(lit("L"), col("pm").cast(StringType)).as("DYCOL03"),
+        col("pm").as("DYCOL04"), col("exp").as("DYCOL05"),
+        col("shs").as("DYCOL06"))
+      case _ => sl.select(
+        col("address").as("ADDRESS"), col("code").as("DYCOL01"),
+        col("pm").as("DYCOL02"), col("exp").as("DYCOL03"))
+    }
+  }
+
   def raw(s: SparkSession, dir: String, name: String, year: Int): Option[DataFrame] = {
     val b = base(s, dir)
     def fill(mod: Long): Column = (col("code") % mod).cast(DoubleType)
     if (year == 1400) {
       val i = tables1383.indexOf(name)
-      if (i < 0) None else {
-        val sl = b.where(col("t13") === i.toLong && col("ypar") === 0L)
-        Some(name match {
-          case "food" => sl.select(
-            col("address").as("ADDRESS"), col("code").as("DYCOL01"),
-            col("pm").as("DYCOL02"), fill(500L).as("DYCOL03"),
-            fill(20L).as("DYCOL04"), fill(9000L).as("DYCOL05"),
-            col("exp").as("DYCOL06"), lit("x").as("DYCOL07"))
-          case "tobacco" => sl.select(
-            col("address").as("ADDRESS"), col("code").as("DYCOL01"),
-            col("pm").as("DYCOL02"), lit("x").as("DYCOL03"),
-            fill(20L).as("DYCOL04"), fill(9000L).as("DYCOL05"),
-            col("exp").as("DYCOL06"), lit("x").as("DYCOL07"))
-          case "home" => sl.select(
-            col("address").as("ADDRESS"), col("code").as("DYCOL01"),
-            fill(50L).as("DYCOL02"), col("pm").as("DYCOL03"),
-            col("exp").as("DYCOL04"))
-          case "durable" => sl.select(
-            col("address").as("ADDRESS"), col("code").as("DYCOL01"),
-            fill(70L).as("DYCOL02"),
-            concat(lit("L"), col("pm").cast(StringType)).as("DYCOL03"),
-            col("pm").as("DYCOL04"), col("exp").as("DYCOL05"),
-            col("shs").as("DYCOL06"))
-          case _ => sl.select(
-            col("address").as("ADDRESS"), col("code").as("DYCOL01"),
-            col("pm").as("DYCOL02"), col("exp").as("DYCOL03"))
-        })
-      }
+      if (i < 0) None
+      else Some(dycolTable(b.where(col("t13") === i.toLong && col("ypar") === 0L), name))
     } else if (year == 1382) {
       val i = tables1363.indexOf(name)
       if (i < 0) None else {
@@ -147,6 +161,244 @@ object RealPipeline {
       rawReader = (name, year) => raw(s, dir, name, year),
       config = RepoConfig(availability = RealMeta.tableAvailability))
     repo.table("Total_Expenditure", Seq(1382, 1400)).orderBy("Year", "ID")
+  }
+
+  // ------------------------------------------------------ Income_Breakdown
+
+  /** Deterministic per-row attributes for the income raw tables (1384-era
+    * DYCOL specs, tables.yaml:1821-1963), mirrored in the oracle's `ib`
+    * CTE. Planted nulls and edge codes exercise the reference semantics:
+    * sector code 4 is UNMAPPED (income_sector_2 has 1..3,
+    * tables.yaml:1645-1650) so its Income_Type stays null and the row
+    * must vanish in the pandas-dropna groupby; null Is_Agricultural rows
+    * likewise; null money fields hit the fillna(0) path; zero
+    * other-income values hit the `Other_Incomes > 0` filter.
+    */
+  private def ibase(s: SparkSession, dir: String): DataFrame = {
+    val c = cents(col("l_extendedprice"))
+    def u(k: Int): Column =
+      when(pmod(col("l_suppkey") + lit(k.toLong), lit(4L)) === 0L, lit(null).cast(DoubleType))
+        .when(pmod(col("l_orderkey") + lit(k.toLong), lit(11L)) === 0L, lit(0.0))
+        .otherwise(((c + lit(k * 37L)) % 50021L).cast(DoubleType))
+    s.read.parquet(s"$dir/lineitem.parquet").select(
+      (lit(1L) + col("l_orderkey") % 400L).as("address"),
+      (col("l_orderkey") % 2L).as("ypar"),
+      (col("l_partkey") % 5L).as("t5"),
+      (lit(11111L) + col("l_partkey") % 8000L).as("code"),
+      (lit(1L) + col("l_linenumber") % 4).as("member"),
+      // sector/isagri derive from l_orderkey DIV 2, not l_orderkey: the
+      // year slice is l_orderkey parity, so a plain `% 4` would never
+      // produce sector 1/3 in the odd-key year (caught by
+      // RealPipelineSpec's both-years family check)
+      (lit(1L) + pmod(floor(col("l_orderkey") / 2).cast(LongType), lit(4L))).as("sector"),
+      when(col("l_suppkey") % 7L === 0L, lit(null).cast(LongType))
+        .otherwise(pmod(floor(col("l_orderkey") / 2).cast(LongType), lit(2L))).as("isagri"),
+      when(col("l_suppkey") % 5L === 0L, lit(null).cast(DoubleType))
+        .otherwise((c % 100000L).cast(DoubleType)).as("ynet"),
+      when(col("l_suppkey") % 11L === 0L, lit(null).cast(DoubleType))
+        .otherwise((c % 99991L).cast(DoubleType)).as("profit"),
+      when(col("l_suppkey") % 3L === 0L, lit(null).cast(DoubleType))
+        .otherwise((c % 40009L).cast(DoubleType)).as("subsidy"),
+      u(0).as("u0"), u(1).as("u1"), u(2).as("u2"),
+      u(3).as("u3"), u(4).as("u4"), u(5).as("u5"))
+  }
+
+  /** 1384-era raw income files (employment tables.yaml:1821-1838,
+    * self-employed :1873-1890, other :1931-1938, subsidy :1941-1963).
+    * Filler columns flow through clean+union but are projected away by
+    * Cash_Incomes' apply_order. Job_Code's string replace sentinels
+    * ("x0000", tables.yaml:1614) hit the numeric-raw drop path.
+    */
+  private def incomeRaw(sl: DataFrame, name: String): DataFrame = {
+    def fill(mod: Long): Column = (col("code") % mod).cast(DoubleType)
+    name match {
+      case "employment_income" => sl.select(
+        col("address").as("ADDRESS"), col("member").as("DYCOL01"),
+        (col("member") % 3L).as("DYCOL02"), col("code").as("DYCOL03"),
+        (col("code") % 97L).as("DYCOL04"), col("sector").as("DYCOL05"),
+        lit(8L).as("DYCOL06"), lit(5L).as("DYCOL07"),
+        fill(50L).as("DYCOL08"), fill(51L).as("DYCOL09"),
+        fill(52L).as("DYCOL10"), fill(53L).as("DYCOL11"),
+        fill(54L).as("DYCOL12"), fill(55L).as("DYCOL13"),
+        fill(56L).as("DYCOL14"), col("ynet").as("DYCOL15"))
+      case "self_employed_income" => sl.select(
+        col("address").as("ADDRESS"), col("member").as("DYCOL01"),
+        (col("member") % 3L).as("DYCOL02"), col("code").as("DYCOL03"),
+        (col("code") % 97L).as("DYCOL04"),
+        (lit(4L) + col("code") % 3L).as("DYCOL05"),
+        col("isagri").as("DYCOL06"),
+        lit(8L).as("DYCOL07"), lit(5L).as("DYCOL08"),
+        fill(60L).as("DYCOL09"), fill(61L).as("DYCOL10"),
+        fill(62L).as("DYCOL11"), fill(63L).as("DYCOL12"),
+        fill(64L).as("DYCOL13"), fill(65L).as("DYCOL14"),
+        col("profit").as("DYCOL15"))
+      case "other_income" => sl.select(
+        col("address").as("ADDRESS"), col("member").as("DYCOL01"),
+        col("u0").as("DYCOL03"), col("u1").as("DYCOL04"),
+        col("u2").as("DYCOL05"), col("u3").as("DYCOL06"),
+        col("u4").as("DYCOL07"), col("u5").as("DYCOL08"))
+      case "subsidy" => sl.select(
+        col("address").as("ADDRESS"), col("member").as("DYCOL01"),
+        fill(5L).as("DYCOL03"), fill(6L).as("DYCOL04"),
+        col("subsidy").as("DYCOL05"))
+      case other => throw new IllegalArgumentException(s"no income raw for $other")
+    }
+  }
+
+  private val incomeSlices = Map(
+    "employment_income" -> 1L, "self_employed_income" -> 2L,
+    "other_income" -> 3L, "subsidy" -> 4L)
+
+  /** Raw reader for the Income_Breakdown gate: years 1389 and 1400 (both
+    * DYCOL-era, but the Cash_Incomes table_list and Income expression
+    * era-flip at 1390 — schema.yaml:1059-1079 — so 1389 runs WITHOUT
+    * subsidy and 1400 WITH it). The home slice's commodity codes are
+    * steered onto the real Imputed_Rent classification's 1383-era codes
+    * (commodities.yaml:2002-2024: 42111/42211 → Ownership, 42212 →
+    * Mortgage) so the in-pipeline add_classification has matches.
+    */
+  def rawIncome(s: SparkSession, dir: String, name: String, year: Int): Option[DataFrame] = {
+    if (year != 1389 && year != 1400) return None
+    val yp = if (year == 1400) 0L else 1L
+    val i = tables1383.indexOf(name)
+    if (i >= 0) {
+      val b0 = base(s, dir).where(col("t13") === i.toLong && col("ypar") === yp)
+      val sl =
+        if (name != "home") b0
+        else b0.withColumn("code",
+          when(col("code") % 5L === 0L, 42111L)
+            .when(col("code") % 5L === 1L, 42211L)
+            .when(col("code") % 5L === 2L, 42212L)
+            .otherwise(col("code")))
+      Some(dycolTable(sl, name))
+    } else incomeSlices.get(name).map { t =>
+      incomeRaw(ibase(s, dir).where(col("t5") === t && col("ypar") === yp), name)
+    }
+  }
+
+  /** The SECOND real standard-table DAG, end-to-end: Income_Breakdown
+    * (schema.yaml:1106-1122) — the union of THREE derivation families,
+    * each with its own real instruction pipeline:
+    *
+    *   Imputed_Rent (schema.yaml:980-1008): home → in-pipeline
+    *     add_classification against the REAL Imputed_Rent commodity
+    *     classification → notnull/isnull pandas-query filter →
+    *     Expenditure*12;
+    *   NonCash_Incomes_Excluding_Imputed_Rent (schema.yaml:1011-1041):
+    *     the WHOLE 13-table Expenditures DAG → Income = Net_Expenditure,
+    *     Income_Type from Provision_Method label conditions → label
+    *     filter;
+    *   Cash_Incomes (schema.yaml:1059-1103): employment ∪ self-employed
+    *     ∪ the _long_other_income MELT pipeline (∪ subsidy at 1390+,
+    *     exercising the table_list era flip) → era-versioned Income
+    *     expression → multi-column categorical conditions;
+    *
+    * then the pandas-dropna groupby-sum (unclassified income rows must
+    * VANISH, Pipeline.GroupBySum). Runs at 1389 AND 1400 so both sides
+    * of the 1390 era flip execute in one gate.
+    */
+  def realIncomeBreakdown(s: SparkSession, dir: String): DataFrame = {
+    require(RealMeta.available, "reference metadata corpus not found")
+    val repo = new TableRepo(s, RealMeta.tables, RealMeta.schema,
+      rawReader = (name, year) => rawIncome(s, dir, name, year),
+      classifications = Map("Imputed_Rent" -> RealMeta.commodities("Imputed_Rent")),
+      config = RepoConfig(availability = RealMeta.tableAvailability))
+    repo.table("Income_Breakdown", Seq(1389, 1400))
+      .orderBy("Year", "ID", "Income_Type")
+  }
+
+  /** Hand-written oracle: the two `*b` CTEs mirror the synthetic input
+    * mapping; every derivation after them is transcribed from the YAML
+    * text — the provision-method code→label→Income_Type table
+    * (tables.yaml:1194-1203 × schema.yaml:1026-1033), the Imputed_Rent
+    * code sets (commodities.yaml:2008-2024), the sector and
+    * is-agricultural dispatch (tables.yaml:1645-1650,1724-1727 ×
+    * schema.yaml:1084-1096), the other-income melt + positive filter
+    * (schema.yaml:913-950), annualization (schema.yaml:663-671), and
+    * pandas' dropna groupby (unmatched Income_Type rows excluded).
+    */
+  val realIncomeBreakdownSql: String = {
+    def u(k: Int): String =
+      s"""CASE WHEN (sk + $k) % 4 = 0 THEN NULL
+               WHEN (ok + $k) % 11 = 0 THEN CAST(0 AS DOUBLE)
+               ELSE CAST((c + ${k * 37}) % 50021 AS DOUBLE) END AS u$k"""
+    s"""
+    WITH L AS (
+      SELECT l_orderkey AS ok, l_partkey AS pk, l_suppkey AS sk, l_linenumber AS ln,
+             CAST(round(l_extendedprice*100,0) AS BIGINT) AS c,
+             CAST(round(l_discount*100,0) AS BIGINT) AS d
+      FROM lineitem),
+    eb AS (
+      SELECT 1 + ok % 400 AS address,
+             CASE WHEN ok % 2 = 0 THEN 1400 ELSE 1389 END AS Year,
+             pk % 13 AS t13,
+             11111 + pk % 8000 AS code,
+             CASE WHEN (ok + ln) % 31 = 0 THEN NULL ELSE 1 + (ok + ln) % 8 END AS pm,
+             CASE WHEN sk % 11 = 0 THEN NULL ELSE CAST(720 * (1 + c % 997) AS DOUBLE) END AS exp,
+             CASE WHEN ln % 3 = 0 THEN NULL ELSE CAST(720 * (d % 7) AS DOUBLE) END AS shs
+      FROM L),
+    noncash_excl AS (
+      SELECT Year, address AS ID,
+             CASE pm WHEN 2 THEN 'NonCash_HomeProduction'
+                     WHEN 3 THEN 'NonCash_Public'
+                     WHEN 4 THEN 'NonCash_Cooperative'
+                     WHEN 5 THEN 'NonCash_Private'
+                     WHEN 6 THEN 'NonCash_Agricultural'
+                     WHEN 7 THEN 'NonCash_NonAgricultural'
+                     WHEN 8 THEN 'NonCash_Donation' END AS Income_Type,
+             (coalesce(exp, 0) - CASE WHEN t13 = 12 THEN coalesce(shs, 0) ELSE 0 END)
+               / (CASE WHEN t13 = 12 THEN 360 ELSE 30 END) * 360 AS Income
+      FROM eb WHERE pm IS NOT NULL AND pm <> 1),
+    imputed AS (
+      SELECT Year, address AS ID,
+             CASE WHEN code % 5 IN (0, 1) THEN 'NonCash_ImputedRent_Ownership'
+                  WHEN code % 5 = 2 THEN 'NonCash_ImputedRent_Mortgage' END AS Income_Type,
+             coalesce(exp, 0) * 12 AS Income
+      FROM eb
+      WHERE t13 = 3 AND code % 5 <= 2 AND (pm IS NULL OR pm = 1)),
+    ib AS (
+      SELECT 1 + ok % 400 AS address,
+             CASE WHEN ok % 2 = 0 THEN 1400 ELSE 1389 END AS Year,
+             pk % 5 AS t5,
+             1 + (ok // 2) % 4 AS sector,
+             CASE WHEN sk % 7 = 0 THEN NULL ELSE (ok // 2) % 2 END AS isagri,
+             CASE WHEN sk % 5 = 0 THEN NULL ELSE CAST(c % 100000 AS DOUBLE) END AS ynet,
+             CASE WHEN sk % 11 = 0 THEN NULL ELSE CAST(c % 99991 AS DOUBLE) END AS profit,
+             CASE WHEN sk % 3 = 0 THEN NULL ELSE CAST(c % 40009 AS DOUBLE) END AS subsidy,
+             ${u(0)}, ${u(1)}, ${u(2)}, ${u(3)}, ${u(4)}, ${u(5)}
+      FROM L),
+    cash AS (
+      SELECT Year, address AS ID,
+             CASE sector WHEN 1 THEN 'Cash_Public' WHEN 2 THEN 'Cash_Cooperative'
+                         WHEN 3 THEN 'Cash_Private' END AS Income_Type,
+             coalesce(ynet, 0) AS Income
+      FROM ib WHERE t5 = 1
+      UNION ALL
+      SELECT Year, address,
+             CASE isagri WHEN 1 THEN 'Cash_Agricultural'
+                         WHEN 0 THEN 'Cash_NonAgricultural' END,
+             coalesce(profit, 0)
+      FROM ib WHERE t5 = 2
+      UNION ALL
+      SELECT Year, address, 'Cash_' || t, v FROM (
+        SELECT Year, address, 'Retirement' AS t, u0 AS v FROM ib WHERE t5 = 3
+        UNION ALL SELECT Year, address, 'Rent', u1 FROM ib WHERE t5 = 3
+        UNION ALL SELECT Year, address, 'Interest', u2 FROM ib WHERE t5 = 3
+        UNION ALL SELECT Year, address, 'Aid', u3 FROM ib WHERE t5 = 3
+        UNION ALL SELECT Year, address, 'Home_Production', u4 FROM ib WHERE t5 = 3
+        UNION ALL SELECT Year, address, 'Transfer', u5 FROM ib WHERE t5 = 3
+      ) WHERE v IS NOT NULL AND v > 0
+      UNION ALL
+      SELECT Year, address, 'Cash_Subsidy', coalesce(subsidy, 0)
+      FROM ib WHERE t5 = 4 AND Year = 1400),
+    allrows AS (
+      SELECT * FROM noncash_excl
+      UNION ALL SELECT * FROM imputed
+      UNION ALL SELECT * FROM cash)
+    SELECT CAST(Year AS INTEGER) AS Year, CAST(ID AS BIGINT) AS ID,
+           Income_Type, sum(Income) AS Income
+    FROM allrows WHERE Income_Type IS NOT NULL
+    GROUP BY 1, 2, 3"""
   }
 
   /** Hand-written oracle. The `base` CTE mirrors the synthetic input

@@ -117,10 +117,20 @@ object CleanOps {
     // ORIGINAL value, never another replacement's output — a chained
     // fold (when(acc === from)) would let {1->0, 0->null} null out raw
     // 1s, with the outcome depending on map iteration order
+    // A replace key that does not parse as a number can never match a
+    // NUMERIC raw column (pandas .replace just never fires): the real
+    // metadata carries string sentinels like Job_Code's "x0000"
+    // (tables.yaml:1614) that only occur in string-typed raw files —
+    // against a numeric source they must be dropped, not crash toDouble.
+    val applicable = rawType match {
+      case _: NumericType =>
+        spec.replace.filter { case (from, _) => from.trim.toDoubleOption.isDefined }
+      case _ => spec.replace
+    }
     val replaced =
-      if (spec.replace.isEmpty) raw
+      if (applicable.isEmpty) raw
       else {
-        val cases = spec.replace.toSeq.map { case (from, to) =>
+        val cases = applicable.toSeq.map { case (from, to) =>
           val fromLit: Column = rawType match {
             case _: NumericType => lit(from.trim.toDouble).cast(rawType)
             case _              => lit(from)
@@ -172,9 +182,20 @@ object CleanOps {
             when(!isnan(scrubbed.cast(DoubleType)), scrubbed.cast(StringType))
           case _ => scrubbed.cast(StringType)
         }
-        cats.toSeq.sortBy(_._1).foldLeft(coalesce(codes.cast(StringType), fallback)) {
-          case (acc, (code, label)) => when(codes === lit(code), lit(label)).otherwise(acc)
+        // ONE map-literal probe instead of a per-category when/otherwise
+        // fold: the folded form duplicates the (already guarded) `codes`
+        // expression per category, and every downstream reference to the
+        // cleaned column — pushed-down filters, categorical-condition
+        // projections — inlines the whole thing again; across a 13-table
+        // DAG that compounded into megabyte expression trees that cost
+        // the optimizer minutes (real_income_breakdown). try_element_at
+        // is null-on-missing under ANSI, exactly the fold's fallthrough.
+        val mappable = cats.collect {
+          case (k, v) if k >= Int.MinValue && k <= Int.MaxValue => k.toInt -> v
         }
+        if (mappable.isEmpty) coalesce(codes.cast(StringType), fallback)
+        else coalesce(try_element_at(typedlit(mappable), codes),
+          codes.cast(StringType), fallback)
     }
     typed.as(spec.newName)
   }

@@ -213,7 +213,12 @@ object Pipeline {
       require(targets.nonEmpty,
         s"groupby-sum over [${keys.mkString(",")}] on table '${ctx.tableName}': no numeric value columns")
       val aggs = targets.map(c => sum(col(c)).as(c))
-      df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      // pandas groupby DROPS null-keyed rows (dropna=True default) while
+      // Spark keeps them as a null group: an unclassified Income_Type row
+      // must vanish from Income_Breakdown exactly as the reference's
+      // .groupby(...).sum() makes it vanish (data_engine.py:414-420)
+      df.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+        .groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
 
     case Melt(drop, ids, varName, valueName) =>
       val dropped = df.drop(drop: _*)

@@ -28,6 +28,28 @@ class RealPipelineSpec extends SparkSpec {
     assert(offGrid == 0L, s"$offGrid household sums off the 720 grid")
   }
 
+  test("real Income_Breakdown DAG: era flip + all three derivation families present") {
+    assume(RealMeta.available && new java.io.File(sfDir).isDirectory)
+    import org.apache.spark.sql.functions._
+    val df = RealPipeline.realIncomeBreakdown(spark, sfDir)
+    assert(df.columns.toSeq == Seq("Year", "ID", "Income_Type", "Income"))
+    val types = df.select("Year", "Income_Type").distinct().collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toSet
+    // pandas-dropna parity: no null Income_Type group may surface
+    assert(!types.exists(_._2 == null), "null Income_Type group leaked through groupby")
+    // all three families classify: non-cash from provision methods,
+    // imputed rent from the REAL commodity classification, cash from
+    // sector/agricultural/other-income-type dispatch
+    for (t <- Seq("NonCash_Donation", "NonCash_ImputedRent_Ownership",
+        "NonCash_ImputedRent_Mortgage", "Cash_Public", "Cash_Agricultural",
+        "Cash_Retirement", "Cash_Transfer")) {
+      assert(types.contains(1400 -> t) && types.contains(1389 -> t), s"missing $t")
+    }
+    // the 1390 era flip (schema.yaml:1059-1070): subsidy exists ONLY at 1400
+    assert(types.contains(1400 -> "Cash_Subsidy"))
+    assert(!types.contains(1389 -> "Cash_Subsidy"))
+  }
+
   test("plan shape: union of cleaned scans into per-year hash aggregates, no joins") {
     assume(RealMeta.available && new java.io.File(sfDir).isDirectory)
     import org.apache.spark.sql.execution.SparkPlan
