@@ -3946,6 +3946,8 @@ items:
       Some(RealPipeline.realTotalExpenditureSql)),
     ("real_income_breakdown", RealPipeline.realIncomeBreakdown _,
       Some(RealPipeline.realIncomeBreakdownSql)),
+    ("real_total_income", RealPipeline.realTotalIncome _,
+      Some(RealPipeline.realTotalIncomeSql)),
   )
 
   /** Bench-only queries: timed by Bench, absent from the correctness

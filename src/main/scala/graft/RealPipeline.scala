@@ -297,15 +297,50 @@ object RealPipeline {
     * VANISH, Pipeline.GroupBySum). Runs at 1389 AND 1400 so both sides
     * of the 1390 era flip execute in one gate.
     */
-  def realIncomeBreakdown(s: SparkSession, dir: String): DataFrame = {
+  private def deleteRec(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRec)
+    f.delete(): Unit
+  }
+
+  /** Per-JVM scratch root for the real schema's `cache_result: true`
+    * tables (A9 over the REAL metadata flags): pid-suffixed so
+    * concurrent processes never race, per-fixture-slug + per-gate-family
+    * subdirs so fingerprint collisions across different synthetic inputs
+    * (the expenditure and income generators differ on home's codes at
+    * 1400) can never serve each other's data. Shutdown hook cleans up.
+    */
+  private lazy val cacheRoot: String = {
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_realdag_${ProcessHandle.current().pid()}"
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(new java.io.File(p))))
+    p
+  }
+  private def cacheDirFor(dir: String, family: String): String =
+    s"$cacheRoot/${dir.replaceAll("[^0-9a-zA-Z]", "_")}/$family"
+
+  private def incomeRepo(s: SparkSession, dir: String): TableRepo = {
     require(RealMeta.available, "reference metadata corpus not found")
-    val repo = new TableRepo(s, RealMeta.tables, RealMeta.schema,
+    new TableRepo(s, RealMeta.tables, RealMeta.schema,
       rawReader = (name, year) => rawIncome(s, dir, name, year),
       classifications = Map("Imputed_Rent" -> RealMeta.commodities("Imputed_Rent")),
-      config = RepoConfig(availability = RealMeta.tableAvailability))
-    repo.table("Income_Breakdown", Seq(1389, 1400))
-      .orderBy("Year", "ID", "Income_Type")
+      config = RepoConfig(availability = RealMeta.tableAvailability,
+        cacheDir = Some(cacheDirFor(dir, "income"))))
   }
+
+  def realIncomeBreakdown(s: SparkSession, dir: String): DataFrame =
+    incomeRepo(s, dir).table("Income_Breakdown", Seq(1389, 1400))
+      .orderBy("Year", "ID", "Income_Type")
+
+  /** Total_Income (schema.yaml:1125-1139): one more real-DAG level on
+    * top of Income_Breakdown. Both carry `cache_result: true`, so the
+    * A9 cache materializes Income_Breakdown ONCE per (fixture, JVM) and
+    * this gate's plan reads the cached parquet instead of re-deriving
+    * the three income families — exercising the dependency-fingerprint
+    * cache over the REAL schema's own cache flags.
+    */
+  def realTotalIncome(s: SparkSession, dir: String): DataFrame =
+    incomeRepo(s, dir).table("Total_Income", Seq(1389, 1400))
+      .orderBy("Year", "ID")
 
   /** Hand-written oracle: the two `*b` CTEs mirror the synthetic input
     * mapping; every derivation after them is transcribed from the YAML
@@ -400,6 +435,15 @@ object RealPipeline {
     FROM allrows WHERE Income_Type IS NOT NULL
     GROUP BY 1, 2, 3"""
   }
+
+  /** Total_Income oracle: the Income_Breakdown oracle aggregated per
+    * household (schema.yaml:1131-1132) — the exact-integer design makes
+    * the re-aggregation order-independent.
+    */
+  val realTotalIncomeSql: String =
+    s"""SELECT Year, ID, sum(Income) AS Income FROM (
+    $realIncomeBreakdownSql
+    ) GROUP BY 1, 2"""
 
   /** Hand-written oracle. The `base` CTE mirrors the synthetic input
     * mapping; everything after it re-derives the REAL pipeline from the

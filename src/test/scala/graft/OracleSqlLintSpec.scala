@@ -51,6 +51,7 @@ class OracleSqlLintSpec extends AnyFunSuite {
       // multiple of 720 / an integer modulus residue — RealPipeline
       // numeric design note), so the double sum is order-independent
       "real_income_breakdown" -> Set("income"),
+      "real_total_income" -> Set("income"),
     ).withDefaultValue(Set.empty)
     val bad = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap { case (name, sql) =>
       val compact = sql.replaceAll("\\s+", " ").replaceAll("\\(\\s+", "(")
