@@ -3948,6 +3948,10 @@ items:
       Some(RealPipeline.realIncomeBreakdownSql)),
     ("real_total_income", RealPipeline.realTotalIncome _,
       Some(RealPipeline.realTotalIncomeSql)),
+    ("real_members_income_breakdown", RealPipeline.realMembersIncomeBreakdown _,
+      Some(RealPipeline.realMembersIncomeBreakdownSql)),
+    ("real_members_total_income", RealPipeline.realMembersTotalIncome _,
+      Some(RealPipeline.realMembersTotalIncomeSql)),
   )
 
   /** Bench-only queries: timed by Bench, absent from the correctness

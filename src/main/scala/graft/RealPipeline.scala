@@ -342,6 +342,26 @@ object RealPipeline {
     incomeRepo(s, dir).table("Total_Income", Seq(1389, 1400))
       .orderBy("Year", "ID")
 
+  /** Members_Income_Breakdown (schema.yaml:1142-1162): the per-MEMBER
+    * cut of the income DAG — table_list is Cash_Incomes ALONE (the
+    * noncash families are household-level), grouped by (Year, ID,
+    * Member_Number, Income_Type). Exercises the member dimension
+    * end-to-end: employment/self-employed DYCOL01, the melt pipeline's
+    * Member_Number index (schema.yaml:919-923), and the 1390 subsidy
+    * era flip, none of which Income_Breakdown's household groupby can
+    * see.
+    */
+  def realMembersIncomeBreakdown(s: SparkSession, dir: String): DataFrame =
+    incomeRepo(s, dir).table("Members_Income_Breakdown", Seq(1389, 1400))
+      .orderBy("Year", "ID", "Member_Number", "Income_Type")
+
+  /** Members_Total_Income (schema.yaml:1165-1181, `cache_result: true`):
+    * per-member totals over Members_Income_Breakdown.
+    */
+  def realMembersTotalIncome(s: SparkSession, dir: String): DataFrame =
+    incomeRepo(s, dir).table("Members_Total_Income", Seq(1389, 1400))
+      .orderBy("Year", "ID", "Member_Number")
+
   /** Hand-written oracle: the two `*b` CTEs mirror the synthetic input
     * mapping; every derivation after them is transcribed from the YAML
     * text — the provision-method code→label→Income_Type table
@@ -444,6 +464,76 @@ object RealPipeline {
     s"""SELECT Year, ID, sum(Income) AS Income FROM (
     $realIncomeBreakdownSql
     ) GROUP BY 1, 2"""
+
+  /** Members_Income_Breakdown oracle: the CASH half of the income
+    * derivation (the only table in its list, schema.yaml:1144-1145)
+    * re-transcribed with the member dimension carried through — the
+    * employment/self-employed Member_Number raw column (DYCOL01,
+    * tables.yaml:1601-1603,1771-1772), the melt's Member_Number index
+    * (schema.yaml:919-923), the subsidy era flip, and the pandas-dropna
+    * groupby over (Year, ID, Member_Number, Income_Type)
+    * (schema.yaml:1149-1155).
+    */
+  val realMembersIncomeBreakdownSql: String = {
+    def u(k: Int): String =
+      s"""CASE WHEN (sk + $k) % 4 = 0 THEN NULL
+               WHEN (ok + $k) % 11 = 0 THEN CAST(0 AS DOUBLE)
+               ELSE CAST((c + ${k * 37}) % 50021 AS DOUBLE) END AS u$k"""
+    s"""
+    WITH L AS (
+      SELECT l_orderkey AS ok, l_partkey AS pk, l_suppkey AS sk, l_linenumber AS ln,
+             CAST(round(l_extendedprice*100,0) AS BIGINT) AS c
+      FROM lineitem),
+    ib AS (
+      SELECT 1 + ok % 400 AS address,
+             CASE WHEN ok % 2 = 0 THEN 1400 ELSE 1389 END AS Year,
+             pk % 5 AS t5,
+             1 + ln % 4 AS member,
+             1 + (ok // 2) % 4 AS sector,
+             CASE WHEN sk % 7 = 0 THEN NULL ELSE (ok // 2) % 2 END AS isagri,
+             CASE WHEN sk % 5 = 0 THEN NULL ELSE CAST(c % 100000 AS DOUBLE) END AS ynet,
+             CASE WHEN sk % 11 = 0 THEN NULL ELSE CAST(c % 99991 AS DOUBLE) END AS profit,
+             CASE WHEN sk % 3 = 0 THEN NULL ELSE CAST(c % 40009 AS DOUBLE) END AS subsidy,
+             ${u(0)}, ${u(1)}, ${u(2)}, ${u(3)}, ${u(4)}, ${u(5)}
+      FROM L),
+    cash AS (
+      SELECT Year, address AS ID, member,
+             CASE sector WHEN 1 THEN 'Cash_Public' WHEN 2 THEN 'Cash_Cooperative'
+                         WHEN 3 THEN 'Cash_Private' END AS Income_Type,
+             coalesce(ynet, 0) AS Income
+      FROM ib WHERE t5 = 1
+      UNION ALL
+      SELECT Year, address, member,
+             CASE isagri WHEN 1 THEN 'Cash_Agricultural'
+                         WHEN 0 THEN 'Cash_NonAgricultural' END,
+             coalesce(profit, 0)
+      FROM ib WHERE t5 = 2
+      UNION ALL
+      SELECT Year, address, member, 'Cash_' || t, v FROM (
+        SELECT Year, address, member, 'Retirement' AS t, u0 AS v FROM ib WHERE t5 = 3
+        UNION ALL SELECT Year, address, member, 'Rent', u1 FROM ib WHERE t5 = 3
+        UNION ALL SELECT Year, address, member, 'Interest', u2 FROM ib WHERE t5 = 3
+        UNION ALL SELECT Year, address, member, 'Aid', u3 FROM ib WHERE t5 = 3
+        UNION ALL SELECT Year, address, member, 'Home_Production', u4 FROM ib WHERE t5 = 3
+        UNION ALL SELECT Year, address, member, 'Transfer', u5 FROM ib WHERE t5 = 3
+      ) WHERE v IS NOT NULL AND v > 0
+      UNION ALL
+      SELECT Year, address, member, 'Cash_Subsidy', coalesce(subsidy, 0)
+      FROM ib WHERE t5 = 4 AND Year = 1400)
+    SELECT CAST(Year AS INTEGER) AS Year, CAST(ID AS BIGINT) AS ID,
+           CAST(member AS BIGINT) AS Member_Number,
+           Income_Type, sum(Income) AS Income
+    FROM cash WHERE Income_Type IS NOT NULL
+    GROUP BY 1, 2, 3, 4"""
+  }
+
+  /** Members_Total_Income oracle: per-member totals
+    * (schema.yaml:1171-1172).
+    */
+  val realMembersTotalIncomeSql: String =
+    s"""SELECT Year, ID, Member_Number, sum(Income) AS Income FROM (
+    $realMembersIncomeBreakdownSql
+    ) GROUP BY 1, 2, 3"""
 
   /** Hand-written oracle. The `base` CTE mirrors the synthetic input
     * mapping; everything after it re-derives the REAL pipeline from the

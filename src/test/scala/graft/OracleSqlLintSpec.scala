@@ -52,6 +52,8 @@ class OracleSqlLintSpec extends AnyFunSuite {
       // numeric design note), so the double sum is order-independent
       "real_income_breakdown" -> Set("income"),
       "real_total_income" -> Set("income"),
+      "real_members_income_breakdown" -> Set("income"),
+      "real_members_total_income" -> Set("income"),
     ).withDefaultValue(Set.empty)
     val bad = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap { case (name, sql) =>
       val compact = sql.replaceAll("\\s+", " ").replaceAll("\\(\\s+", "(")

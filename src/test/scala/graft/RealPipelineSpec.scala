@@ -50,6 +50,35 @@ class RealPipelineSpec extends SparkSpec {
     assert(!types.contains(1389 -> "Cash_Subsidy"))
   }
 
+  test("real Members_Income_Breakdown DAG: member dimension flows through every cash family") {
+    assume(RealMeta.available && new java.io.File(sfDir).isDirectory)
+    val df = RealPipeline.realMembersIncomeBreakdown(spark, sfDir)
+    assert(df.columns.toSeq ==
+      Seq("Year", "ID", "Member_Number", "Income_Type", "Income"))
+    val cells = df.select("Year", "Member_Number", "Income_Type").distinct()
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSet
+    assert(!cells.exists(_._3 == null), "null Income_Type group leaked through groupby")
+    // every member slot (DYCOL01 spans 1..4 by construction) must appear
+    // in every cash family at both years — a dropped Member_Number in
+    // the clean map, the melt's index, or the groupby collapses this
+    for (y <- Seq(1389, 1400); m <- 1L to 4L;
+         t <- Seq("Cash_Public", "Cash_Agricultural", "Cash_Retirement"))
+      assert(cells.contains((y, m, t)), s"missing ($y, member $m, $t)")
+    // table_list is Cash_Incomes ALONE (schema.yaml:1144-1145): any
+    // NonCash row here means the member cut pulled household-level tables
+    assert(!cells.exists(_._3.startsWith("NonCash")),
+      "household-level noncash family leaked into the member cut")
+    // the member cut must refine the household cut exactly: summing it
+    // back over members reproduces Income_Breakdown's cash rows
+    import org.apache.spark.sql.functions._
+    val fromMembers = df.groupBy("Year", "ID", "Income_Type")
+      .agg(sum("Income").as("Income"))
+    val cashHh = RealPipeline.realIncomeBreakdown(spark, sfDir)
+      .where(col("Income_Type").startsWith("Cash"))
+    assert(fromMembers.exceptAll(cashHh).isEmpty && cashHh.exceptAll(fromMembers).isEmpty,
+      "member-level sums disagree with the household Income_Breakdown cash rows")
+  }
+
   test("plan shape: union of cleaned scans into per-year hash aggregates, no joins") {
     assume(RealMeta.available && new java.io.File(sfDir).isDirectory)
     import org.apache.spark.sql.execution.SparkPlan
