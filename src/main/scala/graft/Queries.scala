@@ -3952,6 +3952,10 @@ items:
       Some(RealPipeline.realMembersIncomeBreakdownSql)),
     ("real_members_total_income", RealPipeline.realMembersTotalIncome _,
       Some(RealPipeline.realMembersTotalIncomeSql)),
+    ("real_total_outlay", RealPipeline.realTotalOutlay _,
+      Some(RealPipeline.realTotalOutlaySql)),
+    ("real_expenditure_breakdown", RealPipeline.realExpenditureBreakdown _,
+      Some(RealPipeline.realExpenditureBreakdownSql)),
   )
 
   /** Bench-only queries: timed by Bench, absent from the correctness

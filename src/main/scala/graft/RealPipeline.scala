@@ -58,6 +58,11 @@ object RealPipeline {
       (col("l_orderkey") % 2L).as("ypar"),
       (col("l_partkey") % 13L).as("t13"),
       (col("l_partkey") % 9L).as("t9"),
+      // outlay-family slices: one extra residue class so the INVESTMENT
+      // table (Original_Outlays only) gets rows disjoint from the 13
+      // (resp. 9) expenditure slices
+      (col("l_partkey") % 14L).as("t14"),
+      (col("l_partkey") % 10L).as("t10"),
       (lit(11111L) + col("l_partkey") % 8000L).as("code"),
       when(col("l_suppkey") % 11L === 0L, lit(null).cast(DoubleType))
         .otherwise((lit(720L) * (lit(1L) + cents(col("l_extendedprice")) % 997L))
@@ -121,31 +126,37 @@ object RealPipeline {
     }
   }
 
+  /** COL-era (1374-1382) raw projection of one expenditure table from a
+    * [[base]] slice (food-1374 tables.yaml:1346-1379, durable-1374
+    * :1524-1526, common-structure-1374 :1312-1319).
+    */
+  private def colTable(sl: DataFrame, name: String): DataFrame = {
+    def fill(mod: Long): Column = (col("code") % mod).cast(DoubleType)
+    name match {
+      case "food" => sl.select(
+        col("address").as("ADDRESS"), col("code").as("COL1"),
+        col("pm").as("COL3"), fill(20L).as("COL4_5"),
+        fill(9000L).as("COL6"), col("exp").as("COL7"))
+      case "durable" => sl.select(
+        col("address").as("ADDRESS"), col("code").as("COL1"),
+        col("pm").as("COL3"), col("exp").as("COL4"),
+        col("shs").as("COL5"))
+      case _ => sl.select(
+        col("address").as("ADDRESS"), col("code").as("COL1"),
+        col("pm").as("COL3"), col("exp").as("COL4"))
+    }
+  }
+
   def raw(s: SparkSession, dir: String, name: String, year: Int): Option[DataFrame] = {
     val b = base(s, dir)
-    def fill(mod: Long): Column = (col("code") % mod).cast(DoubleType)
     if (year == 1400) {
       val i = tables1383.indexOf(name)
       if (i < 0) None
       else Some(dycolTable(b.where(col("t13") === i.toLong && col("ypar") === 0L), name))
     } else if (year == 1382) {
       val i = tables1363.indexOf(name)
-      if (i < 0) None else {
-        val sl = b.where(col("t9") === i.toLong && col("ypar") === 1L)
-        Some(name match {
-          case "food" => sl.select(
-            col("address").as("ADDRESS"), col("code").as("COL1"),
-            col("pm").as("COL3"), fill(20L).as("COL4_5"),
-            fill(9000L).as("COL6"), col("exp").as("COL7"))
-          case "durable" => sl.select(
-            col("address").as("ADDRESS"), col("code").as("COL1"),
-            col("pm").as("COL3"), col("exp").as("COL4"),
-            col("shs").as("COL5"))
-          case _ => sl.select(
-            col("address").as("ADDRESS"), col("code").as("COL1"),
-            col("pm").as("COL3"), col("exp").as("COL4"))
-        })
-      }
+      if (i < 0) None
+      else Some(colTable(b.where(col("t9") === i.toLong && col("ypar") === 1L), name))
     } else None
   }
 
@@ -162,6 +173,184 @@ object RealPipeline {
       config = RepoConfig(availability = RealMeta.tableAvailability))
     repo.table("Total_Expenditure", Seq(1382, 1400)).orderBy("Year", "ID")
   }
+
+  /** Expenditure_Breakdown (schema.yaml:717-721): the ITEM-LEVEL cut of
+    * the expenditure DAG — `table_list: [Expenditures]` with no further
+    * instructions, so the gate exposes every per-item column the
+    * household roll-up collapses: Table_Name, Code, the era-versioned
+    * Provision_Method LABELS (variant 5 at 1400, tables.yaml:1158-1168;
+    * variant 4 at 1382 — the 1379 era, where code 8 is
+    * Instead_of_Cooperative_Service, tables.yaml:1179-1189), and the
+    * Amount/Price columns only food (both eras) and tobacco (DYCOL era)
+    * carry — food's Amount is the era-versioned `Kilos + 0.001 * Grams`
+    * vs plain `Kilos` expression (schema.yaml:158-165).
+    */
+  def realExpenditureBreakdown(s: SparkSession, dir: String): DataFrame = {
+    require(RealMeta.available, "reference metadata corpus not found")
+    val repo = new TableRepo(s, RealMeta.tables, RealMeta.schema,
+      rawReader = (name, year) => raw(s, dir, name, year),
+      config = RepoConfig(availability = RealMeta.tableAvailability))
+    repo.table("Expenditure_Breakdown", Seq(1382, 1400))
+      .orderBy("Year", "ID", "Table_Name", "Code")
+  }
+
+  /** Hand-written item-level oracle: no aggregation anywhere, so every
+    * synthetic row must reappear with the exact per-table column
+    * dispatch transcribed from the YAML: the two pm label maps
+    * (tables.yaml:1158-1177), the per-table apply_order survivals
+    * (only food and tobacco keep Amount/Price — schema.yaml:5-38
+    * common order vs food :199-221 / tobacco :234-243), annualization,
+    * and the fillna(0) Gross/Net derivations.
+    */
+  val realExpenditureBreakdownSql: String = """
+    WITH base AS (
+      SELECT 1 + l_orderkey % 400 AS address,
+             l_orderkey % 2 AS ypar,
+             l_partkey % 13 AS t13,
+             l_partkey % 9 AS t9,
+             11111 + l_partkey % 8000 AS code,
+             CASE WHEN (l_orderkey + l_linenumber) % 31 = 0 THEN NULL
+                  ELSE 1 + (l_orderkey + l_linenumber) % 8 END AS pm,
+             CASE WHEN l_suppkey % 11 = 0 THEN NULL
+                  ELSE CAST(720 * (1 + CAST(round(l_extendedprice*100,0) AS BIGINT) % 997) AS DOUBLE) END AS exp,
+             CASE WHEN l_linenumber % 3 = 0 THEN NULL
+                  ELSE CAST(720 * (CAST(round(l_discount*100,0) AS BIGINT) % 7) AS DOUBLE) END AS shs
+      FROM lineitem),
+    items AS (
+      SELECT 1400 AS Year, CAST(address AS BIGINT) AS ID,
+             CASE t13 WHEN 0 THEN 'food' WHEN 1 THEN 'tobacco' WHEN 2 THEN 'cloth'
+                      WHEN 3 THEN 'home' WHEN 4 THEN 'furniture' WHEN 5 THEN 'medical'
+                      WHEN 6 THEN 'transportation' WHEN 7 THEN 'communication'
+                      WHEN 8 THEN 'entertainment' WHEN 9 THEN 'education'
+                      WHEN 10 THEN 'hotel' WHEN 11 THEN 'miscellaneous'
+                      WHEN 12 THEN 'durable' END AS Table_Name,
+             CAST(code AS BIGINT) AS Code,
+             CASE pm WHEN 1 THEN 'Purchase' WHEN 2 THEN 'Home_Production'
+                     WHEN 3 THEN 'Instead_of_Public_Service'
+                     WHEN 4 THEN 'Instead_of_Cooperative_Service'
+                     WHEN 5 THEN 'Instead_of_Private_Service'
+                     WHEN 6 THEN 'Agricultural_Work'
+                     WHEN 7 THEN 'Non_Agricultural_Work'
+                     WHEN 8 THEN 'Donation' END AS Provision_Method,
+             CASE WHEN t13 = 0 THEN CAST(code % 20 AS DOUBLE) + CAST(0.001 AS DOUBLE) * CAST(code % 500 AS DOUBLE)
+                  WHEN t13 = 1 THEN CAST(code % 20 AS DOUBLE) END AS Amount,
+             CASE WHEN t13 IN (0, 1) THEN CAST(code % 9000 AS DOUBLE) END AS Price,
+             CASE WHEN t13 = 12 THEN 360 ELSE 30 END AS dur,
+             coalesce(exp, 0) AS g,
+             coalesce(exp, 0) - (CASE WHEN t13 = 12 THEN coalesce(shs, 0) ELSE 0 END) AS n
+      FROM base WHERE ypar = 0
+      UNION ALL
+      SELECT 1382, CAST(address AS BIGINT),
+             CASE t9 WHEN 0 THEN 'food' WHEN 1 THEN 'cloth' WHEN 2 THEN 'home'
+                     WHEN 3 THEN 'furniture' WHEN 4 THEN 'medical'
+                     WHEN 5 THEN 'transportation' WHEN 6 THEN 'entertainment'
+                     WHEN 7 THEN 'miscellaneous' WHEN 8 THEN 'durable' END,
+             CAST(code AS BIGINT),
+             CASE pm WHEN 1 THEN 'Purchase' WHEN 2 THEN 'Home_Production'
+                     WHEN 3 THEN 'Instead_of_Public_Service'
+                     WHEN 4 THEN 'Instead_of_Private_Service'
+                     WHEN 5 THEN 'Agricultural_Work'
+                     WHEN 6 THEN 'Non_Agricultural_Work'
+                     WHEN 7 THEN 'Donation'
+                     WHEN 8 THEN 'Instead_of_Cooperative_Service' END,
+             CASE WHEN t9 = 0 THEN CAST(code % 20 AS DOUBLE) END,
+             CASE WHEN t9 = 0 THEN CAST(code % 9000 AS DOUBLE) END,
+             CASE WHEN t9 = 8 THEN 360 ELSE 30 END,
+             coalesce(exp, 0),
+             coalesce(exp, 0) - (CASE WHEN t9 = 8 THEN coalesce(shs, 0) ELSE 0 END)
+      FROM base WHERE ypar = 1)
+    SELECT CAST(Year AS INTEGER) AS Year, ID, Table_Name, Code, Provision_Method,
+           Amount, Price,
+           g / dur * 360 AS Gross_Expenditure,
+           n / dur * 360 AS Net_Expenditure
+    FROM items"""
+
+  // ------------------------------------------------------ Total_Outlay
+
+  /** Raw reader for the outlay family: the expenditure tables sliced on
+    * the outlay moduli (t14 / t10) plus the INVESTMENT table
+    * (tables.yaml:1550-1588 — 1384-era DYCOL01..04, 1374-era
+    * COL1/COL3/COL4/COL5; file_code absent 1363-65 and 1375-77, so its
+    * availability era-gates exactly like the real archive).
+    */
+  def rawOutlay(s: SparkSession, dir: String, name: String, year: Int): Option[DataFrame] = {
+    val b = base(s, dir)
+    if (year == 1400) {
+      if (name == "investment")
+        Some(b.where(col("t14") === 13L && col("ypar") === 0L).select(
+          col("address").as("ADDRESS"), col("code").as("DYCOL01"),
+          col("pm").as("DYCOL02"), col("exp").as("DYCOL03"),
+          col("shs").as("DYCOL04")))
+      else {
+        val i = tables1383.indexOf(name)
+        if (i < 0) None
+        else Some(dycolTable(b.where(col("t14") === i.toLong && col("ypar") === 0L), name))
+      }
+    } else if (year == 1382) {
+      if (name == "investment")
+        Some(b.where(col("t10") === 9L && col("ypar") === 1L).select(
+          col("address").as("ADDRESS"), col("code").as("COL1"),
+          col("pm").as("COL3"), col("exp").as("COL4"),
+          col("shs").as("COL5")))
+      else {
+        val i = tables1363.indexOf(name)
+        if (i < 0) None
+        else Some(colTable(b.where(col("t10") === i.toLong && col("ypar") === 1L), name))
+      }
+    } else None
+  }
+
+  /** The THIRD real standard-table DAG family: Original_Outlays →
+    * Outlays → Total_Outlay (schema.yaml:724-746, 826-877). Differs
+    * from the expenditure family in exactly two reference-semantics
+    * ways this gate must reproduce: the investment table joins the
+    * union (with Secondhand_Sale, so Net subtracts it on TWO tables
+    * now), and investment's Duration is 360 (schema.yaml:511-515).
+    * `cache_result: true` on Total_Outlay runs the A9 cache over a
+    * third real cache flag.
+    */
+  def realTotalOutlay(s: SparkSession, dir: String): DataFrame = {
+    require(RealMeta.available, "reference metadata corpus not found")
+    val repo = new TableRepo(s, RealMeta.tables, RealMeta.schema,
+      rawReader = (name, year) => rawOutlay(s, dir, name, year),
+      config = RepoConfig(availability = RealMeta.tableAvailability,
+        cacheDir = Some(cacheDirFor(dir, "outlay"))))
+    repo.table("Total_Outlay", Seq(1382, 1400)).orderBy("Year", "ID")
+  }
+
+  /** Hand-written oracle, structured like [[realTotalExpenditureSql]]
+    * but on the outlay slices: durable AND investment carry
+    * Secondhand_Sale and Duration 360 (schema.yaml:458-461, 511-515,
+    * tables.yaml:1524-1526, 1578-1588); everything else is 30-day
+    * Expenditure-only.
+    */
+  val realTotalOutlaySql: String = """
+    WITH base AS (
+      SELECT 1 + l_orderkey % 400 AS address,
+             l_orderkey % 2 AS ypar,
+             l_partkey % 14 AS t14,
+             l_partkey % 10 AS t10,
+             CASE WHEN l_suppkey % 11 = 0 THEN NULL
+                  ELSE CAST(720 * (1 + CAST(round(l_extendedprice*100,0) AS BIGINT) % 997) AS DOUBLE) END AS exp,
+             CASE WHEN l_linenumber % 3 = 0 THEN NULL
+                  ELSE CAST(720 * (CAST(round(l_discount*100,0) AS BIGINT) % 7) AS DOUBLE) END AS shs
+      FROM lineitem),
+    items AS (
+      SELECT 1400 AS Year, CAST(address AS BIGINT) AS ID,
+             CASE WHEN t14 IN (12, 13) THEN 360 ELSE 30 END AS dur,
+             coalesce(exp, 0) AS g,
+             coalesce(exp, 0) - (CASE WHEN t14 IN (12, 13) THEN coalesce(shs, 0) ELSE 0 END) AS n
+      FROM base WHERE ypar = 0
+      UNION ALL
+      SELECT 1382, CAST(address AS BIGINT),
+             CASE WHEN t10 IN (8, 9) THEN 360 ELSE 30 END,
+             coalesce(exp, 0),
+             coalesce(exp, 0) - (CASE WHEN t10 IN (8, 9) THEN coalesce(shs, 0) ELSE 0 END)
+      FROM base WHERE ypar = 1)
+    SELECT CAST(Year AS INTEGER) AS Year, ID,
+           sum(g / dur * 360) AS Gross_Expenditure,
+           sum(n / dur * 360) AS Net_Expenditure
+    FROM items GROUP BY 1, 2"""
 
   // ------------------------------------------------------ Income_Breakdown
 
