@@ -3956,6 +3956,12 @@ items:
       Some(RealPipeline.realTotalOutlaySql)),
     ("real_expenditure_breakdown", RealPipeline.realExpenditureBreakdown _,
       Some(RealPipeline.realExpenditureBreakdownSql)),
+    ("real_number_of_members", RealPipeline.realNumberOfMembers _,
+      Some(RealPipeline.realNumberOfMembersSql)),
+    ("real_equivalence_scale", RealPipeline.realEquivalenceScale _,
+      Some(RealPipeline.realEquivalenceScaleSql)),
+    ("real_weights", RealPipeline.realWeights _,
+      Some(RealPipeline.realWeightsSql)),
   )
 
   /** Bench-only queries: timed by Bench, absent from the correctness

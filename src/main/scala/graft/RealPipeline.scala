@@ -551,6 +551,144 @@ object RealPipeline {
     incomeRepo(s, dir).table("Members_Total_Income", Seq(1389, 1400))
       .orderBy("Year", "ID", "Member_Number")
 
+  // ------------------------------------------- household-attribute DAGs
+
+  /** Raw reader for the household-attribute DAGs:
+    *   members_properties — COL-era at 1382 (COL01/03/04/05,
+    *     tables.yaml:316-355 under the 1369 overrides) and DYCOL-era at
+    *     1400 (DYCOL01/03/04/05, tables.yaml:358-369); planted null
+    *     ages exercise the pandas `NaN >= 14 -> False` child-count
+    *     parity;
+    *   house_specifications — one row per household, 1387-era layout
+    *     (ADDRESS + DYCOL01 tenure, tables.yaml:851-860);
+    *   household_information — 1400 only (the 1396+ era where the
+    *     in-pipeline create_season/add_weights steps are null,
+    *     schema.yaml:43-72): the full 7-column raw (tables.yaml:102-137)
+    *     so the 1400 apply_order's Season/Household_Type/Main_Household/
+    *     Alternative_Household survive the clean.
+    */
+  def rawHousehold(s: SparkSession, dir: String, name: String, year: Int): Option[DataFrame] = {
+    val b = base(s, dir)
+    def hh(yp: Long) = b.where(col("ypar") === yp).select(col("address")).distinct()
+    name match {
+      case "members_properties" if year == 1400 || year == 1382 =>
+        val yp = if (year == 1400) 0L else 1L
+        val m = s.read.parquet(s"$dir/lineitem.parquet")
+          .where(col("l_orderkey") % 2L === yp).select(
+            (lit(1L) + col("l_orderkey") % 400L).as("a"),
+            (lit(1L) + col("l_linenumber") % 6L).as("mn"),
+            (lit(1L) + col("l_partkey") % 9L).as("rel"),
+            (lit(1L) + col("l_partkey") % 2L).as("sex"),
+            when(col("l_suppkey") % 13L === 0L, lit(null).cast(LongType))
+              .otherwise(col("l_partkey") % 95L).as("age"))
+        Some(if (year == 1400)
+          m.select(col("a").as("ADDRESS"), col("mn").as("DYCOL01"),
+            col("rel").as("DYCOL03"), col("sex").as("DYCOL04"),
+            col("age").as("DYCOL05"))
+        else
+          m.select(col("a").as("ADDRESS"), col("mn").as("COL01"),
+            col("rel").as("COL03"), col("sex").as("COL04"),
+            col("age").as("COL05")))
+      case "house_specifications" if year == 1400 || year == 1389 =>
+        val yp = if (year == 1400) 0L else 1L
+        Some(hh(yp).select(col("address").as("ADDRESS"),
+          (lit(1L) + col("address") % 7L).as("DYCOL01")))
+      case "household_information" if year == 1400 =>
+        Some(hh(0L).select(col("address").as("ADDRESS"),
+          (lit(1L) + col("address") % 4L).as("FASL"),
+          (lit(1L) + col("address") % 12L).as("MAHMORAJEH"),
+          (lit(100L) + col("address") % 57L).as("WEIGHT"),
+          (lit(1L) + col("address") % 2L).as("NOEKHN"),
+          (col("address") % 2L).as("TAKMIL"),
+          ((col("address") + 1L) % 2L).as("JAYGOZIN")))
+      case _ => None
+    }
+  }
+
+  private def householdRepo(s: SparkSession, dir: String): TableRepo = {
+    require(RealMeta.available, "reference metadata corpus not found")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType, IntegerType => IntT}
+    // external weights for the <=1395 era (data_engine.py:700-754):
+    // deterministic per-household values, mirrored in the oracle
+    val extRows = (1L to 400L).map(id => Row(1389, id, 200L + id % 43L))
+    val ext = s.createDataFrame(s.sparkContext.parallelize(extRows, 1),
+      StructType(Seq(StructField("Year", IntT, nullable = false),
+        StructField("ID", LongType, nullable = false),
+        StructField("Weight", LongType, nullable = false))))
+    new TableRepo(s, RealMeta.tables, RealMeta.schema,
+      rawReader = (name, year) => rawHousehold(s, dir, name, year),
+      externalWeights = Some(ext),
+      config = RepoConfig(availability = RealMeta.tableAvailability))
+  }
+
+  /** Number_of_Members (schema.yaml:97-111): members_properties through
+    * the REAL clean maps at BOTH coding eras, then the
+    * apply_external_function registry (C11) — count / adult-count /
+    * child-count per household (standard_tables.py:4-13).
+    */
+  def realNumberOfMembers(s: SparkSession, dir: String): DataFrame =
+    householdRepo(s, dir).table("Number_of_Members", Seq(1382, 1400))
+      .orderBy("Year", "ID")
+
+  /** Equivalence_Scale (schema.yaml:114-130): one more DAG level —
+    * Number_of_Members -> the five scales (standard_tables.py:16-26),
+    * with apply_order DROPPING the intermediate Members/Adults/Childs.
+    */
+  def realEquivalenceScale(s: SparkSession, dir: String): DataFrame =
+    householdRepo(s, dir).table("Equivalence_Scale", Seq(1382, 1400))
+      .orderBy("Year", "ID")
+
+  /** Weights (schema.yaml:575-588): add_weights over the REAL era
+    * split — year 1389 resolves from the EXTERNAL weights source
+    * (<=1395, data_engine.py:700-754), year 1400 from the
+    * household_information table built through its own real
+    * clean+instructions pipeline (the 1396+ era of schema.yaml:43-72).
+    */
+  def realWeights(s: SparkSession, dir: String): DataFrame =
+    householdRepo(s, dir).table("Weights", Seq(1389, 1400))
+      .orderBy("Year", "ID")
+
+  /** Oracles: the `m`/`hh` CTEs mirror the synthetic input mapping;
+    * the aggregation, adult cutoff (Age >= 14, with null ages counting
+    * as children exactly like pandas' NaN >= 14 -> False), scale
+    * formulas (shaped exactly like the engine's double expressions),
+    * and the weight-source era split are re-derived from the reference.
+    */
+  val realNumberOfMembersSql: String = """
+    WITH m AS (
+      SELECT CASE WHEN l_orderkey % 2 = 0 THEN 1400 ELSE 1382 END AS Year,
+             1 + l_orderkey % 400 AS ID,
+             CASE WHEN l_suppkey % 13 = 0 THEN NULL ELSE l_partkey % 95 END AS age
+      FROM lineitem)
+    SELECT CAST(Year AS INTEGER) AS Year, CAST(ID AS BIGINT) AS ID,
+           count(*) AS Members,
+           sum(CASE WHEN age >= 14 THEN 1 ELSE 0 END) AS Adults,
+           count(*) - sum(CASE WHEN age >= 14 THEN 1 ELSE 0 END) AS Childs
+    FROM m GROUP BY 1, 2"""
+
+  val realEquivalenceScaleSql: String =
+    s"""SELECT Year, ID, CAST(1 AS INTEGER) AS Household,
+           Members AS Per_Capita,
+           (CAST(Adults AS DOUBLE) * CAST(0.7 AS DOUBLE)
+             + CAST(Childs AS DOUBLE) * CAST(0.5 AS DOUBLE)) + CAST(0.3 AS DOUBLE) AS OECD,
+           (CAST(Adults AS DOUBLE) * CAST(0.5 AS DOUBLE)
+             + CAST(Childs AS DOUBLE) * CAST(0.3 AS DOUBLE)) + CAST(0.5 AS DOUBLE) AS OECD_Modified,
+           sqrt(CAST(Members AS DOUBLE)) AS Square_Root
+    FROM ($realNumberOfMembersSql)"""
+
+  val realWeightsSql: String = """
+    WITH hh AS (
+      SELECT DISTINCT l_orderkey % 2 AS ypar, 1 + l_orderkey % 400 AS ID
+      FROM lineitem)
+    SELECT CAST(1389 AS INTEGER) AS Year, CAST(ID AS BIGINT) AS ID,
+           CAST(200 + ID % 43 AS BIGINT) AS Weight
+    FROM hh WHERE ypar = 1
+    UNION ALL
+    SELECT CAST(1400 AS INTEGER), CAST(ID AS BIGINT),
+           CAST(100 + ID % 57 AS BIGINT)
+    FROM hh WHERE ypar = 0"""
+
   /** Hand-written oracle: the two `*b` CTEs mirror the synthetic input
     * mapping; every derivation after them is transcribed from the YAML
     * text — the provision-method code→label→Income_Type table
