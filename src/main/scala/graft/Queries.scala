@@ -4004,5 +4004,11 @@ items:
     "events_sessionize", "events_session_window", "events_session_stream",
     "asof_join", "asof_join_nearest", "events_rolling", "skew_salted_join",
     "agg_rollup", "agg_cube", "window_funcs", "events_pivot", "set_ops", "json_extract",
-    "events_daily_active", "topk")
+    "events_daily_active", "topk",
+    // the flagship real-metadata DAG: deliberately the UNCACHED variant
+    // (realTotalExpenditure builds no A9 cache dir), so every run pays
+    // the full 13+9-scan union + metadata-compiled projections — the
+    // cost being tracked is plan compilation + single-pass execution,
+    // not a cached-parquet read
+    "real_total_expenditure")
 }
