@@ -79,6 +79,24 @@ class RealPipelineSpec extends SparkSpec {
       "member-level sums disagree with the household Income_Breakdown cash rows")
   }
 
+  test("real income DAG: Total_Income plans over the A9-cached Income_Breakdown parquet") {
+    assume(RealMeta.available && new java.io.File(sfDir).isDirectory)
+    // both tables carry `cache_result: true` (schema.yaml:1122,1139) and
+    // the income repo wires a per-(pid, fixture, family) cacheDir, so
+    // the Total_Income plan must READ the materialized parquet — its
+    // leaf scans point into the scratch root, not at the raw fixture
+    RealPipeline.realIncomeBreakdown(spark, sfDir).collect()
+    val df = RealPipeline.realTotalIncome(spark, sfDir)
+    val scans = df.queryExecution.sparkPlan.collectLeaves().map(_.toString)
+    val marker = s"graft_realdag_${ProcessHandle.current().pid()}"
+    assert(scans.exists(_.contains(marker)),
+      s"Total_Income does not scan the A9 cache:\n${scans.mkString("\n")}")
+    // and the cached read must NOT re-derive the three income families:
+    // a single leaf under the cache root, no union of 14+ raw scans
+    assert(scans.count(_.contains(marker)) == scans.size,
+      s"plan mixes cached and re-derived scans:\n${scans.mkString("\n")}")
+  }
+
   test("plan shape: union of cleaned scans into per-year hash aggregates, no joins") {
     assume(RealMeta.available && new java.io.File(sfDir).isDirectory)
     import org.apache.spark.sql.execution.SparkPlan
