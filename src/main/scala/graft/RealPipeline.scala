@@ -63,6 +63,8 @@ object RealPipeline {
       // (resp. 9) expenditure slices
       (col("l_partkey") % 14L).as("t14"),
       (col("l_partkey") % 10L).as("t10"),
+      // 20-way year selector for the multi-year plan-scaling run
+      (col("l_orderkey") % 20L).as("y20"),
       (lit(11111L) + col("l_partkey") % 8000L).as("code"),
       when(col("l_suppkey") % 11L === 0L, lit(null).cast(DoubleType))
         .otherwise((lit(720L) * (lit(1L) + cents(col("l_extendedprice")) % 997L))
@@ -264,6 +266,43 @@ object RealPipeline {
            g / dur * 360 AS Gross_Expenditure,
            n / dur * 360 AS Net_Expenditure
     FROM items"""
+
+  /** Multi-year raw reader for the plan-scaling run: serves EVERY year
+    * in 1375-1382 (COL era, the 1374-era layouts `colTable` emits) and
+    * 1389-1400 (DYCOL era, the layouts `dycolTable` emits) — 20 years,
+    * each year a disjoint 1/20 slice of lineitem. The real library loads
+    * ~39 survey years in one call; with ~9-13 raw tables per year, the
+    * metadata-compiled DAG has HUNDREDS of leaf scans, and the genuine
+    * scale risk is plan-compile cost, not executor work — this reader
+    * exists so RealPipelineSpec can execute and time that shape.
+    * (The oracle-pinned two-year gates keep their own fixed mapping in
+    * [[raw]]; this reader is additive.)
+    */
+  def rawMultiYear(s: SparkSession, dir: String, name: String, year: Int): Option[DataFrame] = {
+    val b = base(s, dir)
+    if (year >= 1389 && year <= 1400) {
+      val i = tables1383.indexOf(name)
+      if (i < 0) None
+      else Some(dycolTable(
+        b.where(col("y20") === (8L + (year - 1389)) && col("t13") === i.toLong), name))
+    } else if (year >= 1375 && year <= 1382) {
+      val i = tables1363.indexOf(name)
+      if (i < 0) None
+      else Some(colTable(
+        b.where(col("y20") === (year - 1375).toLong && col("t9") === i.toLong), name))
+    } else None
+  }
+
+  /** The 20-year Total_Expenditure DAG over the real metadata — used by
+    * RealPipelineSpec's plan-scaling measurement.
+    */
+  def realTotalExpenditureMultiYear(s: SparkSession, dir: String): DataFrame = {
+    require(RealMeta.available, "reference metadata corpus not found")
+    val repo = new TableRepo(s, RealMeta.tables, RealMeta.schema,
+      rawReader = (name, year) => rawMultiYear(s, dir, name, year),
+      config = RepoConfig(availability = RealMeta.tableAvailability))
+    repo.table("Total_Expenditure", (1375 to 1382) ++ (1389 to 1400))
+  }
 
   // ------------------------------------------------------ Total_Outlay
 

@@ -97,6 +97,36 @@ class RealPipelineSpec extends SparkSpec {
       s"plan mixes cached and re-derived scans:\n${scans.mkString("\n")}")
   }
 
+  test("20-year DAG: plan-compile cost stays sane at hundreds of metadata-compiled scans") {
+    assume(RealMeta.available && new java.io.File(sfDir).isDirectory)
+    // the real library loads ~39 survey years in one call — at 9-13 raw
+    // tables per year that is hundreds of leaf scans, and the genuine
+    // 100 TB risk for a metadata-driven engine is OPTIMIZER cost growing
+    // with metadata size, not executor work (the r13 category-map fix in
+    // CleanOps exists because exactly that cliff appeared at 13 scans).
+    // 20 years x (9 | 13) tables = 228 cleaned scans in ONE plan.
+    val t0 = System.nanoTime()
+    val df = RealPipeline.realTotalExpenditureMultiYear(spark, sfDir)
+    val built = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val rows = df.collect()
+    val ran = (System.nanoTime() - t1) / 1e9
+    System.err.println(f"[scale] 20-year Total_Expenditure: build ${built}%.1fs, execute ${ran}%.1fs, ${rows.length} households")
+    // every year must surface (a silently-dropped year is a wrong answer,
+    // not a perf problem)
+    val years = rows.map(_.getInt(0)).toSet
+    assert(years == ((1375 to 1382) ++ (1389 to 1400)).toSet, s"missing years: $years")
+    // the 720-grid invariant must hold across all 20 years — same
+    // annualization math as the two-year gate
+    import org.apache.spark.sql.functions._
+    val offGrid = df.where(pmod(col("Gross_Expenditure"), lit(720.0)) =!= 0.0 ||
+      pmod(col("Net_Expenditure"), lit(720.0)) =!= 0.0).count()
+    assert(offGrid == 0L, s"$offGrid household sums off the 720 grid")
+    // generous ceiling: catches superlinear plan-compile regressions
+    // (the pre-fix category fold would blow far through this), not noise
+    assert(built + ran < 300.0, f"20-year DAG took ${built + ran}%.1fs")
+  }
+
   test("plan shape: union of cleaned scans into per-year hash aggregates, no joins") {
     assume(RealMeta.available && new java.io.File(sfDir).isDirectory)
     import org.apache.spark.sql.execution.SparkPlan
