@@ -1030,6 +1030,59 @@ items:
            / CAST(sum(1 + o_orderkey % 7) OVER (PARTITION BY year(o_orderdate)) AS DOUBLE) AS Quantile
     FROM orders"""
 
+  /** E12×D2 composition — the reference's standard analysis path
+    * (quantile.py:119-156): decode a grouping attribute from the
+    * household ID (`_add_attributes`), then compute the weighted
+    * quantile PER (Year, attribute) group. Two reference semantics this
+    * composition adds over plain e12: rows whose attribute decodes to
+    * null fall out of the pandas groupby (dropna) and re-align with a
+    * NULL quantile — here the null-key partition computes in its own
+    * window and is masked, identical result with no join-back; null
+    * Values behave as in e12 (dropped from the cum/total weights, null
+    * quantile). One shuffle per window partition set; the decode itself
+    * is a pure expression on the scan.
+    */
+  def e12dAttrQuantile(s: SparkSession, dir: String): DataFrame = {
+    val df = T(s, dir, "orders").select(
+      year(col("o_orderdate")).as("Year"),
+      // multiplier coprime to 7e9 AND large enough that small orderkeys
+      // still spread across the full residue range (leading digits 3..9)
+      (lit(3000000000L) + (col("o_orderkey") * 1234567891L) % 7000000000L).as("ID"),
+      when(col("o_orderkey") % 11L === 0L, lit(null).cast(LongType))
+        .otherwise(cents(col("o_totalprice"))).as("Values"),
+      (lit(1L) + col("o_orderkey") % 7L).as("Weight"))
+    // leading ID digit spans 3..9; only 3/4 are mapped, so 5..9 decode
+    // to null and must surface with a null Quantile
+    val ur = Seq(IdDecoder.AttrVersion(1990, 2010, 10, 0, 1,
+      Map(3L -> "Urban", 4L -> "Rural")))
+    val dec = IdDecoder.addAttribute(df, ur, IdDecoder.Settings("Urban_Rural"))
+    Stats.addQuantile(dec, "Values", "Weight", Seq("Year", "Urban_Rural"))
+      .withColumn("Quantile", when(col("Urban_Rural").isNotNull, col("Quantile")))
+  }
+
+  private val e12dSql = """
+    WITH basefr AS (
+      SELECT year(o_orderdate) AS Year,
+             3000000000 + (o_orderkey * 1234567891) % 7000000000 AS ID,
+             CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                  ELSE CAST(round(o_totalprice*100,0) AS BIGINT) END AS Values,
+             1 + o_orderkey % 7 AS Weight
+      FROM orders),
+    dec AS (
+      SELECT *, CASE ID % 10000000000 // 1000000000
+                     WHEN 3 THEN 'Urban' WHEN 4 THEN 'Rural' END AS Urban_Rural
+      FROM basefr)
+    SELECT CAST(Year AS INTEGER) AS Year, CAST(ID AS BIGINT) AS ID, Values, Weight, Urban_Rural,
+           CASE WHEN Urban_Rural IS NOT NULL AND Values IS NOT NULL THEN
+             CAST(sum(CASE WHEN Values IS NOT NULL THEN Weight END)
+                    OVER (PARTITION BY Year, Urban_Rural
+                          ORDER BY Values ASC NULLS FIRST, ID ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST(sum(CASE WHEN Values IS NOT NULL THEN Weight END)
+                      OVER (PARTITION BY Year, Urban_Rural) AS DOUBLE)
+           END AS Quantile
+    FROM dec"""
+
   /** E13 decile binning — floor(q*10)+1 clipped, not ntile. */
   def e13Decile(s: SparkSession, dir: String): DataFrame = {
     val df = T(s, dir, "orders").select(
@@ -3859,6 +3912,7 @@ items:
     ("e10_weighted_avg", e10WeightedAvg _, Some(e10Sql)),
     ("e11_average_table", e11AverageTable _, Some(e11SqlReal)),
     ("e12_quantile", e12Quantile _, Some(e12Sql)),
+    ("e12d_attr_quantile", e12dAttrQuantile _, Some(e12dSql)),
     ("e13_decile", e13Decile _, Some(e13Sql)),
     ("e12b_weighted_median", e12bWeightedMedian _, Some(e12bSql)),
     ("e12c_median_sketch", e12cMedianSketch _, Some(e12cSql)),
