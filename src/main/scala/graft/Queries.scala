@@ -1083,6 +1083,40 @@ items:
            END AS Quantile
     FROM dec"""
 
+  /** E9×E12 composition — the FULL `calculate_quantile` path
+    * (quantile.py:158-170): the household value table is divided by the
+    * chosen equivalence scale (OECD here) BEFORE the cumulative-weight
+    * quantile. One broadcast join (the scale table is household-count
+    * sized) + one window shuffle; the scale derives from the same
+    * per-member synthetic table as c14, so the oracle replays the whole
+    * chain: members → scales → division → conditioned windows.
+    */
+  def e12eEquivQuantile(s: SparkSession, dir: String): DataFrame = {
+    val scale = c14Equivalence(s, dir).select("Year", "ID", "OECD")
+    val fact = T(s, dir, "lineitem")
+      .groupBy(year(col("l_shipdate")).as("Year"), col("l_orderkey").as("ID"))
+      .agg(sum(cents(col("l_extendedprice"))).as("Values"))
+      .withColumn("Weight", lit(1L) + col("ID") % 7L)
+    val adj = Stats.adjustByEquivalenceScale(fact, scale, Seq("Values"), "OECD")
+    Stats.addQuantile(adj, "Values", "Weight", Seq("Year"))
+  }
+
+  private val e12eSql = s"""
+    WITH f AS (
+      SELECT CAST(year(l_shipdate) AS INTEGER) AS Year, l_orderkey AS ID,
+             CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS Values
+      FROM lineitem GROUP BY 1, 2),
+    sc AS (SELECT Year, ID, OECD FROM ($c14Sql)),
+    adj AS (
+      SELECT f.Year, f.ID, CAST(f.Values AS DOUBLE) / sc.OECD AS Values,
+             1 + f.ID % 7 AS Weight
+      FROM f JOIN sc ON f.Year = sc.Year AND f.ID = sc.ID)
+    SELECT Year, ID, Values, Weight,
+           CAST(sum(Weight) OVER (PARTITION BY Year ORDER BY Values ASC, ID ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / CAST(sum(Weight) OVER (PARTITION BY Year) AS DOUBLE) AS Quantile
+    FROM adj"""
+
   /** E13 decile binning — floor(q*10)+1 clipped, not ntile. */
   def e13Decile(s: SparkSession, dir: String): DataFrame = {
     val df = T(s, dir, "orders").select(
@@ -3913,6 +3947,7 @@ items:
     ("e11_average_table", e11AverageTable _, Some(e11SqlReal)),
     ("e12_quantile", e12Quantile _, Some(e12Sql)),
     ("e12d_attr_quantile", e12dAttrQuantile _, Some(e12dSql)),
+    ("e12e_equiv_quantile", e12eEquivQuantile _, Some(e12eSql)),
     ("e13_decile", e13Decile _, Some(e13Sql)),
     ("e12b_weighted_median", e12bWeightedMedian _, Some(e12bSql)),
     ("e12c_median_sketch", e12cMedianSketch _, Some(e12cSql)),
