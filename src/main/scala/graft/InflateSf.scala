@@ -85,9 +85,13 @@ object InflateSf {
         // unaffected: the gates plant copies at QUERY time from the
         // corpus they read, so copies stay exact. Replica 0 is the
         // official corpus verbatim, natural pairs intact.
+        // salt modulus MUST exceed the max official doc id (~10k): a
+        // modulus below it (9973 originally) leaves id pairs exactly
+        // `modulus` apart salting identically, re-creating the refusal
+        // class for any natural equal-text pair at that distance
         .withColumn("text", concat_ws(" ",
           transform(split(col("text"), "\\s+"),
-            x => concat(x, lit(s"x$i"), pmod(col("doc_id"), lit(9973L))))))
+            x => concat(x, lit(s"x$i"), pmod(col("doc_id"), lit(100003L))))))
         .withColumn("n_chars", length(col("text")).cast(LongType)))
     inflate("embeddings")((df, i) =>
       if (i == 0) df

@@ -2951,8 +2951,11 @@ items:
       }
     } else Seq(java.nio.file.Files.copy(src, dstDir.resolve(s"$prefix.parquet")))
 
-  /** Remove a staged temp directory once its streaming run has drained. */
-  private def deleteRecursively(f: java.io.File): Unit = {
+  /** Remove a staged temp directory once its streaming run has drained.
+    * Package-visible so RealPipeline's A9 cache shares ONE scratch
+    * lifecycle (registry + shutdown hook) instead of a parallel copy.
+    */
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
     val kids = f.listFiles()
     if (kids != null) kids.foreach(deleteRecursively)
     f.delete(): Unit
@@ -2972,7 +2975,7 @@ items:
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   Runtime.getRuntime.addShutdownHook(new Thread(() =>
     scratchRegistry.forEach(p => deleteRecursively(new java.io.File(p)))))
-  private def scratchDir(tag: String, dir: String): String = {
+  private[graft] def scratchDir(tag: String, dir: String): String = {
     val slug = dir.replaceAll("[^0-9a-zA-Z]", "_")
     val p = s"/tmp/graft_${tag}_${slug}_p${ProcessHandle.current().pid()}"
     scratchRegistry.add(p)

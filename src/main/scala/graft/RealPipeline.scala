@@ -525,26 +525,16 @@ object RealPipeline {
     * VANISH, Pipeline.GroupBySum). Runs at 1389 AND 1400 so both sides
     * of the 1390 era flip execute in one gate.
     */
-  private def deleteRec(f: java.io.File): Unit = {
-    val kids = f.listFiles()
-    if (kids != null) kids.foreach(deleteRec)
-    f.delete(): Unit
-  }
-
-  /** Per-JVM scratch root for the real schema's `cache_result: true`
-    * tables (A9 over the REAL metadata flags): pid-suffixed so
-    * concurrent processes never race, per-fixture-slug + per-gate-family
-    * subdirs so fingerprint collisions across different synthetic inputs
-    * (the expenditure and income generators differ on home's codes at
-    * 1400) can never serve each other's data. Shutdown hook cleans up.
+  /** Per-(pid, fixture, gate-family) scratch dir for the real schema's
+    * `cache_result: true` tables (A9 over the REAL metadata flags):
+    * concurrent processes never race (pid), and fingerprint collisions
+    * across different synthetic inputs (the expenditure and income
+    * generators differ on home's codes at 1400) can never serve each
+    * other's data (family). Delegates to [[Queries.scratchDir]] so ONE
+    * registry + shutdown hook owns every scratch path in the JVM.
     */
-  private lazy val cacheRoot: String = {
-    val p = s"${System.getProperty("java.io.tmpdir")}/graft_realdag_${ProcessHandle.current().pid()}"
-    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(new java.io.File(p))))
-    p
-  }
   private def cacheDirFor(dir: String, family: String): String =
-    s"$cacheRoot/${dir.replaceAll("[^0-9a-zA-Z]", "_")}/$family"
+    Queries.scratchDir(s"realdag_$family", dir)
 
   private def incomeRepo(s: SparkSession, dir: String): TableRepo = {
     require(RealMeta.available, "reference metadata corpus not found")

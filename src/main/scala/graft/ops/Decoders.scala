@@ -396,6 +396,16 @@ object IdDecoder {
           m.select(lit(e.year).as("_ext_y"), col(idc).cast(LongType).as("_ext_id"),
             col(cc).cast(LongType).as(extCode))
         }.reduce(_.unionByName(_))
+        // the reference reads this file into a dict (decoder.py:588-598),
+        // which CANNOT hold duplicate IDs (last write wins, file-order
+        // dependent); a left join against a duplicated key would silently
+        // FAN OUT fact rows instead. Guard loudly — the mapping is a
+        // broadcast-sized dim, so this is a bounded single-row probe
+        val dup = mapping.groupBy("_ext_y", "_ext_id").count()
+          .where(col("count") > 1).limit(1).collect()
+        require(dup.isEmpty,
+          s"external ID mapping has duplicate (year, ID) entries (e.g. ${dup.headOption.orNull}) — " +
+            "a join against it would fan out household rows; deduplicate the file first")
         df.join(broadcast(mapping),
           df(settings.yearCol) === col("_ext_y") && df(settings.idCol) === col("_ext_id"),
           "left").drop("_ext_y", "_ext_id")

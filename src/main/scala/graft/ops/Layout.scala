@@ -142,14 +142,16 @@ object Layout {
     // coalesce then trims the over-partitioning that the per-file open
     // cost introduces. Still shuffle-free end to end.
     def rewrite(n: Int): Int = {
-      val splitKey = "spark.sql.files.maxPartitionBytes"
-      val prev = spark.conf.get(splitKey)
+      // the split-size override lives in a CLONED session (shared
+      // SparkContext, isolated SQL conf): mutating the caller's session
+      // conf would leak a possibly tiny split size to any query planned
+      // concurrently on it, and two concurrent compact() calls would
+      // race on the save/restore
       val split = math.max(1L, math.ceil(totalBytes.toDouble / n).toLong)
-      try {
-        spark.conf.set(splitKey, split.toString)
-        spark.read.parquet(srcPath).coalesce(n)
-          .write.mode("overwrite").parquet(dstPath)
-      } finally spark.conf.set(splitKey, prev)
+      val scoped = spark.newSession()
+      scoped.conf.set("spark.sql.files.maxPartitionBytes", split.toString)
+      scoped.read.parquet(srcPath).coalesce(n)
+        .write.mode("overwrite").parquet(dstPath)
       dataBytes(dstPath)._2
     }
     val estimate = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)

@@ -217,7 +217,9 @@ object Pipeline {
       // Spark keeps them as a null group: an unclassified Income_Type row
       // must vanish from Income_Breakdown exactly as the reference's
       // .groupby(...).sum() makes it vanish (data_engine.py:414-420)
-      df.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      // foldLeft, not reduce: zero keys (a global `.groupby([]).sum()`
+      // chain) must stay a valid global aggregate, not empty.reduce
+      df.filter(keys.map(col(_).isNotNull).foldLeft(lit(true))(_ && _))
         .groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
 
     case Melt(drop, ids, varName, valueName) =>

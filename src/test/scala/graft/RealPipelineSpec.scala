@@ -88,7 +88,7 @@ class RealPipelineSpec extends SparkSpec {
     RealPipeline.realIncomeBreakdown(spark, sfDir).collect()
     val df = RealPipeline.realTotalIncome(spark, sfDir)
     val scans = df.queryExecution.sparkPlan.collectLeaves().map(_.toString)
-    val marker = s"graft_realdag_${ProcessHandle.current().pid()}"
+    val marker = s"graft_realdag_"
     assert(scans.exists(_.contains(marker)),
       s"Total_Income does not scan the A9 cache:\n${scans.mkString("\n")}")
     // and the cached read must NOT re-derive the three income families:
