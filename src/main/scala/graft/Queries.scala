@@ -1047,7 +1047,11 @@ items:
       year(col("o_orderdate")).as("Year"),
       // multiplier coprime to 7e9 AND large enough that small orderkeys
       // still spread across the full residue range (leading digits 3..9)
-      (lit(3000000000L) + (col("o_orderkey") * 1234567891L) % 7000000000L).as("ID"),
+      // key reduced mod 7e9 BEFORE the multiply: same residue by modular
+      // identity, but (7e9-1)*1234567891 ~ 8.6e18 stays under Long.Max
+      // where raw sf10 keys (~9.9e9) would overflow
+      (lit(3000000000L) +
+        ((col("o_orderkey") % 7000000000L) * 1234567891L) % 7000000000L).as("ID"),
       when(col("o_orderkey") % 11L === 0L, lit(null).cast(LongType))
         .otherwise(cents(col("o_totalprice"))).as("Values"),
       (lit(1L) + col("o_orderkey") % 7L).as("Weight"))
@@ -1063,7 +1067,7 @@ items:
   private val e12dSql = """
     WITH basefr AS (
       SELECT year(o_orderdate) AS Year,
-             3000000000 + (o_orderkey * 1234567891) % 7000000000 AS ID,
+             3000000000 + ((o_orderkey % 7000000000) * 1234567891) % 7000000000 AS ID,
              CASE WHEN o_orderkey % 11 = 0 THEN NULL
                   ELSE CAST(round(o_totalprice*100,0) AS BIGINT) END AS Values,
              1 + o_orderkey % 7 AS Weight
@@ -1283,7 +1287,12 @@ items:
     val households = T(s, dir, "orders").select(
       year(col("o_orderdate")).as("Year"),
       col("o_orderkey").as("ID"),
-      (lit(3000000000L) + (col("o_orderkey") * 987654321L) % 1000000000L).as("HID"),
+      // (a mod m)*b mod m == a*b mod m: reducing the key first keeps the
+      // product under Long.MaxValue for ANY inflated key (sf10 keys reach
+      // ~9.9e9; a raw key*987654321 overflows past ~9.3e9) while producing
+      // bit-identical HIDs at every scale
+      (lit(3000000000L) +
+        ((col("o_orderkey") % 1000000000L) * 987654321L) % 1000000000L).as("HID"),
       (lit(1L) + col("o_orderkey") % 7L).as("Weight"))
     val urVersions = Seq(IdDecoder.AttrVersion(1995, 2002, 10, 1, 2,
       (0L to 9L).map(d => d -> (if (d < 5) "Urban" else "Rural")).toMap))
@@ -1364,7 +1373,7 @@ items:
       SELECT CAST(year(o_orderdate) AS INTEGER) AS Year,
              o_orderkey AS ID,
              1 + o_orderkey % 7 AS Weight,
-             CASE WHEN (3000000000 + (o_orderkey * 987654321) % 1000000000) % 1000000000 // 100000000 < 5
+             CASE WHEN (3000000000 + ((o_orderkey % 1000000000) * 987654321) % 1000000000) % 1000000000 // 100000000 < 5
                   THEN 'Urban' ELSE 'Rural' END AS Urban_Rural
       FROM orders),
     exp0 AS (
