@@ -176,10 +176,39 @@ object Ann {
     scored.withColumn("rank", row_number().over(win)).where(col("rank") <= k)
   }
 
-  /** Embedding-cosine near-duplicate candidate pairs: sign-bucket LSH
-    * self-join (corpus vs corpus, equi shuffle join on (band, key) —
-    * never all-pairs), exact cosine verification at `threshold`.
-    * The embedding-space sibling of Dedup.minHashPairs.
+  /** Embedding-cosine near-duplicate pairs: sign-bucket LSH self-join
+    * (corpus vs corpus, equi shuffle join on (band, key) — never
+    * all-pairs), exact cosine verification at `threshold` evaluated
+    * INSIDE the banded join stage. The embedding-space sibling of
+    * Dedup.minHashPairs.
+    *
+    * Shape rationale (revised after the 100× probe): the previous shape
+    * kept vectors out of the band shuffle by joining SLIM (id, band,
+    * key) rows, materializing the distinct candidate-pair set, and
+    * re-attaching vectors per surviving pair. That optimizes the regime
+    * where candidates ≈ pairs — but candidate volume is Σ bucket² ≈
+    * n²·bands/2^(planes/bands), and at 100× the design corpus (2M
+    * vectors against the default 16-bucket band keys) it reached ~10¹⁰
+    * rows: the candidate distinct became a multi-minute shuffle with
+    * 2 GiB page-allocation failures. Growing the key width instead is
+    * not an out: a 64-bit signature budget caps planes·bands, and at
+    * the near-dup grade this data pins (planted cosines ≥ 0.9449, plane
+    * agreement p ≈ 0.894) every (wider-key, enough-bands-for-recall)
+    * point re-inflates collisions as fast as the keys cut them.
+    *
+    * So the vectors now ride the BANDED join sides — a bounded
+    * O(n·bands) shuffle, ~4× the corpus vector volume — and every
+    * candidate is cosine-verified in the join's own projection:
+    * generated, scored, and filtered inside one whole-stage-codegen
+    * pipeline, never materialized, never shuffled. The only post-join
+    * exchange is the distinct over surviving (id_a, id_b, cosine) rows
+    * — output-bounded, and duplicates collapse exactly because cosine
+    * is a pure function of the two vectors (each shared band emits a
+    * bit-identical copy). Compute stays Σ bucket²·dim multiply-adds —
+    * inherent to exact LSH-bucketed verification — but it streams at
+    * memory-flat cost at any scale. AnnSpec pins the contract: vectors
+    * appear only in the two pre-join band exchanges (one side each),
+    * never in any exchange above the join.
     */
   def cosineNearDupPairs(
       corpus: DataFrame,
@@ -198,55 +227,28 @@ object Ann {
     val mask = (1L << r) - 1
     val sig = signBits(col(vecCol), planes)
     // persist: the signature pass runs once, not once per self-join side;
-    // scatter: small-file corpora would otherwise compute on one task
+    // scatter: small-file corpora would otherwise compute on one task.
+    // Norms are precomputed HERE, once per vector: the join projection
+    // then pays one vec_dot per candidate instead of three (dot + both
+    // norms), cutting the dominant Σ bucket² compute 3× — with
+    // bit-identical results, since norm(a)·norm(b) runs the exact same
+    // operations in the same order as the inline cosine() form.
     val sigs = handle.persist(
-      Dedup.scatter(corpus).select(col(idCol), col(vecCol), sig.as("_sig")))
-    // candidate generation on SLIM (id, band, key) rows only — band
-    // collisions can be ~1000× the surviving pair count, so the vectors
-    // must not ride through this join's shuffle (same shape as
-    // Dedup.minHashPairs)
-    val banded = sigs
-      .select(col(idCol), explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"),
-          call_function("shiftright", col("_sig"), b * lit(r)).bitwiseAND(lit(mask)).as("key")))).as("_bk"))
-      .select(col(idCol), col("_bk.band").as("_b"), col("_bk.key").as("_k"))
-    val a = banded.select(col(idCol).as("id_a"), col("_b"), col("_k"))
-    val b = banded.select(col(idCol).as("id_b"), col("_b"), col("_k"))
-    // persist: the slim pair set feeds both the participant-id prune and
-    // the final join — without it the banded self-join runs twice
-    val pairs = handle.persist(a.join(b, Seq("_b", "_k"))
+      Dedup.scatter(corpus).select(col(idCol), col(vecCol), sig.as("_sig"),
+        norm(col(vecCol)).as("_n")))
+    def side(id: String, vec: String, nrm: String): DataFrame = sigs.select(
+      Seq(col(idCol).as(id), col(vecCol).as(vec), col("_n").as(nrm),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => call_function("shiftright", col("_sig"), b * lit(r))
+            .bitwiseAND(lit(mask)))).as(Seq("_b", "_k"))): _*)
+    val denom = col("_na") * col("_nb")
+    side("id_a", "_va", "_na").join(side("id_b", "_vb", "_nb"), Seq("_b", "_k"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct())
-    // re-attach vectors by id only for surviving distinct pairs: first
-    // prune the cached corpus vectors to pair-participating ids (a
-    // left-semi join against the slim id set), then equi-join the slim
-    // pair set against the pruned side. Both joins are deliberately
-    // UNHINTED: pair count is unbounded at corpus scale, so a forced
-    // broadcast of any pair-derived side (the round-4 shape) is a driver
-    // OOM at 100×. At the common operating point the slim id set and the
-    // pruned (≤ 2·pairs rows) vector side fit under
-    // autoBroadcastJoinThreshold and the planner broadcasts them; past
-    // it the joins degrade to shuffles whose volume is bounded by the
-    // surviving pair count — never the full corpus vector column.
-    val pairIds = pairs.select(col("id_a").as(idCol))
-      .union(pairs.select(col("id_b").as(idCol))).distinct()
-    val pruned = handle.persist(sigs.select(col(idCol), col(vecCol))
-      .join(pairIds, Seq(idCol), "left_semi"))
-    // Unmanaged: materialize the pair-bounded pruned vectors, then
-    // release the FULL-CORPUS vector cache eagerly — at scale `sigs` is
-    // by far the largest cached intermediate (every vector + signature),
-    // and nothing downstream needs it once `pruned` is on disk/memory;
-    // the extra count() job is bounded by pair participants. A managed
-    // handle stays fully lazy and defers release to the caller.
-    if (!handle.managed) {
-      pruned.count()
-      sigs.unpersist()
-    }
-    val va = pruned.select(col(idCol).as("id_a"), col(vecCol).as("_va"))
-    val vb = pruned.select(col(idCol).as("id_b"), col(vecCol).as("_vb"))
-    pairs.join(va, Seq("id_a")).join(vb, Seq("id_b"))
-      .select(col("id_a"), col("id_b"), cosine(col("_va"), col("_vb")).as("cosine"))
+      .select(col("id_a"), col("id_b"),
+        when(denom > 0, dot(col("_va"), col("_vb")) / denom)
+          .otherwise(lit(0.0)).as("cosine"))
       .where(col("cosine") >= threshold)
+      .distinct()
   }
 
   /** Per-vector max-abs scale for int8 quantization (double). */

@@ -152,11 +152,12 @@ class AnnSpec extends SparkSpec {
     assert(recall > 0.2, s"ivf nProbe=2 recall $recall")
   }
 
-  test("no embedding vector ever enters a shuffle exchange (slim-join invariant)") {
-    // the scale property behind lshTopK / cosineNearDupPairs: candidate
-    // generation shuffles only (id, band, key) rows; vectors re-attach
-    // via broadcast. A vector-typed attribute inside any Exchange's
-    // output would silently multiply shuffle volume by the vector width.
+  test("no embedding vector ever enters a shuffle exchange (lshTopK slim-join invariant)") {
+    // the scale property behind lshTopK: candidate generation shuffles
+    // only (id, band, key) rows; vectors re-attach via broadcast of the
+    // bounded query-derived pair set. A vector-typed attribute inside
+    // any Exchange's output would silently multiply shuffle volume by
+    // the vector width.
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     def shuffledTypes(df: org.apache.spark.sql.DataFrame): Seq[String] =
       df.queryExecution.executedPlan.collect {
@@ -165,10 +166,32 @@ class AnnSpec extends SparkSpec {
     val corpus = vecs(40)
     val queries = vecs(3)
     val lsh = Ann.lshTopK(corpus, queries, k = 3, dim = dim)
-    val dedup = Ann.cosineNearDupPairs(corpus, threshold = 0.2, dim = dim)
-    for ((name, types) <- Seq("lshTopK" -> shuffledTypes(lsh), "cosineNearDupPairs" -> shuffledTypes(dedup)))
-      assert(!types.exists(_.startsWith("array")),
-        s"$name shuffles an array column: $types")
+    assert(!shuffledTypes(lsh).exists(_.startsWith("array")),
+      s"lshTopK shuffles an array column: ${shuffledTypes(lsh)}")
+  }
+
+  test("cosineNearDupPairs: vectors ride only the bounded band exchanges, never a candidate exchange") {
+    // the 100×-probe contract (see the cosineNearDupPairs Scaladoc):
+    // each of the two pre-join band sides may shuffle ITS vector column
+    // (an O(n·bands) exchange), but no exchange may carry BOTH sides'
+    // vectors or follow the join — candidates must be generated, cosine-
+    // verified, and filtered inside the join stage, so the only post-join
+    // exchange is the slim (id_a, id_b, cosine) distinct.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val dedup = Ann.cosineNearDupPairs(vecs(40), threshold = 0.2, dim = dim)
+    val exchanges = dedup.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec =>
+        e.output.filter(_.dataType.simpleString.startsWith("array")).map(_.name)
+    }
+    val vectorCarrying = exchanges.filter(_.nonEmpty)
+    assert(vectorCarrying.size <= 2,
+      s"more than the two band-side exchanges carry vectors: $vectorCarrying")
+    assert(vectorCarrying.forall(_.size == 1),
+      s"an exchange carries both sides' vectors (candidates were shuffled): $vectorCarrying")
+    // (the post-join distinct exchange is slim by construction — its
+    // output is (id_a, id_b, cosine); asserting its presence here is
+    // AQE/broadcast-dependent at this corpus size, so the invariant
+    // pinned is the vector-side one above)
   }
 
   test("cosineNearDupPairs never force-broadcasts a vector-carrying side") {
