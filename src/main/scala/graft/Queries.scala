@@ -2920,7 +2920,6 @@ items:
     val streamDir = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
     stageParquet(java.nio.file.Paths.get(path), streamDir, "copy_a")
     stageParquet(java.nio.file.Paths.get(path), streamDir, "copy_b")
-    val name = "events_dedup_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val src = s.readStream.schema(schema).parquet(streamDir.toString)
     val stream = src
       // compare at microsecond precision — DuckDB's epoch_us(ts) is the
@@ -2928,16 +2927,25 @@ items:
       .withColumn("ts_us", tsUsOf(src))
       .withColumn("ts", timestamp_micros(col("ts_us")))
     val dd = graft.streaming.EventStreams.dedupEvents(stream, Seq("event_id"))
+    // FILE sink, not memory: the deduped output is corpus-bounded (every
+    // surviving event), and a memory sink funnels it through the
+    // driver — at 100× the design corpus the sf10 bench tripped
+    // spark.driver.maxResultSize (1.1 GiB of task results). Aggregate-
+    // bounded stream gates (hourly grid, per-nation) keep memory sinks;
+    // corpus-bounded ones land in checkpointed parquet and read back
+    // through the _spark_metadata manifest.
+    val base = scratchDir("dedupstream", dir)
+    deleteRecursively(new java.io.File(base))
     withStreamShufflePartitions(s, 8) {
-      val q = dd.writeStream.format("memory").queryName(name)
+      val q = dd.writeStream.format("parquet")
+        .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
-    val out = s.table(name)
+    val out = s.read.parquet(s"$base/out")
       .select(col("event_id"), col("ts_us"), col("user_id"), col("event_type"),
         col("value"), col("props"))
       .orderBy("event_id")
-    s.catalog.dropTempView(name)
     deleteRecursively(streamDir.toFile)
     out
   }
@@ -3520,9 +3528,13 @@ items:
     // actual staged file count (range chunking may produce fewer chunks
     // than requested on a low-cardinality ts domain)
     val nFiles = streamDir.toFile.listFiles().count(_.getName.endsWith(".parquet"))
-    val name = "events_session_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val src = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+    // FILE sink: session rows are population-bounded (users × sessions),
+    // which grows with the corpus — a memory sink funnels them through
+    // the driver (see eventsDedupStream's maxResultSize note)
+    val base = scratchDir("sessionstream", dir)
+    deleteRecursively(new java.io.File(base))
     withStreamShufflePartitions(s, 8) {
       val q = src
         .withColumn("_et", tsEventTimeOf(src))
@@ -3533,7 +3545,8 @@ items:
           unix_micros(col("sw.start")).as("start_us"),
           unix_micros(col("sw.end")).as("end_us"),
           col("n_events"), col("value_cents"))
-        .writeStream.format("memory").queryName(name)
+        .writeStream.format("parquet")
+        .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       // loud evidence the run was genuinely multi-batch: one admitted
@@ -3547,9 +3560,8 @@ items:
       require(nFiles >= 3, // data chunks + sentinel: multi-batch or bust
         s"staging produced only $nFiles files — the multi-batch evidence is gone")
     }
-    val out = s.table(name).where(col("user_id") =!= -1L)
+    val out = s.read.parquet(s"$base/out").where(col("user_id") =!= -1L)
       .orderBy("user_id", "start_us")
-    s.catalog.dropTempView(name)
     deleteRecursively(streamDir.toFile)
     out
   }
@@ -3573,7 +3585,6 @@ items:
     import org.apache.spark.sql.streaming.Trigger
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     val streamDir = stageEventsWithSentinel(s, dir)
-    val name = "events_fmgws_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val src = s.readStream.schema(schema).parquet(streamDir.toString)
     import s.implicits._
     val typed = src.select(col("event_id"),
@@ -3581,20 +3592,24 @@ items:
       col("user_id"), col("event_type"),
       cents(col("value")).cast(DoubleType).as("value"))
       .as[graft.streaming.EventStreams.Event]
+    // FILE sink: session rows are population-bounded — same
+    // maxResultSize rationale as eventsDedupStream
+    val base = scratchDir("fmgwsstream", dir)
+    deleteRecursively(new java.io.File(base))
     withStreamShufflePartitions(s, 8) {
       val q = graft.streaming.EventStreams.sessionize(typed, gapSeconds = 1800)
         .toDF()
-        .writeStream.format("memory").queryName(name)
+        .writeStream.format("parquet")
+        .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
-    val out = s.table(name).where(col("user_id") =!= -1L)
+    val out = s.read.parquet(s"$base/out").where(col("user_id") =!= -1L)
       .select(col("user_id"),
         unix_millis(col("session_start")).as("start_ms"),
         unix_millis(col("session_end")).as("end_ms"),
         col("n_events"), col("total_value").as("total_c"))
       .orderBy("user_id", "start_ms")
-    s.catalog.dropTempView(name)
     deleteRecursively(streamDir.toFile)
     out
   }
@@ -3678,20 +3693,23 @@ items:
     val joined = graft.streaming.EventStreams.intervalJoin(
       views, purchases, Seq("user_id"), "view_time", "purchase_time",
       horizonSeconds = 1800)
-    val name = "events_ss_join_" + java.util.UUID.randomUUID.toString.replace("-", "")
     // state partitions sized to the stream (see withStreamShufflePartitions):
-    // the per-batch floor is a commit per store × 4 store types × 2 sides
+    // the per-batch floor is a commit per store × 4 store types × 2 sides.
+    // FILE sink: the joined view→purchase pairs are corpus-bounded —
+    // same maxResultSize rationale as eventsDedupStream
+    val base = scratchDir("ssjoinstream", dir)
+    deleteRecursively(new java.io.File(base))
     withStreamShufflePartitions(s, 8) {
       val q = joined
         .select(views("user_id"), col("view_id"), col("purchase_id"),
           (unix_micros(col("purchase_time")) - unix_micros(col("view_time"))).as("lag_us"),
           cents(col("value")).as("value_cents"))
-        .writeStream.format("memory").queryName(name)
+        .writeStream.format("parquet")
+        .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
-    val out = s.table(name).orderBy("view_id", "purchase_id")
-    s.catalog.dropTempView(name)
+    val out = s.read.parquet(s"$base/out").orderBy("view_id", "purchase_id")
     deleteRecursively(streamDir.toFile)
     out
   }
