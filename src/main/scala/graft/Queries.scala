@@ -2279,6 +2279,80 @@ items:
     SELECT id_a, id_b, round(cos_raw, 6) AS cosine
     FROM p WHERE cos_raw >= CAST(0.8 AS DOUBLE)"""
 
+  /** SemDeDup gate (Ann.semanticDedup): the SAME planted corpus as
+    * `ann_cosine_dedup`, clustered against 8 fixed-id centroid vectors
+    * and pruned by the keep-least-central rule. The centroid set is
+    * bounded metadata both engines derive INDEPENDENTLY from the
+    * parquet (fixed literal ids — not a compiled artifact shared
+    * between the sides): DuckDB re-runs assignment (argmax cosine,
+    * ties to the higher centroid id — the greatest(struct) order),
+    * within-cluster pairing, and the drop rule from scratch as plain
+    * SQL over all within-cluster pairs. The Spark side restricts
+    * candidate pairs to band collisions; equality with the oracle's
+    * unrestricted pair set holds by the `ann_cosine_dedup` fixture
+    * property (noise cosine ceiling 0.5129 < 0.8, and every planted
+    * >= 0.8 pair collides at the 16-plane/4-band operating point), so
+    * the gate also re-verifies that completeness claim each run.
+    * The Spark-side centroid collect is 8 rows — metadata, not data.
+    */
+  private val semanticCentroidIds = Seq(2, 17, 29, 41, 53, 67, 79, 97)
+
+  def semanticDedupQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val idType = emb.schema("vec_id").dataType
+    val planted = emb.where(col("vec_id") < 25).select(
+      (col("vec_id") + lit(10000)).cast(idType).as("vec_id"),
+      concat(array(lit(0.0f)), slice(col("embedding"), 2, 63)).as("embedding"))
+    val corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    val ctrs = emb.where(col("vec_id").isin(semanticCentroidIds: _*))
+      .select(col("vec_id").cast(LongType), col("embedding")).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1).toSeq
+    Ann.semanticDedup(corpus, ctrs, threshold = 0.8, dim = 64)
+      .select(col("vec_id"), col("cluster"),
+        round(col("centroid_sim"), 6).as("centroid_sim"))
+      .orderBy("vec_id")
+  }
+
+  private val semanticDedupSql = """
+    WITH u AS (
+      SELECT vec_id AS id, embedding AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000, list_concat([CAST(0.0 AS FLOAT)], embedding[2:64])
+      FROM embeddings WHERE vec_id < 25),
+    ctr AS (
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      WHERE vec_id IN (2, 17, 29, 41, 53, 67, 79, 97)),
+    scored AS (
+      SELECT u.id, u.v, ctr.cid,
+             CASE WHEN (sqrt(list_sum(list_transform(list_zip(u.v, u.v), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE))))
+                       * sqrt(list_sum(list_transform(list_zip(ctr.cv, ctr.cv), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE))))) > 0
+                  THEN list_sum(list_transform(list_zip(u.v, ctr.cv), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(list_zip(u.v, u.v), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(list_zip(ctr.cv, ctr.cv), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))))
+                  ELSE 0.0 END AS sim
+      FROM u CROSS JOIN ctr),
+    asg AS (
+      SELECT id, v, cid AS cluster, sim AS csim
+      FROM scored
+      QUALIFY row_number() OVER (PARTITION BY id ORDER BY sim DESC, cid DESC) = 1),
+    p AS (
+      SELECT a.id AS ia, a.csim AS ca, b.id AS ib, b.csim AS cb,
+             CASE WHEN (sqrt(list_sum(list_transform(list_zip(a.v, a.v), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE))))
+                       * sqrt(list_sum(list_transform(list_zip(b.v, b.v), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE))))) > 0
+                  THEN list_sum(list_transform(list_zip(a.v, b.v), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(list_zip(a.v, a.v), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(list_zip(b.v, b.v), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))))
+                  ELSE 0.0 END AS cs
+      FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.id < b.id),
+    drops AS (
+      SELECT DISTINCT CASE WHEN (ca, ia) < (cb, ib) THEN ib ELSE ia END AS id
+      FROM p WHERE cs >= CAST(0.8 AS DOUBLE))
+    SELECT id AS vec_id, CAST(cluster AS INTEGER) AS cluster,
+           round(csim, 6) AS centroid_sim
+    FROM asg WHERE id NOT IN (SELECT id FROM drops)
+    ORDER BY vec_id"""
+
   /** LSH top-k at the production operating point (16 planes, 4 bands —
     * genuinely approximate, unlike `ann_lsh_full_recall`), gated as a
     * RECALL AUDIT: the LSH result set joins against the exact top-15
@@ -4012,6 +4086,7 @@ items:
     ("ann_int8_topk", annInt8TopK _, Some(annInt8Sql)),
     ("ann_lsh_topk", annLshTopK _, Some(annLshTopKSql)),
     ("ann_cosine_dedup", annCosineDedup _, Some(annCosineDedupSql)),
+    ("semantic_dedup", semanticDedupQ _, Some(semanticDedupSql)),
     ("multimodal_features", multimodalFeatures _, Some(multimodalSql)),
     ("dedup_clusters", dedupClusters _, Some(dedupClustersSql)),
     ("dedup_best_quality", dedupBestQuality _, Some(dedupBestQualitySql)),
@@ -4114,7 +4189,7 @@ items:
     "stratified_sample", "curation_pipeline",
     "minhash_pairs", "minhash_near_dups", "simhash_pairs", "simhash_near_dups",
     "ann_brute_topk", "ann_int8_topk", "ann_lsh_query", "rp_topk",
-    "ann_cosine_dedup", "ivf_topk", "ivf_int8_topk", "kmeans_step", "ann_pipeline", "dedup_clusters", "skew_salted_agg",
+    "ann_cosine_dedup", "semantic_dedup", "ivf_topk", "ivf_int8_topk", "kmeans_step", "ann_pipeline", "dedup_clusters", "skew_salted_agg",
     "multimodal_features",
     "events_window_agg", "events_window_stream", "events_stream_sink",
     "events_dedup_stream", "events_enrich_stream",

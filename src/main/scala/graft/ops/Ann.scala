@@ -470,6 +470,91 @@ object Ann {
       c => c.select(col(idCol), col(vecCol).as("_cvec"), col("cluster")))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): assign every vector to its nearest of the
+    * labeled `centroids`, find within-cluster near-duplicate pairs
+    * (cosine >= `threshold`), and drop, from every such pair, the MORE
+    * centroid-typical side — the paper's keep-the-least-central rule,
+    * which preserves each semantic cluster's diverse tail while
+    * collapsing its redundant core. Returns the retained corpus as
+    * (idCol, cluster, centroid_sim).
+    *
+    * Keep rule, stated relationally so it is a pure function of the
+    * data (deterministic, engine-replayable, no sequential sweep): row
+    * v is dropped iff some same-cluster row u with (centroid_sim, id)
+    * strictly below v's has cosine(u, v) >= threshold. For duplicate
+    * CHAINS this pairwise form can retain one row fewer than a
+    * sequential greedy that re-checks only against survivors — the
+    * standard trade distributed SemDeDup implementations make for a
+    * shuffle-free, order-independent rule.
+    *
+    * Scale shape: candidates are DOUBLY bounded — a pair must share
+    * (cluster, band, key), composing IVF-style cluster partitioning
+    * with [[cosineNearDupPairs]]'s sign-LSH band bound — and cosine
+    * verification runs INSIDE the join projection with precomputed
+    * norms (the same in-join contract AnnSpec pins for the near-dup
+    * pairs: vectors ride only the two O(n·bands) band exchanges, no
+    * candidate row is ever materialized or shuffled). Cluster count is
+    * the operating knob: k ∝ n / target-cluster-size keeps Σ cluster²
+    * linear, and the banding bounds each cluster's residual quadratic
+    * exactly as it bounds the global one. The dropped-id set is
+    * output-bounded (≤ duplicate pairs) and slim (ids only); its
+    * anti-join is deliberately UNHINTED so AQE broadcasts while it
+    * fits under autoBroadcastJoinThreshold and degrades to a shuffle
+    * join past it. `centroids` are bounded metadata — explicit labeled
+    * literals, the same contract as [[ivfTopK]]'s centroid argument.
+    */
+  def semanticDedup(
+      corpus: DataFrame,
+      centroids: Seq[(Int, Array[Double])],
+      threshold: Double,
+      dim: Int,
+      numPlanes: Int = 16,
+      bands: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      seed: Long = 42L,
+      handle: StorageHandle = StorageHandle.unmanaged,
+  ): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    require(centroids.map(_._1).distinct.size == centroids.size,
+      s"centroid labels must be distinct: ${centroids.map(_._1)}")
+    require(numPlanes % bands == 0, "bands must divide numPlanes")
+    val r = numPlanes / bands
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val mask = (1L << r) - 1
+    // argmax over labeled centroids: highest sim wins, ties to the
+    // higher label (the greatest(struct) order assignCluster pins)
+    val best = greatest(centroids.map { case (cid, ctr) =>
+      val c = array(ctr.map(lit): _*)
+      struct(cosine(col(vecCol), c).as("sim"), lit(cid).as("id"))
+    }: _*)
+    // one persisted pass computes assignment, signature, and norm —
+    // reused by both self-join sides and the final anti-join
+    val rows = handle.persist(Dedup.scatter(corpus)
+      .select(col(idCol), col(vecCol), best.as("_best"),
+        signBits(col(vecCol), planes).as("_sig"), norm(col(vecCol)).as("_n"))
+      .select(col(idCol), col(vecCol), col("_best").getField("id").as("cluster"),
+        col("_best").getField("sim").as("_csim"), col("_sig"), col("_n")))
+    def side(id: String, vec: String, nrm: String, cs: String): DataFrame = rows.select(
+      Seq(col(idCol).as(id), col(vecCol).as(vec), col("_n").as(nrm),
+        col("cluster"), col("_csim").as(cs),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => call_function("shiftright", col("_sig"), b * lit(r))
+            .bitwiseAND(lit(mask)))).as(Seq("_b", "_k"))): _*)
+    val denom = col("_na") * col("_nb")
+    val dropped = side("id_a", "_va", "_na", "_ca")
+      .join(side("id_b", "_vb", "_nb", "_cb"), Seq("cluster", "_b", "_k"))
+      .where(col("id_a") < col("id_b"))
+      .where(when(denom > 0, dot(col("_va"), col("_vb")) / denom)
+        .otherwise(lit(0.0)) >= threshold)
+      .select(when(struct(col("_ca"), col("id_a")) < struct(col("_cb"), col("id_b")),
+        col("id_b")).otherwise(col("id_a")).as("_drop"))
+      .distinct()
+    rows.join(dropped, col(idCol) === col("_drop"), "left_anti")
+      .select(col(idCol), col("cluster"), col("_csim").as("centroid_sim"))
+  }
+
   /** Shared probe/scan/score spine of [[ivfTopK]] / [[ivfTopKInt8]].
     * `q` carries (queryIdCol, _qvec, _probes); `projectCorpus` maps the
     * partition-pruned parquet scan to (idCol, _cvec, cluster). The

@@ -268,4 +268,90 @@ class AnnSpec extends SparkSpec {
       .collect()(0).getSeq[Double](0)
     assert(z.forall(_ == 0.0))
   }
+
+  // driver-side reference replay of semanticDedup's documented rule:
+  // nearest-centroid assignment (ties to higher label), then drop any
+  // row with a same-cluster, lower-(csim, id) neighbor at >= threshold.
+  // Pure left-to-right double arithmetic — the exact op order vec_dot
+  // and cosine() execute — so membership decisions are bit-identical.
+  private def semanticReference(
+      rows: Seq[(Long, Seq[Float])],
+      centroids: Seq[(Int, Array[Double])],
+      threshold: Double,
+  ): Map[Long, (Int, Double)] = {
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))
+      if (d > 0) dot(a, b) / d else 0.0
+    }
+    val asg = rows.map { case (id, vf) =>
+      val v = vf.map(_.toDouble)
+      val (cid, sim) = centroids.map { case (c, ctr) => (c, cos(v, ctr.toSeq)) }
+        .maxBy { case (c, sim) => (sim, c) }
+      id -> (v, cid, sim)
+    }.toMap
+    val dropped = (for {
+      (ia, (va, ca, sa)) <- asg.toSeq
+      (ib, (vb, cb, sb)) <- asg.toSeq
+      if ia < ib && ca == cb && cos(va, vb) >= threshold
+    } yield if (sa < sb || (sa == sb && ia < ib)) ib else ia).toSet
+    asg.collect { case (id, (_, c, s)) if !dropped(id) => id -> (c, s) }
+  }
+
+  test("semanticDedup drops the more-central side of every planted duplicate pair") {
+    import spark.implicits._
+    val base = vecs(60)
+    val rows = base.collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val v3 = rows.find(_._1 == 3L).get._2
+    val noisy = v3.zipWithIndex.map { case (v, i) => if (i == 0) v + 0.01f else v }
+    val exact7 = rows.find(_._1 == 7L).get._2
+    val all = rows ++ Seq((1000L, noisy), (1001L, exact7))
+    val df = base.union(Seq((1000L, noisy.toSeq), (1001L, exact7)).toDF("vec_id", "embedding"))
+    // centroids: labeled corpus vectors (labels deliberately non-contiguous)
+    val ctrs = Seq(5L, 11L, 23L, 40L).map { id =>
+      id.toInt -> rows.find(_._1 == id).get._2.map(_.toDouble).toArray
+    }
+    val expect = semanticReference(all, ctrs, threshold = 0.95)
+    val got = Ann.semanticDedup(df, ctrs, threshold = 0.95, dim = dim).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Int]("cluster"), r.getAs[Double]("centroid_sim"))).toMap
+    assert(got.keySet == expect.keySet,
+      s"retained sets differ: only-spark=${got.keySet -- expect.keySet} only-ref=${expect.keySet -- got.keySet}")
+    got.foreach { case (id, (c, s)) =>
+      assert(c == expect(id)._1, s"cluster mismatch for $id")
+      assert(math.abs(s - expect(id)._2) < 1e-12, s"centroid_sim mismatch for $id")
+    }
+    // the planted rows lost exactly one side per pair
+    assert(got.contains(3L) ^ got.contains(1000L))
+    assert(got.contains(7L) ^ got.contains(1001L))
+  }
+
+  test("semanticDedup: vectors ride only the band exchanges; high threshold keeps everything") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = vecs(40)
+    val ctrs = Seq(0 -> Ann.hyperplanes(1, dim, seed = 9L)(0),
+      1 -> Ann.hyperplanes(1, dim, seed = 10L)(0))
+    val out = Ann.semanticDedup(df, ctrs, threshold = 0.999999, dim = dim)
+    // no exact copies in vecs(40) -> nothing dropped, schema as documented
+    val rows = out.collect()
+    assert(rows.length == 40)
+    assert(out.columns.toSeq == Seq("vec_id", "cluster", "centroid_sim"))
+    // same in-join contract as cosineNearDupPairs: each band side may
+    // shuffle its own vector column; no exchange carries both sides'
+    // vectors (candidates stay inside the join stage)
+    val exchanges = out.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec =>
+        e.output.filter(_.dataType.simpleString.startsWith("array")).map(_.name)
+    }
+    val vectorCarrying = exchanges.filter(_.nonEmpty)
+    assert(vectorCarrying.size <= 2,
+      s"more than the two band-side exchanges carry vectors: $vectorCarrying")
+    assert(vectorCarrying.forall(_.size == 1),
+      s"an exchange carries both sides' vectors: $vectorCarrying")
+    // duplicate centroid labels are refused loudly
+    intercept[IllegalArgumentException] {
+      Ann.semanticDedup(df, Seq(0 -> ctrs(0)._2, 0 -> ctrs(1)._2), 0.9, dim)
+    }
+  }
 }
