@@ -1546,6 +1546,56 @@ items:
       .orderBy("doc_id")
   }
 
+  /** Corpus-frequency boilerplate removal (Dedup.removeFrequentLines).
+    * The synthetic corpus is single-line, so the query PLANTS the three
+    * regimes the threshold rule separates: a "subscribe" footer on every
+    * 2nd document (df ≈ corpus/2 ≫ maxDf=10 → removed EVERYWHERE,
+    * including its first occurrence — the semantic difference from
+    * dedup_paragraphs), a boundary footer on exactly 10 documents
+    * (df = maxDf → survives, strict >), and a rare footer on 3
+    * documents (survives). One extra document consists ONLY of the
+    * frequent line and must vanish from the result entirely. DuckDB
+    * replays the split / distinct-doc-count / anti-join / reassembly.
+    */
+  def removeFrequentLinesQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+    val idType = docs.schema("doc_id").dataType
+    val planted = docs.select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 2 === 0, lit("\nsubscribe to our newsletter"))
+          .otherwise(lit("")),
+        when(col("doc_id") < 10, lit("\nboundary footer line"))
+          .otherwise(lit("")),
+        when(col("doc_id") < 3, lit("\nrare footer line"))
+          .otherwise(lit(""))).as("text"))
+    val pure = docs.where(col("doc_id") === 0).select(
+      (col("doc_id") + lit(300000)).cast(idType).as("doc_id"),
+      lit("subscribe to our newsletter").as("text"))
+    Dedup.removeFrequentLines(planted.unionByName(pure), maxDf = 10)
+      .orderBy("doc_id")
+  }
+
+  private val removeFrequentLinesSql = """
+    WITH u AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'subscribe to our newsletter' ELSE '' END
+             || CASE WHEN doc_id < 10 THEN chr(10) || 'boundary footer line' ELSE '' END
+             || CASE WHEN doc_id < 3 THEN chr(10) || 'rare footer line' ELSE '' END AS text
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 300000, 'subscribe to our newsletter' FROM documents WHERE doc_id = 0),
+    p AS (
+      SELECT doc_id, unnest(range(len(ls))) AS pos, unnest(ls) AS line
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM u)),
+    f AS (
+      SELECT trim(line) AS key FROM p WHERE trim(line) <> ''
+      GROUP BY 1 HAVING count(DISTINCT doc_id) > 10)
+    SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+    FROM p WHERE trim(line) = '' OR trim(line) NOT IN (SELECT key FROM f)
+    GROUP BY doc_id
+    ORDER BY doc_id"""
+
   private val repSignalsSql = """
     WITH docs AS (
       SELECT doc_id,
@@ -4061,6 +4111,7 @@ items:
     ("isc_summary_bucketed", iscSummaryBucketed _, Some(iscSummarySql)),
     ("dedup_exact", dedupExact _, Some(dedupExactSql)),
     ("dedup_paragraphs", dedupParagraphsQ _, Some(dedupParagraphsSql)),
+    ("remove_frequent_lines", removeFrequentLinesQ _, Some(removeFrequentLinesSql)),
     ("text_stats", textStats _, Some(textStatsSql)),
     ("rep_signals", repSignals _, Some(repSignalsSql)),
     ("pii_redact", piiRedact _, Some(piiRedactSql)),
@@ -4183,7 +4234,7 @@ items:
     "d2_attribute", "e5_select", "e10_weighted_avg", "e12_quantile", "e12c_median_sketch",
     "e12_window_hicard", "e12_sketch_hicard", "e13_decile",
     "e7e8_cpi", "e9_equivalence", "isc_summary", "isc_summary_bucketed",
-    "dedup_exact", "dedup_paragraphs", "text_stats", "rep_signals", "lang_id", "quality_score", "ngram_jaccard",
+    "dedup_exact", "dedup_paragraphs", "remove_frequent_lines", "text_stats", "rep_signals", "lang_id", "quality_score", "ngram_jaccard",
     "tfidf_topk", "ngram_topk", "winnow_fingerprints", "winnow_near_dups",
     "pii_redact", "contamination", "decontaminate", "pack_shards", "chunk_docs",
     "stratified_sample", "curation_pipeline",

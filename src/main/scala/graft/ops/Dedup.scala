@@ -585,4 +585,61 @@ object Dedup {
         transform(array_sort(collect_list(struct(col("_pos"), col("_para")))),
           s => s.getField("_para"))).as(out))
   }
+
+  /** Corpus-frequency boilerplate removal (the C4/RefinedWeb line rule):
+    * drop EVERY occurrence of any line whose document frequency — the
+    * number of DISTINCT documents containing that trimmed line — exceeds
+    * `maxDf`, and reassemble each document from its surviving lines in
+    * order. The complement of [[dedupParagraphs]]: first-occurrence
+    * dedup keeps one canonical copy of a repeated block, while a
+    * frequency threshold treats the block as boilerplate and removes
+    * ALL copies, including the first — the semantics web-crawl
+    * curation wants for navigation chrome, cookie banners, and license
+    * footers that are noise wherever they appear. Lines at exactly
+    * `maxDf` documents survive (strict >): legitimate short quotations
+    * repeat across a few documents, so the threshold is the caller's
+    * boilerplate prior, not a dedup rule.
+    *
+    * Frequency is per-DOCUMENT, not per-occurrence — a line repeated
+    * inside one document is intra-document repetition (see
+    * TextOps.repetitionSignals), not corpus boilerplate. Matching keys
+    * on the TRIMMED line (indentation-insensitive) but reassembles the
+    * original text; blank lines are exempt, as in [[dedupParagraphs]].
+    * A document whose every line was boilerplate drops out entirely;
+    * callers that must preserve doc rows left-join back onto the input.
+    *
+    * Scale shape: one explode (linear in lines), one distinct on
+    * (line, doc) + partial-agg count (linear shuffle, the same volume
+    * bound as the paragraph window), and the frequent-line set is
+    * OUTPUT-BOUNDED — boilerplate vocabularies are tiny relative to
+    * the corpus — so its anti-join is deliberately UNHINTED: AQE
+    * broadcasts while it fits under autoBroadcastJoinThreshold and
+    * degrades to a shuffle join past it. Skew (one line in millions of
+    * docs) is absorbed by the partial aggregation; no per-key window
+    * partition ever materializes the occurrence list.
+    */
+  def removeFrequentLines(
+      df: DataFrame,
+      maxDf: Long,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      out: String = "text",
+  ): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("_pos", "_line")))
+    val frequent = lines
+      .where(trim(col("_line")) =!= "")
+      .select(trim(col("_line")).as("_key"), col(idCol))
+      .distinct()
+      .groupBy("_key").agg(count(lit(1)).as("_df"))
+      .where(col("_df") > maxDf)
+      .select("_key")
+    lines
+      .join(frequent, trim(col("_line")) === col("_key"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(concat_ws("\n",
+        transform(array_sort(collect_list(struct(col("_pos"), col("_line")))),
+          s => s.getField("_line"))).as(out))
+  }
 }

@@ -294,6 +294,39 @@ class DedupSpec extends SparkSpec {
     ), s"got $out")
   }
 
+  test("frequent-line removal: df > maxDf drops ALL copies, boundary survives, blanks exempt") {
+    import spark.implicits._
+    // "boiler" appears in 3 distinct docs (doc 2 twice — still df 3);
+    // "edge" in exactly 2; "  boiler  " trims to the frequent key.
+    val df = Seq(
+      (1L, "alpha\nboiler\nedge"),
+      (2L, "boiler\nbeta\nboiler"),
+      (3L, "  boiler  \n\ngamma"),
+      (4L, "edge\ndelta"),
+      (5L, "boiler"),                 // only-boilerplate doc -> vanishes
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeFrequentLines(df, maxDf = 2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      1L -> "alpha\nedge",            // edge df=2 = maxDf -> survives (strict >)
+      2L -> "beta",
+      3L -> "\ngamma",                // blank kept; trimmed-match drops the padded copy
+      4L -> "edge\ndelta",
+    ), s"got $out")
+  }
+
+  test("frequent-line removal differs from first-occurrence dedup on the first copy") {
+    import spark.implicits._
+    val df = Seq((1L, "footer\na"), (2L, "footer\nb"), (3L, "footer\nc"))
+      .toDF("doc_id", "text")
+    val freq = Dedup.removeFrequentLines(df, maxDf = 2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val first = Dedup.dedupParagraphs(df).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(freq == Map(1L -> "a", 2L -> "b", 3L -> "c"), s"got $freq")
+    assert(first(1L) == "footer\na", s"got $first") // first copy survives there
+  }
+
   test("exact ngram jaccard verifies candidates") {
     import spark.implicits._
     val df = docs().as("a").join(docs().as("b"),
