@@ -4215,10 +4215,33 @@ items:
     * brute-force recall audit whose exact scan would otherwise dominate
     * (and mask regressions in) the LSH wall-clock.
     */
+  /** Bench-only: [[Ann.semanticDedup]] with the k-growth operating rule
+    * TURNED — k = max(8, n/2500) centroids (8 at sf0.1, 80 at sf10, 800
+    * at sf100), so mean cluster size stays ~2500 and the within-cluster
+    * banded verification keeps its small-corpus residue at every scale.
+    * The oracled `semantic_dedup` gate pins correctness at a FIXED k=8;
+    * the SCALE.md 1000× probe measures that fixed point degrading to
+    * 944s at 2M vectors; this row is the documented fix, measured.
+    * Centroids are the k lowest-id corpus vectors (TakeOrdered — exists
+    * at any inflation factor, k-bounded collect of model metadata:
+    * k×64 doubles ≈ 400 KB at k=800), labeled 0..k-1 in id order; the
+    * count() feeding k is a parquet-footer rowcount, not a scan.
+    */
+  def semanticDedupScaled(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val n = emb.count()
+    val k = math.max(8L, n / 2500L).toInt
+    val ctrs = emb.orderBy("vec_id").limit(k).collect()
+      .map(r => r.getSeq[Float](1).map(_.toDouble).toArray)
+      .zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+    Ann.semanticDedup(emb, ctrs, threshold = 0.8, dim = 64)
+  }
+
   val benchExtra: Map[String, (SparkSession, String) => DataFrame] =
     Map("ann_lsh_query" -> (annLshQuery _),
       "e12_window_hicard" -> (e12WindowHiCard _),
-      "e12_sketch_hicard" -> (e12SketchHiCard _))
+      "e12_sketch_hicard" -> (e12SketchHiCard _),
+      "semantic_dedup_scaled" -> (semanticDedupScaled _))
 
   /** Subset used by Bench at sf0.1 (representative of every operator
     * family). Pure format-round-trip writers (a1_csv_roundtrip,
@@ -4240,7 +4263,7 @@ items:
     "stratified_sample", "curation_pipeline",
     "minhash_pairs", "minhash_near_dups", "simhash_pairs", "simhash_near_dups",
     "ann_brute_topk", "ann_int8_topk", "ann_lsh_query", "rp_topk",
-    "ann_cosine_dedup", "semantic_dedup", "ivf_topk", "ivf_int8_topk", "kmeans_step", "ann_pipeline", "dedup_clusters", "skew_salted_agg",
+    "ann_cosine_dedup", "semantic_dedup", "semantic_dedup_scaled", "ivf_topk", "ivf_int8_topk", "kmeans_step", "ann_pipeline", "dedup_clusters", "skew_salted_agg",
     "multimodal_features",
     "events_window_agg", "events_window_stream", "events_stream_sink",
     "events_dedup_stream", "events_enrich_stream",

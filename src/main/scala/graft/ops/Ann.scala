@@ -302,17 +302,33 @@ object Ann {
       quantized(queries, queryIdCol, "_qvec"), k, idCol, queryIdCol)
   }
 
+  /** Argmax-cosine centroid assignment as struct(sim, id), via the
+    * native [[graft.plans.NearestCentroid]] kernel: the k×dim matrix is
+    * ONE plan reference object and the loop runs inside whole-stage
+    * codegen — the expression formulation (greatest over k
+    * cosine-struct branches) is linear in k at the AST level and k must
+    * grow with the corpus (k ∝ n / target-cluster-size), so assignment
+    * cost per row must not carry a per-centroid expression-tree tax.
+    * Exact arithmetic parity with the expression path (same vec_dot
+    * accumulation, same greatest(struct) tie order) is pinned in
+    * AnnSpec.
+    */
+  def nearestCentroid(vec: Column, centroids: Seq[(Int, Array[Double])]): Column = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    require(centroids.map(_._2.length).distinct.size == 1,
+      "all centroids must share one dimension")
+    call_function("nearest_centroid", vec,
+      lit(centroids.flatMap(_._2).toArray), lit(centroids.map(_._1).toArray))
+  }
+
   /** IVF-style coarse quantization: assign each vector to its nearest of
     * `centroids` (broadcast literal), giving a partitionable `cluster`
     * column — the disk-layout primitive for ANN at rest (write bucketed
     * by cluster; probe only nProbe clusters at query time).
     */
   def assignCluster(vec: Column, centroids: Array[Array[Double]]): Column = {
-    val scored = centroids.zipWithIndex.map { case (ctr, i) =>
-      val c = array(ctr.map(lit): _*)
-      struct(cosine(vec, c).as("sim"), lit(i).as("id"))
-    }
-    greatest(scored: _*).getField("id")
+    nearestCentroid(vec, centroids.zipWithIndex.map { case (c, i) => (i, c) })
+      .getField("id")
   }
 
   /** The nProbe nearest centroid ids for a vector, as an array column. */
@@ -524,11 +540,10 @@ object Ann {
     val planes = hyperplanes(numPlanes, dim, seed)
     val mask = (1L << r) - 1
     // argmax over labeled centroids: highest sim wins, ties to the
-    // higher label (the greatest(struct) order assignCluster pins)
-    val best = greatest(centroids.map { case (cid, ctr) =>
-      val c = array(ctr.map(lit): _*)
-      struct(cosine(col(vecCol), c).as("sim"), lit(cid).as("id"))
-    }: _*)
+    // higher label — the native kernel, so assignment cost per row is
+    // a compiled loop over the k×dim matrix, not k expression branches
+    // (k grows with the corpus here; see nearestCentroid)
+    val best = nearestCentroid(col(vecCol), centroids)
     // one persisted pass computes assignment, signature, and norm —
     // reused by both self-join sides and the final anti-join
     val rows = handle.persist(Dedup.scatter(corpus)

@@ -136,5 +136,44 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         WinnowText(args.head, positiveInt(args(1), "k"), positiveInt(args(2), "w"))
       },
     ))
+    ext.injectFunction((
+      new FunctionIdentifier("nearest_centroid"),
+      new ExpressionInfo(classOf[NearestCentroid].getName, "nearest_centroid"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "nearest_centroid(vec, flat_matrix, labels)")
+        def doubles(e: Expression): Array[Double] = {
+          require(e.foldable, s"centroid matrix must be a literal array, got $e")
+          val et = e.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+          val data = e.eval().asInstanceOf[ArrayData]
+          Array.tabulate(data.numElements()) { i =>
+            data.get(i, et) match {
+              case d: java.lang.Double => d.doubleValue
+              case f: java.lang.Float  => f.doubleValue
+              case other => throw new IllegalArgumentException(
+                s"centroid matrix must be numeric literals, got $other")
+            }
+          }
+        }
+        def ints(e: Expression): Array[Int] = {
+          require(e.foldable, s"centroid labels must be a literal array, got $e")
+          val et = e.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+          val data = e.eval().asInstanceOf[ArrayData]
+          Array.tabulate(data.numElements()) { i =>
+            data.get(i, et) match {
+              case n: java.lang.Integer => n.intValue
+              case l: java.lang.Long    => math.toIntExact(l)
+              case other => throw new IllegalArgumentException(
+                s"centroid labels must be integral literals, got $other")
+            }
+          }
+        }
+        val (flat, labels) = (doubles(args(1)), ints(args(2)))
+        require(labels.nonEmpty, "nearest_centroid: need at least one centroid")
+        require(flat.length % labels.length == 0 && flat.length > 0,
+          s"nearest_centroid: matrix length ${flat.length} not divisible by " +
+            s"label count ${labels.length}")
+        NearestCentroid(args.head, flat, labels)
+      },
+    ))
   }
 }

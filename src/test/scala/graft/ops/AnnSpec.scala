@@ -243,6 +243,34 @@ class AnnSpec extends SparkSpec {
     assert(clusters.toSeq == again.toSeq)
   }
 
+  test("nearest_centroid kernel is bit-identical to the greatest(struct(cosine)) expression") {
+    import org.apache.spark.sql.functions.{array, greatest, lit, struct}
+    // 40 random centroids (the kernel's raison d'être is large k) with
+    // non-contiguous labels, plus a planted exact TIE: centroid 91 is a
+    // copy of centroid 17 — the higher label must win in both paths
+    val base = Ann.hyperplanes(40, dim, seed = 31)
+    val labeled = base.zipWithIndex.map { case (c, i) => (i * 2 + 1, c) } :+ (91, base(8))
+    val expr = greatest(labeled.map { case (cid, ctr) =>
+      val c = array(ctr.map(lit): _*)
+      struct(Ann.cosine(col("embedding"), c).as("sim"), lit(cid).as("id"))
+    }: _*)
+    val both = vecs(200)
+      .withColumn("k", Ann.nearestCentroid(col("embedding"), labeled))
+      .withColumn("e", expr)
+      .select(col("vec_id"),
+        col("k.sim").as("ks"), col("k.id").as("ki"),
+        col("e.sim").as("es"), col("e.id").as("ei"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getDouble(1) == r.getDouble(3) && r.getInt(2) == r.getInt(4),
+        s"kernel/expression divergence at vec ${r.get(0)}: " +
+          s"kernel=(${r.getDouble(1)}, ${r.getInt(2)}) expr=(${r.getDouble(3)}, ${r.getInt(4)})")
+    }
+    // the tie landed somewhere: label 17's copy pair means any vector
+    // nearest to base(8) must report id 91, never 17
+    assert(both.forall(r => r.getInt(2) != 17))
+  }
+
   test("random projection: shape, determinism, exact replay, zero vector") {
     val outDim = 4
     val projected = vecs(10)
