@@ -2347,14 +2347,32 @@ items:
     */
   private val semanticCentroidIds = Seq(2, 17, 29, 41, 53, 67, 79, 97)
 
-  def semanticDedupQ(s: SparkSession, dir: String): DataFrame = {
+  /** The k-GROWTH operating point, gated: same corpus, same rules, but
+    * k = 32 centroids — the configuration class the production
+    * prescription (k ∝ n, see [[semanticDedupScaled]]) actually runs,
+    * which until round 14 was bench-only. The oracle is the identical
+    * full DuckDB replay (assignment argmax over 32 centroids,
+    * within-cluster pairs, keep-least-central), so the composed
+    * operator — native nearest-centroid kernel included — is
+    * hash-pinned at a corpus-proportional k, not just the k=8 fixed
+    * point. Centroid ids 1,4,...,94 all exist at every sf.
+    */
+  private val semanticK32CentroidIds: Seq[Int] = (0 until 32).map(i => 3 * i + 1)
+
+  def semanticDedupQ(s: SparkSession, dir: String): DataFrame =
+    semanticDedupQFor(s, dir, semanticCentroidIds)
+
+  def semanticDedupK32Q(s: SparkSession, dir: String): DataFrame =
+    semanticDedupQFor(s, dir, semanticK32CentroidIds)
+
+  private def semanticDedupQFor(s: SparkSession, dir: String, centroidIds: Seq[Int]): DataFrame = {
     val emb = T(s, dir, "embeddings")
     val idType = emb.schema("vec_id").dataType
     val planted = emb.where(col("vec_id") < 25).select(
       (col("vec_id") + lit(10000)).cast(idType).as("vec_id"),
       concat(array(lit(0.0f)), slice(col("embedding"), 2, 63)).as("embedding"))
     val corpus = emb.select("vec_id", "embedding").unionByName(planted)
-    val ctrs = emb.where(col("vec_id").isin(semanticCentroidIds: _*))
+    val ctrs = emb.where(col("vec_id").isin(centroidIds: _*))
       .select(col("vec_id").cast(LongType), col("embedding")).collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble).toArray))
       .sortBy(_._1).toSeq
@@ -2364,7 +2382,7 @@ items:
       .orderBy("vec_id")
   }
 
-  private val semanticDedupSql = """
+  private def semanticDedupSqlFor(centroidIds: Seq[Int]): String = s"""
     WITH u AS (
       SELECT vec_id AS id, embedding AS v FROM embeddings
       UNION ALL
@@ -2372,7 +2390,7 @@ items:
       FROM embeddings WHERE vec_id < 25),
     ctr AS (
       SELECT vec_id AS cid, embedding AS cv FROM embeddings
-      WHERE vec_id IN (2, 17, 29, 41, 53, 67, 79, 97)),
+      WHERE vec_id IN (${centroidIds.mkString(", ")})),
     scored AS (
       SELECT u.id, u.v, ctr.cid,
              CASE WHEN (sqrt(list_sum(list_transform(list_zip(u.v, u.v), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE))))
@@ -2402,6 +2420,9 @@ items:
            round(csim, 6) AS centroid_sim
     FROM asg WHERE id NOT IN (SELECT id FROM drops)
     ORDER BY vec_id"""
+
+  private val semanticDedupSql = semanticDedupSqlFor(semanticCentroidIds)
+  private val semanticDedupK32Sql = semanticDedupSqlFor(semanticK32CentroidIds)
 
   /** LSH top-k at the production operating point (16 planes, 4 bands —
     * genuinely approximate, unlike `ann_lsh_full_recall`), gated as a
@@ -3927,7 +3948,8 @@ items:
     winnowed AS (SELECT DISTINCT doc_id, pos, fp FROM cand WHERE rn = 1)"""
 
   private val winnowFingerprintsSql =
-    winnowBaseSql(3, 4) + "\n    SELECT doc_id, pos, fp FROM winnowed"
+    winnowBaseSql(3, 4) +
+      "\n    SELECT doc_id, CAST(pos AS INTEGER) AS pos, fp FROM winnowed"
 
   /** Fingerprint-overlap near-duplicates over the winnowed set
     * (TextOps.winnowNearDups, minShared=3, maxDf=20): at the fixture's
@@ -4138,6 +4160,7 @@ items:
     ("ann_lsh_topk", annLshTopK _, Some(annLshTopKSql)),
     ("ann_cosine_dedup", annCosineDedup _, Some(annCosineDedupSql)),
     ("semantic_dedup", semanticDedupQ _, Some(semanticDedupSql)),
+    ("semantic_dedup_k32", semanticDedupK32Q _, Some(semanticDedupK32Sql)),
     ("multimodal_features", multimodalFeatures _, Some(multimodalSql)),
     ("dedup_clusters", dedupClusters _, Some(dedupClustersSql)),
     ("dedup_best_quality", dedupBestQuality _, Some(dedupBestQualitySql)),

@@ -692,8 +692,8 @@ object RealPipeline {
       FROM lineitem)
     SELECT CAST(Year AS INTEGER) AS Year, CAST(ID AS BIGINT) AS ID,
            count(*) AS Members,
-           sum(CASE WHEN age >= 14 THEN 1 ELSE 0 END) AS Adults,
-           count(*) - sum(CASE WHEN age >= 14 THEN 1 ELSE 0 END) AS Childs
+           CAST(sum(CASE WHEN age >= 14 THEN 1 ELSE 0 END) AS BIGINT) AS Adults,
+           CAST(count(*) - sum(CASE WHEN age >= 14 THEN 1 ELSE 0 END) AS BIGINT) AS Childs
     FROM m GROUP BY 1, 2"""
 
   val realEquivalenceScaleSql: String =

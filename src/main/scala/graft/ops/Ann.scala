@@ -209,6 +209,16 @@ object Ann {
     * memory-flat cost at any scale. AnnSpec pins the contract: vectors
     * appear only in the two pre-join band exchanges (one side each),
     * never in any exchange above the join.
+    *
+    * Cache lifecycle: the persisted (id, vector, signature, norm) set —
+    * the operator's largest intermediate — follows the [[StorageHandle]]
+    * contract. On the default `unmanaged` handle it stays cached until
+    * the session's next cache clear (Bench/Verify clear between
+    * queries); there is no eager unpersist, because both self-join
+    * sides and any downstream reuse read it. A LONG-LIVED session
+    * calling this repeatedly should pass a managed handle
+    * (`StorageHandle()`) and `release()` it after consuming the result
+    * — see [[graft.api.Api]]'s managed-handle walkthrough.
     */
   def cosineNearDupPairs(
       corpus: DataFrame,
@@ -236,11 +246,15 @@ object Ann {
     val sigs = handle.persist(
       Dedup.scatter(corpus).select(col(idCol), col(vecCol), sig.as("_sig"),
         norm(col(vecCol)).as("_n")))
+    // static unrolling keeps the band-key projection in whole-stage
+    // codegen — a transform/sequence formulation evaluates interpreted
+    // (higher-order functions have no doGenCode), the same rule
+    // Dedup.bandKeys documents
+    val bandCols = array((0 until bands).map(b =>
+      shiftright(col("_sig"), b * r).bitwiseAND(lit(mask))): _*)
     def side(id: String, vec: String, nrm: String): DataFrame = sigs.select(
       Seq(col(idCol).as(id), col(vecCol).as(vec), col("_n").as(nrm),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => call_function("shiftright", col("_sig"), b * lit(r))
-            .bitwiseAND(lit(mask)))).as(Seq("_b", "_k"))): _*)
+        posexplode(bandCols).as(Seq("_b", "_k"))): _*)
     val denom = col("_na") * col("_nb")
     side("id_a", "_va", "_na").join(side("id_b", "_vb", "_nb"), Seq("_b", "_k"))
       .where(col("id_a") < col("id_b"))
@@ -519,6 +533,13 @@ object Ann {
     * fits under autoBroadcastJoinThreshold and degrades to a shuffle
     * join past it. `centroids` are bounded metadata — explicit labeled
     * literals, the same contract as [[ivfTopK]]'s centroid argument.
+    *
+    * Cache lifecycle: the persisted assignment/signature/norm set obeys
+    * the [[StorageHandle]] contract — on the default `unmanaged` handle
+    * it stays cached until the session's next cache clear (no eager
+    * unpersist: both join sides and the final anti-join read it).
+    * Long-lived sessions should pass a managed handle and `release()`
+    * after consuming the result, as [[cosineNearDupPairs]] documents.
     */
   def semanticDedup(
       corpus: DataFrame,
@@ -551,12 +572,16 @@ object Ann {
         signBits(col(vecCol), planes).as("_sig"), norm(col(vecCol)).as("_n"))
       .select(col(idCol), col(vecCol), col("_best").getField("id").as("cluster"),
         col("_best").getField("sim").as("_csim"), col("_sig"), col("_n")))
+    // static unrolling keeps the band-key projection in whole-stage
+    // codegen — a transform/sequence formulation evaluates interpreted
+    // (higher-order functions have no doGenCode), the same rule
+    // Dedup.bandKeys documents
+    val bandCols = array((0 until bands).map(b =>
+      shiftright(col("_sig"), b * r).bitwiseAND(lit(mask))): _*)
     def side(id: String, vec: String, nrm: String, cs: String): DataFrame = rows.select(
       Seq(col(idCol).as(id), col(vecCol).as(vec), col("_n").as(nrm),
         col("cluster"), col("_csim").as(cs),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => call_function("shiftright", col("_sig"), b * lit(r))
-            .bitwiseAND(lit(mask)))).as(Seq("_b", "_k"))): _*)
+        posexplode(bandCols).as(Seq("_b", "_k"))): _*)
     val denom = col("_na") * col("_nb")
     val dropped = side("id_a", "_va", "_na", "_ca")
       .join(side("id_b", "_vb", "_nb", "_cb"), Seq("cluster", "_b", "_k"))

@@ -369,15 +369,21 @@ object IdDecoder {
     * column the caller will aggregate by.
     *
     * `externalCodes(year, file)` must return a DataFrame whose first two
-    * columns are (ID, code); rows of an external year whose ID is absent
-    * from the mapping decode to NULL (the reference asserts zero misses —
-    * a precondition on the mapping's completeness, not on this operator).
+    * columns are (ID, code). The reference hard-asserts the mapping is
+    * COMPLETE (`assert codes.isna().sum() == 0`, decoder.py:596);
+    * `strict = true` mirrors that — one bounded aggregation counts
+    * external-year rows whose ID missed the mapping and refuses on any.
+    * The default stays lenient (miss decodes to NULL) for callers that
+    * deliberately feed partial mappings (the planted-NULL gate), but a
+    * production pipeline over real external files should run strict:
+    * a silent NULL here flows into every downstream groupby key.
     */
   def addAttributeLayouts(
       df: DataFrame,
       layouts: Seq[YearLayout],
       externalCodes: (Int, String) => DataFrame,
-      settings: Settings): DataFrame = {
+      settings: Settings,
+      strict: Boolean = false): DataFrame = {
     layouts.collectFirst { case Unavailable(y) => y }.foreach { y =>
       throw new IllegalArgumentException(
         s"Code position is not available for ${settings.name} in year $y (decoder.py:600)")
@@ -406,9 +412,23 @@ object IdDecoder {
         require(dup.isEmpty,
           s"external ID mapping has duplicate (year, ID) entries (e.g. ${dup.headOption.orNull}) — " +
             "a join against it would fan out household rows; deduplicate the file first")
-        df.join(broadcast(mapping),
+        val joined = df.join(broadcast(mapping),
           df(settings.yearCol) === col("_ext_y") && df(settings.idCol) === col("_ext_id"),
           "left").drop("_ext_y", "_ext_id")
+        if (strict) {
+          // the reference's completeness assert (decoder.py:596): every
+          // external-year household must resolve a code. One aggregation
+          // over the external-year slice; runs only in strict mode.
+          val extYears = externals.map(e => lit(e.year))
+          val misses = joined
+            .where(col(settings.yearCol).isin(extYears: _*) && col(extCode).isNull)
+            .count()
+          require(misses == 0L,
+            s"external ID mapping for ${settings.name} is incomplete: $misses " +
+              "external-year row(s) decode to NULL (reference asserts zero misses, " +
+              "decoder.py:596); fix the mapping file or run with strict = false")
+        }
+        joined
       }
     val id = col(settings.idCol)
     val init = lit(null).cast(StringType)

@@ -635,11 +635,14 @@ object Dedup {
       .groupBy("_key").agg(count(lit(1)).as("_df"))
       .where(col("_df") > maxDf)
       .select("_key")
+    // reassembly stays codegen'd: GetArrayStructFields (the `._line`
+    // field pull over the sorted array) has doGenCode, where a
+    // transform(...) lambda would evaluate interpreted
     lines
       .join(frequent, trim(col("_line")) === col("_key"), "left_anti")
       .groupBy(col(idCol))
-      .agg(concat_ws("\n",
-        transform(array_sort(collect_list(struct(col("_pos"), col("_line")))),
-          s => s.getField("_line"))).as(out))
+      .agg(array_sort(collect_list(struct(col("_pos"), col("_line")))).as("_sorted"))
+      .select(col(idCol),
+        concat_ws("\n", col("_sorted").getField("_line")).as(out))
   }
 }

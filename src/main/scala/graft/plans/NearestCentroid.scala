@@ -77,10 +77,14 @@ final case class NearestCentroid(
     val flatRef = ctx.addReferenceObj("ncFlat", flat, "double[]")
     val labelsRef = ctx.addReferenceObj("ncLabels", labels, "int[]")
     val lf = isFloat
+    // freshName, NOT a fixed identifier: with a non-nullable child the
+    // block is emitted unbraced at method scope, so two instances in
+    // one generated method would collide (the RangeSet.scala hazard)
+    val r = ctx.freshName("ncR")
     nullSafeCodeGen(ctx, ev, v =>
       s"""
-         |InternalRow ncR = $obj.compute($v, $flatRef, $labelsRef, $dim, $lf);
-         |if (ncR == null) { ${ev.isNull} = true; } else { ${ev.value} = ncR; }
+         |InternalRow $r = $obj.compute($v, $flatRef, $labelsRef, $dim, $lf);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
        """.stripMargin)
   }
 }

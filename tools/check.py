@@ -30,11 +30,19 @@ for name, sql in sorted(oracle.items()):
         if rows and schema:
             g = got.sort_values(list(got.columns)).reset_index(drop=True)
             e = exp.sort_values(list(exp.columns)).reset_index(drop=True)
-            try:
-                pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
-                values = True
-            except AssertionError as ex:
-                values = str(ex).split("\n")[0][:150]
+            # dtype-strict: the driver's hash is dtype-sensitive (float64
+            # 3.0 != int64 3 at the byte level), so a dtype mismatch must
+            # fail here too — never be blinder than the driver.
+            dt = [(c, str(g[c].dtype), str(e[c].dtype)) for c in g.columns
+                  if g[c].dtype != e[c].dtype]
+            if dt:
+                values = f"dtype mismatch: {dt}"[:150]
+            else:
+                try:
+                    pd.testing.assert_frame_equal(g, e, check_dtype=True, check_exact=True)
+                    values = True
+                except AssertionError as ex:
+                    values = str(ex).split("\n")[0][:150]
         results[name] = {"rows": rows, "schema": schema, "values": values}
         if not (rows and schema and values is True):
             results[name]["got_cols"] = list(got.columns)

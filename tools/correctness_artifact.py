@@ -50,11 +50,19 @@ for name, sql in sorted(oracle.items()):
         if row["rows_match"] and row["schema_match"]:
             g = got.sort_values(list(got.columns)).reset_index(drop=True)
             e = exp.sort_values(list(exp.columns)).reset_index(drop=True)
-            try:
-                pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
-                row["hash_match"] = True
-            except AssertionError as ex:
-                row["err"] = str(ex).split("\n")[0][:200]
+            # dtype-strict: the driver's hash is dtype-sensitive (float64
+            # 3.0 != int64 3 at the byte level), so a dtype mismatch must
+            # fail here too — never be blinder than the driver.
+            dt = [(c, str(g[c].dtype), str(e[c].dtype)) for c in g.columns
+                  if g[c].dtype != e[c].dtype]
+            if dt:
+                row["err"] = f"dtype mismatch: {dt}"[:200]
+            else:
+                try:
+                    pd.testing.assert_frame_equal(g, e, check_dtype=True, check_exact=True)
+                    row["hash_match"] = True
+                except AssertionError as ex:
+                    row["err"] = str(ex).split("\n")[0][:200]
     except Exception as ex:
         row["err"] = str(ex)[:300]
     results[name] = row
