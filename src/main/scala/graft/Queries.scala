@@ -4286,7 +4286,7 @@ items:
     "stratified_sample", "curation_pipeline",
     "minhash_pairs", "minhash_near_dups", "simhash_pairs", "simhash_near_dups",
     "ann_brute_topk", "ann_int8_topk", "ann_lsh_query", "rp_topk",
-    "ann_cosine_dedup", "semantic_dedup", "semantic_dedup_scaled", "ivf_topk", "ivf_int8_topk", "kmeans_step", "ann_pipeline", "dedup_clusters", "skew_salted_agg",
+    "ann_cosine_dedup", "semantic_dedup", "semantic_dedup_k32", "semantic_dedup_scaled", "ivf_topk", "ivf_int8_topk", "kmeans_step", "ann_pipeline", "dedup_clusters", "skew_salted_agg",
     "multimodal_features",
     "events_window_agg", "events_window_stream", "events_stream_sink",
     "events_dedup_stream", "events_enrich_stream",

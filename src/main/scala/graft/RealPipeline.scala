@@ -65,6 +65,8 @@ object RealPipeline {
       (col("l_partkey") % 10L).as("t10"),
       // 20-way year selector for the multi-year plan-scaling run
       (col("l_orderkey") % 20L).as("y20"),
+      // 39-way year selector for the FULL-archive (1363-1401) run
+      (col("l_orderkey") % 39L).as("y39"),
       (lit(11111L) + col("l_partkey") % 8000L).as("code"),
       when(col("l_suppkey") % 11L === 0L, lit(null).cast(DoubleType))
         .otherwise((lit(720L) * (lit(1L) + cents(col("l_extendedprice")) % 997L))
@@ -267,41 +269,132 @@ object RealPipeline {
            n / dur * 360 AS Net_Expenditure
     FROM items"""
 
-  /** Multi-year raw reader for the plan-scaling run: serves EVERY year
-    * in 1375-1382 (COL era, the 1374-era layouts `colTable` emits) and
-    * 1389-1400 (DYCOL era, the layouts `dycolTable` emits) — 20 years,
-    * each year a disjoint 1/20 slice of lineitem. The real library loads
-    * ~39 survey years in one call; with ~9-13 raw tables per year, the
-    * metadata-compiled DAG has HUNDREDS of leaf scans, and the genuine
-    * scale risk is plan-compile cost, not executor work — this reader
-    * exists so RealPipelineSpec can execute and time that shape.
-    * (The oracle-pinned two-year gates keep their own fixed mapping in
-    * [[raw]]; this reader is additive.)
+  /** Pre-1374 raw projections, one per tables.yaml layout window. The
+    * COL-name sub-eras (tables.yaml `expenditure_common_structure`
+    * :1324-1338, food :1346-1379, durable :1505-1527):
+    *   1363-1368  food COL4_5 kilos / COL6 value; common COL4 value;
+    *              durable = common + COL5 secondhand
+    *   1369       price-system era: COL4 psys; food COL5_6 kilos /
+    *              COL7 price / COL8 value; common COL5 amount / COL6
+    *              value; durable COL5 value / COL6 secondhand
+    *   1370-1371  food loses COL7 (price: 1370 null); common collapses
+    *              to COL5 value
+    *   1372-1373  food COL7 price returns (tables.yaml:1372)
+    * Kilos/Amount fills are STRICTLY POSITIVE (1 + code%20): food's
+    * 1363/1370 schema eras compute Price = Expenditure / Amount and the
+    * session runs ANSI mode, where a zero divisor faults the query.
     */
-  def rawMultiYear(s: SparkSession, dir: String, name: String, year: Int): Option[DataFrame] = {
-    val b = base(s, dir)
-    if (year >= 1389 && year <= 1400) {
-      val i = tables1383.indexOf(name)
-      if (i < 0) None
-      else Some(dycolTable(
-        b.where(col("y20") === (8L + (year - 1389)) && col("t13") === i.toLong), name))
-    } else if (year >= 1375 && year <= 1382) {
-      val i = tables1363.indexOf(name)
-      if (i < 0) None
-      else Some(colTable(
-        b.where(col("y20") === (year - 1375).toLong && col("t9") === i.toLong), name))
-    } else None
+  private def earlyTable(sl: DataFrame, name: String, year: Int): DataFrame = {
+    val psys = (col("code") % 2L).as("COL4")
+    val posFill = (lit(1L) + col("code") % 20L).cast(DoubleType)
+    if (year <= 1368) name match {
+      // food codes confined to [11100, 11500): the 1363 schema era
+      // derives Duration by CLASSIFICATION over sci_coicop_1363's
+      // level-4 ranges (schema.yaml food `add_classification`), and an
+      // unmatched code -> null Duration -> null-as-zero divisor ->
+      // ANSI DIVIDE_BY_ZERO; this window always hits one of the first
+      // four level-4 items (durations 2/30/2/2, commodities.yaml:31-54)
+      case "food" => sl.select(
+        col("address").as("ADDRESS"),
+        (lit(11100L) + col("code") % 400L).as("COL1"),
+        col("pm").as("COL3"), posFill.as("COL4_5"), col("exp").as("COL6"))
+      case "durable" => sl.select(
+        col("address").as("ADDRESS"), col("code").as("COL1"),
+        col("pm").as("COL3"), col("exp").as("COL4"), col("shs").as("COL5"))
+      case _ => sl.select(
+        col("address").as("ADDRESS"), col("code").as("COL1"),
+        col("pm").as("COL3"), col("exp").as("COL4"))
+    } else name match { // 1369-1373
+      case "food" =>
+        val core = Seq(col("address").as("ADDRESS"), col("code").as("COL1"),
+          col("pm").as("COL3"), psys, posFill.as("COL5_6"))
+        val price = if (year == 1369 || year >= 1372)
+          Seq((col("code") % 9000L).cast(DoubleType).as("COL7")) else Nil
+        sl.select(core ++ price :+ col("exp").as("COL8"): _*)
+      case "durable" => sl.select(
+        col("address").as("ADDRESS"), col("code").as("COL1"),
+        col("pm").as("COL3"), psys, col("exp").as("COL5"), col("shs").as("COL6"))
+      case _ =>
+        val amount = if (year == 1369) Seq(posFill.as("COL5")) else Nil
+        val value = col("exp").as(if (year == 1369) "COL6" else "COL5")
+        sl.select(Seq(col("address").as("ADDRESS"), col("code").as("COL1"),
+          col("pm").as("COL3"), psys) ++ amount :+ value: _*)
+    }
   }
 
-  /** The 20-year Total_Expenditure DAG over the real metadata — used by
-    * RealPipelineSpec's plan-scaling measurement.
+  /** DYCOL transition-era projections (1383-1387): the 13-table list is
+    * live, but home's DYCOL layout starts 1384 (tables.yaml:1424) and
+    * durable's 1384 DYCOL layout (insurance, no lender) differs from
+    * the 1388 one `dycolTable` emits (tables.yaml:1529-1548); durable
+    * 1383 still resolves the 1374 COL layout.
+    */
+  private def transitionTable(sl: DataFrame, name: String, year: Int): DataFrame =
+    name match {
+      case "food" | "tobacco" => dycolTable(sl, name)
+      case "home" if year >= 1384 => dycolTable(sl, name)
+      case "home" => sl.select( // 1383: common structure, DYCOL names
+        col("address").as("ADDRESS"), col("code").as("DYCOL01"),
+        col("pm").as("DYCOL02"), col("exp").as("DYCOL03"))
+      case "durable" if year >= 1384 => sl.select( // 1384 layout: no lender
+        col("address").as("ADDRESS"), col("code").as("DYCOL01"),
+        (col("code") % 70L).cast(DoubleType).as("DYCOL02"),
+        col("pm").as("DYCOL03"), col("exp").as("DYCOL04"),
+        col("shs").as("DYCOL05"))
+      case "durable" => colTable(sl, name) // 1383: COL era until 1384
+      case _ => sl.select(
+        col("address").as("ADDRESS"), col("code").as("DYCOL01"),
+        col("pm").as("DYCOL02"), col("exp").as("DYCOL03"))
+    }
+
+  /** Multi-year raw reader for the plan-scaling run: serves EVERY year
+    * of the real archive, 1363-1401, each year a disjoint 1/39 slice of
+    * lineitem, with the era-correct raw layout per (table, year):
+    * pre-1374 sub-eras via [[earlyTable]], 1374-1382 via [[colTable]],
+    * the 1383-1387 transition via [[transitionTable]], 1388+ via
+    * [[dycolTable]]. The real library loads ~39 survey years in one
+    * call; with 9-13 raw tables per year the metadata-compiled DAG has
+    * hundreds of leaf scans, and the genuine scale risk is plan-compile
+    * cost, not executor work — this reader exists so RealPipelineSpec
+    * can execute and time that shape. (The oracle-pinned two-year gates
+    * keep their own fixed mapping in [[raw]]; this reader is additive.)
+    */
+  def rawMultiYear(s: SparkSession, dir: String, name: String, year: Int): Option[DataFrame] = {
+    if (year < 1363 || year > 1401) return None
+    val b = base(s, dir)
+    val y = b.where(col("y39") === (year - 1363).toLong)
+    if (year >= 1383) {
+      val i = tables1383.indexOf(name)
+      if (i < 0) None
+      else {
+        val sl = y.where(col("t13") === i.toLong)
+        Some(if (year >= 1388) dycolTable(sl, name) else transitionTable(sl, name, year))
+      }
+    } else {
+      val i = tables1363.indexOf(name)
+      if (i < 0) None
+      else {
+        val sl = y.where(col("t9") === i.toLong)
+        Some(if (year >= 1374) colTable(sl, name) else earlyTable(sl, name, year))
+      }
+    }
+  }
+
+  /** The FULL-archive Total_Expenditure DAG over the real metadata —
+    * all 39 survey years (1363-1401), 9-13 tables each: ~450 cleaned
+    * leaf scans in ONE plan. Used by RealPipelineSpec's plan-scaling
+    * measurement; the balanced `CleanOps.unionAll` tree keeps the
+    * driver's plan-build cost O(n log n) in leaf count where the old
+    * left-deep chain re-analyzed a growing prefix per year.
     */
   def realTotalExpenditureMultiYear(s: SparkSession, dir: String): DataFrame = {
     require(RealMeta.available, "reference metadata corpus not found")
     val repo = new TableRepo(s, RealMeta.tables, RealMeta.schema,
       rawReader = (name, year) => rawMultiYear(s, dir, name, year),
+      // the 1363-1368 food era derives Duration by classification
+      // (schema.yaml food `add_classification: {name: Duration}`)
+      classifications = Map("Duration" -> RealMeta.commodities("Duration")),
       config = RepoConfig(availability = RealMeta.tableAvailability))
-    repo.table("Total_Expenditure", (1375 to 1382) ++ (1389 to 1400))
+    repo.table("Total_Expenditure", 1363 to 1401)
   }
 
   // ------------------------------------------------------ Total_Outlay

@@ -55,6 +55,16 @@ final case class RepoConfig(
       */
     cacheBucketKeys: Seq[String] = Seq.empty,
     cacheBucketCount: Int = 16,
+    /** Driver-side parallelism for multi-year plan BUILDS (C17): the
+      * per-year metadata compile + analysis chains are independent, and
+      * building them sequentially makes the driver the bottleneck at
+      * archive width (~0.9s/year × 39 years measured). Builds are pure
+      * plan construction (any embedded actions — distinct-years probes,
+      * A9 cache writes — are per-year and thread-safe in Spark), so
+      * concurrency changes wall-clock only, never the composed plan.
+      * 1 disables.
+      */
+    buildParallelism: Int = math.min(8, Runtime.getRuntime.availableProcessors()),
 )
 
 class TableRepo(
@@ -95,10 +105,27 @@ class TableRepo(
     YearParser.tableYearPairs(Seq(name), years, config.availability).map(_._2)
 
   def table(name: String, years: Seq[Int]): DataFrame = {
-    val parts = availableYears(name, years).flatMap(y => load(name, y))
+    val parts = buildYears(availableYears(name, years))(y => load(name, y))
     require(parts.nonEmpty, s"table $name has no data for years $years")
     CleanOps.unionAll(parts)
   }
+
+  /** Year-order-preserving, optionally parallel per-year build (see
+    * [[RepoConfig.buildParallelism]]). Small requests stay sequential —
+    * pool handoff costs more than it saves under ~4 years.
+    */
+  private def buildYears(years: Seq[Int])(build: Int => Option[DataFrame]): Seq[DataFrame] =
+    if (years.size < 4 || config.buildParallelism <= 1) years.flatMap(build(_))
+    else {
+      import scala.collection.parallel.CollectionConverters._
+      import scala.collection.parallel.ForkJoinTaskSupport
+      val par = years.par
+      val pool = new java.util.concurrent.ForkJoinPool(config.buildParallelism)
+      try {
+        par.tasksupport = new ForkJoinTaskSupport(pool)
+        par.map(build(_)).seq.flatten
+      } finally pool.shutdown()
+    }
 
   /** E1 `form="raw"`: the raw source verbatim. */
   def rawTable(name: String, years: Seq[Int]): DataFrame = {

@@ -97,34 +97,41 @@ class RealPipelineSpec extends SparkSpec {
       s"plan mixes cached and re-derived scans:\n${scans.mkString("\n")}")
   }
 
-  test("20-year DAG: plan-compile cost stays sane at hundreds of metadata-compiled scans") {
+  test("39-year DAG: the full real archive in one plan, with a flat plan-build curve") {
     assume(RealMeta.available && new java.io.File(sfDir).isDirectory)
-    // the real library loads ~39 survey years in one call — at 9-13 raw
-    // tables per year that is hundreds of leaf scans, and the genuine
-    // 100 TB risk for a metadata-driven engine is OPTIMIZER cost growing
-    // with metadata size, not executor work (the r13 category-map fix in
-    // CleanOps exists because exactly that cliff appeared at 13 scans).
-    // 20 years x (9 | 13) tables = 228 cleaned scans in ONE plan.
+    // the real library loads all ~39 survey years in one call — at 9-13
+    // raw tables per year that is ~450 era-correct cleaned leaf scans,
+    // and the genuine 100 TB risk for a metadata-driven engine is
+    // OPTIMIZER cost growing with metadata size, not executor work (the
+    // r13 category-map fix in CleanOps exists because exactly that
+    // cliff appeared at 13 scans). Every coding era is exercised:
+    // 1363-1373 sub-era COL layouts (incl. the classification-derived
+    // food Duration), 1374-1382 COL, the 1383-1387 DYCOL transition
+    // (per-table switch years), 1388+ DYCOL.
     val t0 = System.nanoTime()
     val df = RealPipeline.realTotalExpenditureMultiYear(spark, sfDir)
     val built = (System.nanoTime() - t0) / 1e9
     val t1 = System.nanoTime()
     val rows = df.collect()
     val ran = (System.nanoTime() - t1) / 1e9
-    System.err.println(f"[scale] 20-year Total_Expenditure: build ${built}%.1fs, execute ${ran}%.1fs, ${rows.length} households")
+    System.err.println(f"[scale] 39-year Total_Expenditure: build ${built}%.1fs, execute ${ran}%.1fs, ${rows.length} households")
     // every year must surface (a silently-dropped year is a wrong answer,
     // not a perf problem)
     val years = rows.map(_.getInt(0)).toSet
-    assert(years == ((1375 to 1382) ++ (1389 to 1400)).toSet, s"missing years: $years")
-    // the 720-grid invariant must hold across all 20 years — same
-    // annualization math as the two-year gate
+    assert(years == (1363 to 1401).toSet, s"missing years: ${(1363 to 1401).toSet -- years}")
+    // the 720-grid invariant must hold across all 39 years — the
+    // annualization factor 360/Duration is integral for every live
+    // Duration (2, 30, 360), so exact-720-multiple inputs stay on grid
     import org.apache.spark.sql.functions._
     val offGrid = df.where(pmod(col("Gross_Expenditure"), lit(720.0)) =!= 0.0 ||
       pmod(col("Net_Expenditure"), lit(720.0)) =!= 0.0).count()
     assert(offGrid == 0L, s"$offGrid household sums off the 720 grid")
-    // generous ceiling: catches superlinear plan-compile regressions
-    // (the pre-fix category fold would blow far through this), not noise
-    assert(built + ran < 300.0, f"20-year DAG took ${built + ran}%.1fs")
+    // plan-BUILD ceiling, deliberately tight: the left-deep unionByName
+    // chain measured ~0.75-1.0s per added year by year 20 and projects
+    // 40s+ of driver time at 39 years — the balanced unionAll tree must
+    // stay far under that. Execution gets its own generous ceiling.
+    assert(built < 30.0, f"39-year plan build took ${built}%.1fs — left-deep analysis cost is back")
+    assert(ran < 300.0, f"39-year execution took ${ran}%.1fs")
   }
 
   test("plan shape: union of cleaned scans into per-year hash aggregates, no joins") {

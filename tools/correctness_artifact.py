@@ -32,6 +32,7 @@ for p in glob.glob(f"{sf_dir}/*.parquet"):
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 results = {}
 for name, sql in sorted(oracle.items()):
+    print(f"[artifact] {name}", file=sys.stderr, flush=True)
     if name in skip:
         results[name] = {"skipped": "oracle formulation superlinear in DuckDB "
                          "at this sf; Spark side ran clean, oracle gated at sf0.01"}
