@@ -653,6 +653,76 @@ items:
     ) t(Year, Code, item_key_2, item_key_3)"""
   }
 
+  /** Hand-transcribed golden truths for the real `original` OCCUPATION
+    * classification (hbsir/metadata/occupations.yaml): (Year, Code) ->
+    * item keys at levels 1-4, each read BY HAND from the cited lines
+    * and never derived from Classifier.compile — the occupations twin
+    * of [[commodityGoldenRows]], so BOTH classification families have a
+    * compiler-independent oracle. Two parse-fidelity traps are pinned:
+    * level-4 items carry SCALAR codes (`code: 1111`), matched as the
+    * one-code range [c, c+1); and the YAML contains DUPLICATE map keys
+    * at the same nesting (managing_directors_and_chief_executives at
+    * L3:315/L4:351, subsistence_crop_farmers at L3:16135/L4:16159,
+    * commissioned_armed_forces_officers at L2:23360/L3:23386/L4:23411)
+    * — both the reference's yaml.safe_load and this engine's snakeyaml
+    * keep the LAST occurrence, so the earlier same-named levels are
+    * silently SWALLOWED: codes 1120-1129 have no level-3 key, and
+    * 100-199 no level-2/3 key. A first-wins (or both-kept) parse fails
+    * these rows loudly. Occupations are year-invariant (no versioned
+    * items), pinned at 1363 and 1390 to prove it.
+    */
+  private val occupationGoldenRows: Seq[(Int, Long, Option[String], Option[String], Option[String], Option[String])] = Seq(
+    (1390, 1111L, Some("managers"), Some("chief_executives_senior_officials_and_legislators"),
+      Some("legislators_and_senior_officials"), Some("legislators")),       // :12-16,:69-73,:104-108,:139-143
+    (1363, 1111L, Some("managers"), Some("chief_executives_senior_officials_and_legislators"),
+      Some("legislators_and_senior_officials"), Some("legislators")),       // year-invariance at corpus start
+    (1380, 1120L, Some("managers"), Some("chief_executives_senior_officials_and_legislators"),
+      None, Some("managing_directors_and_chief_executives")),               // :351-356 swallows the :315-319 L3 range
+    (1390, 1125L, Some("managers"), Some("chief_executives_senior_officials_and_legislators"),
+      None, None),                                                          // in the swallowed L3 range, no L4 scalar
+    (1395, 1000L, Some("managers"), None, None, None),                      // :12-16 start-inclusive; :23318-23322 end-exclusive
+    (1390, 999L, Some("armed_forces_occupations"), None, None, None),       // :23318-23322 [0,1000)
+    (1390, 110L, Some("armed_forces_occupations"), None, None,
+      Some("commissioned_armed_forces_officers")),                          // :23411-23415 L4 swallows both L2:23360 and L3:23386
+    (1400, 2211L, Some("professionals"), Some("health_professionals"),
+      Some("medical_doctors"), Some("generalist_medical_practitioners")),   // :3506-3510 scalar; L1/L2/L3 ranges 2000/2200/2210
+    (1400, 6310L, Some("skilled_agricultural_forestry_and_fishery_workers"),
+      Some("subsistence_farmers_fishers_hunters_and_gatherers"),
+      None, Some("subsistence_crop_farmers")),                              // :16159-16163 swallows the :16135-16139 L3 range
+    (1390, 9999L, Some("elementary_occupations"), None, None, None),        // :21761-21765 [9000,10000); L2 coverage ends 9700
+  )
+
+  private lazy val realOccupationItems: Seq[Classifier.ClassItem] =
+    Classifier.compile(RealMeta.occupations("original"), RealMeta.AllYears)
+  private lazy val realOccupationSettings: Classifier.Settings =
+    Classifier.settingsFromMeta(RealMeta.occupations("original"))
+      .copy(levels = Seq(1, 2, 3, 4), columnNames = Seq.empty)
+
+  def d1GoldenOccupations(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val codes = occupationGoldenRows.map { case (y, c, _, _, _, _) => (y, c) }
+      .toDF("Year", "Code")
+    Classifier.addClassification(codes, realOccupationItems, realOccupationSettings)
+      .orderBy("Year", "Code")
+  }
+
+  private lazy val d1GoldenOccSql: String = {
+    def q(o: Option[String]) = o.map(k => s"'$k'").getOrElse("NULL")
+    val values = occupationGoldenRows
+      .map { case (y, c, k1, k2, k3, k4) =>
+        s"($y, $c, ${q(k1)}, ${q(k2)}, ${q(k3)}, ${q(k4)})" }
+      .mkString(",\n      ")
+    s"""
+    SELECT CAST(Year AS INTEGER) AS Year, CAST(Code AS BIGINT) AS Code,
+           CAST(item_key_1 AS VARCHAR) AS item_key_1,
+           CAST(item_key_2 AS VARCHAR) AS item_key_2,
+           CAST(item_key_3 AS VARCHAR) AS item_key_3,
+           CAST(item_key_4 AS VARCHAR) AS item_key_4
+    FROM (VALUES
+      $values
+    ) t(Year, Code, item_key_1, item_key_2, item_key_3, item_key_4)"""
+  }
+
   /** D2 ID digit-substring attribute decode — pure expression, no join. */
   def d2Attribute(s: SparkSession, dir: String): DataFrame = {
     val df = T(s, dir, "orders").select(
@@ -4108,6 +4178,7 @@ items:
     ("d1_expr_classification", d1ExprClassification _, Some(d1Sql)),
     ("d1_real_commodities", d1RealCommodities _, Some(d1RealSql)),
     ("d1_golden_commodities", d1GoldenCommodities _, Some(d1GoldenSql)),
+    ("d1_golden_occupations", d1GoldenOccupations _, Some(d1GoldenOccSql)),
     ("d2_attribute", d2Attribute _, Some(d2Sql)),
     ("e5_select", e5Select _, Some(e5Sql)),
     ("e16_geo", e16Geo _, Some(e16Sql)),
