@@ -34,6 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // runs inside the operator-optimization fixed point, so the folded
+    // predicate is then pushed/pruned by the stock rules in the same pass
+    ext.injectOptimizerRule(_ => FoldIsNotNullConditional)
     ext.injectFunction((
       new FunctionIdentifier("range_set_search"),
       new ExpressionInfo(classOf[RangeSetSearch].getName, "range_set_search"),

@@ -171,4 +171,27 @@ Urban_Rural:
         IdDecoder.Settings("County")))
     assert(ex.getMessage.contains("not available"))
   }
+
+  test("D2 strict mode mirrors the reference's zero-miss assert on external mappings") {
+    import spark.implicits._
+    val labels = Map(1L -> "A", 2L -> "B")
+    val layouts = Seq(
+      IdDecoder.Positional(IdDecoder.AttrVersion(1393, 1394, 3, 1, 3, labels)),
+      IdDecoder.ExternalFile(1388, "counties", labels))
+    val df = Seq((1393, 901L), (1388, 777L), (1388, 888L)).toDF("Year", "ID")
+    def partial(year: Int, file: String) = Seq((777L, 2L)).toDF("ID", "code")
+    def complete(year: Int, file: String) = Seq((777L, 2L), (888L, 1L)).toDF("ID", "code")
+    // incomplete mapping + strict -> refuse loudly (decoder.py:596
+    // `assert codes.isna().sum() == 0`), naming the miss count
+    val ex = intercept[IllegalArgumentException](
+      IdDecoder.addAttributeLayouts(df, layouts, partial,
+        IdDecoder.Settings("County"), strict = true))
+    assert(ex.getMessage.contains("incomplete") && ex.getMessage.contains("1 "))
+    // complete mapping + strict -> decodes normally, including the
+    // positional year (strictness is about EXTERNAL misses only)
+    val out = IdDecoder.addAttributeLayouts(df, layouts, complete,
+      IdDecoder.Settings("County"), strict = true)
+      .collect().map(r => r.getAs[Long]("ID") -> r.getAs[String]("County")).toMap
+    assert(out(777L) == "B" && out(888L) == "A" && out(901L) == "A")
+  }
 }
