@@ -1666,6 +1666,64 @@ items:
     GROUP BY doc_id
     ORDER BY doc_id"""
 
+  /** Exact substring-span dedup (Dedup.dedupSpans, the Lee et al.
+    * ExactSubstr rule at k=8 token windows). Planted regimes: a
+    * 12-token sentence appended to every 5th document (cross-document
+    * duplicated span — the lowest doc_id keeps it, every other
+    * occurrence is excised), and a 10-token phrase appended TWICE to
+    * every 7th-mod-3 document (intra-document repetition — the second
+    * copy is excised even with no other document involved; doc 10 gets
+    * both plants, exercising overlap at the text tail). Natural
+    * duplicated 8-grams in the generated corpus dedup identically on
+    * both sides. DuckDB replays tokenization, windowing, corpus-first
+    * selection, positional deletion, and reassembly.
+    */
+  def dedupSpansQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+    val shared = "the quick brown fox jumps over the lazy dog near the riverbank"
+    val rep = "copy this exact phrase twice in a row please now"
+    val planted = docs.select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 5 === 0, lit(" " + shared)).otherwise(lit("")),
+        when(col("doc_id") % 7 === 3, lit(" " + rep + " " + rep))
+          .otherwise(lit(""))).as("text"))
+    Dedup.dedupSpans(planted, k = 8).orderBy("doc_id")
+  }
+
+  private val dedupSpansSql = """
+    WITH u AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 5 = 0 THEN ' the quick brown fox jumps over the lazy dog near the riverbank' ELSE '' END
+             || CASE WHEN doc_id % 7 = 3 THEN ' copy this exact phrase twice in a row please now copy this exact phrase twice in a row please now' ELSE '' END AS text
+      FROM documents),
+    d AS (
+      SELECT doc_id, trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')) AS norm FROM u),
+    toks AS (
+      SELECT doc_id, unnest(l) AS tok, unnest(generate_series(0, len(l) - 1)) AS pos
+      FROM (SELECT doc_id, CASE WHEN norm = '' THEN CAST([] AS VARCHAR[]) ELSE string_split(norm, ' ') END AS l FROM d)),
+    wins AS (
+      SELECT doc_id, pos, string_agg(tok, ' ') OVER w AS win, count(*) OVER w AS c
+      FROM toks
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)),
+    marked AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn,
+             count(*) OVER (PARTITION BY win) AS n
+      FROM wins WHERE c = 8),
+    del AS (
+      SELECT DISTINCT doc_id, pos FROM (
+        SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS pos
+        FROM marked WHERE n > 1 AND rn > 1)),
+    keep AS (
+      SELECT t.doc_id, t.pos, t.tok
+      FROM toks t LEFT JOIN del x ON t.doc_id = x.doc_id AND t.pos = x.pos
+      WHERE x.doc_id IS NULL),
+    reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text FROM keep GROUP BY doc_id)
+    SELECT u.doc_id, coalesce(reb.text, '') AS text
+    FROM u LEFT JOIN reb ON u.doc_id = reb.doc_id
+    ORDER BY u.doc_id"""
+
   private val repSignalsSql = """
     WITH docs AS (
       SELECT doc_id,
@@ -4205,6 +4263,7 @@ items:
     ("dedup_exact", dedupExact _, Some(dedupExactSql)),
     ("dedup_paragraphs", dedupParagraphsQ _, Some(dedupParagraphsSql)),
     ("remove_frequent_lines", removeFrequentLinesQ _, Some(removeFrequentLinesSql)),
+    ("dedup_spans", dedupSpansQ _, Some(dedupSpansSql)),
     ("text_stats", textStats _, Some(textStatsSql)),
     ("rep_signals", repSignals _, Some(repSignalsSql)),
     ("pii_redact", piiRedact _, Some(piiRedactSql)),
@@ -4351,7 +4410,7 @@ items:
     "d2_attribute", "e5_select", "e10_weighted_avg", "e12_quantile", "e12c_median_sketch",
     "e12_window_hicard", "e12_sketch_hicard", "e13_decile",
     "e7e8_cpi", "e9_equivalence", "isc_summary", "isc_summary_bucketed",
-    "dedup_exact", "dedup_paragraphs", "remove_frequent_lines", "text_stats", "rep_signals", "lang_id", "quality_score", "ngram_jaccard",
+    "dedup_exact", "dedup_paragraphs", "remove_frequent_lines", "dedup_spans", "text_stats", "rep_signals", "lang_id", "quality_score", "ngram_jaccard",
     "tfidf_topk", "ngram_topk", "winnow_fingerprints", "winnow_near_dups",
     "pii_redact", "contamination", "decontaminate", "pack_shards", "chunk_docs",
     "stratified_sample", "curation_pipeline",

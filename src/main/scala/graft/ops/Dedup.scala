@@ -645,4 +645,108 @@ object Dedup {
       .select(col(idCol),
         concat_ws("\n", col("_sorted").getField("_line")).as(out))
   }
+
+  /** Sliding k-token windows of a token array as window strings —
+    * `sliding_windows(tokens, k, sep)`, the [[graft.plans.SlidingWindows]]
+    * codegen kernel (requires [[graft.plans.GraftExtensions]]).
+    */
+  def slidingWindows(tokens: Column, k: Int, sep: String = " "): Column =
+    call_function("sliding_windows", tokens, lit(k), lit(sep))
+
+  /** Exact substring-span deduplication (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better"
+    * ExactSubstr rule, re-expressed relationally): any k-token window
+    * that occurs MORE THAN ONCE in the corpus — across documents or
+    * within one — is removed from every occurrence except the corpus-
+    * first (minimal `(doc_id, position)`), by deleting the token
+    * positions the duplicate occurrences cover. Overlapping duplicated
+    * windows merge naturally through the per-position deletion marks, so
+    * a long repeated passage disappears as one contiguous span.
+    * Documents are reassembled from the surviving tokens in order.
+    *
+    * The reference implementation builds a corpus suffix array — a
+    * global sorted structure with no good distributed analogue. The
+    * relational form trades the suffix array's arbitrary-length match
+    * for a fixed window granularity k (the paper's 50-token threshold ≈
+    * the k here): every duplicated run of ≥ k tokens is caught (it
+    * contains a duplicated k-window); runs shorter than k are kept,
+    * which IS the threshold semantic.
+    *
+    * Tokenization is whitespace-normalizing (`\s+` → single space, ends
+    * trimmed), and reassembly joins surviving tokens with single spaces
+    * — output text is whitespace-normalized even for untouched
+    * documents, the standard pre-dedup canonicalization. Every input
+    * row survives (a fully-deduplicated document keeps its row with
+    * empty text).
+    *
+    * Scale shape, at 100 TB: window materialization is a per-row
+    * codegen projection (no shuffle); the duplicate-window search is
+    * ONE linear shuffle keyed by window identity with partial
+    * aggregation absorbing skew (a boilerplate window in millions of
+    * docs partial-aggs to one row per map task); the occurrence→first
+    * join reuses that key; deletion marks are OUTPUT-BOUNDED by the
+    * duplicated-token volume (explode of `sequence` sits after the
+    * duplicate filter, the [[removeFrequentLines]] precedent); the
+    * final anti-join + reassembly are linear shuffles on
+    * `(doc, position)` / doc. With `hashKeys = true` (the at-scale
+    * configuration) the shuffle key is `xxhash64(window)` — 8 bytes
+    * instead of ~6·k — and the window string never leaves its
+    * projection; collision risk ≈ (#windows)²/2⁶⁵ of one extra span
+    * wrongly deleted, negligible against a crawl corpus' noise floor.
+    * The gate runs the exact-string path; at sf0.01 both paths are
+    * hash-identical (no collisions), which the spec pins.
+    */
+  def dedupSpans(
+      df: DataFrame,
+      k: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      out: String = "text",
+      hashKeys: Boolean = false,
+  ): DataFrame = {
+    require(k >= 2, s"window size must be >= 2 tokens, got $k")
+    val toksOf = {
+      // normalize BEFORE trimming: trim() strips spaces only, so a
+      // leading tab must first collapse to a space or it yields a
+      // phantom empty first token
+      val norm = trim(regexp_replace(coalesce(col(textCol), lit("")), "\\s+", " "))
+      when(norm === "", array().cast("array<string>")).otherwise(split(norm, " "))
+    }
+    val toks = df
+      .select(col(idCol), posexplode(toksOf).as(Seq("_pos", "_tok")))
+    // hashKeys: hash AFTER the explode — a scalar codegen'd xxhash64 in
+    // the same stage (no interpreted transform(...) lambda); the window
+    // string is a transient between generator and projection and never
+    // reaches the exchange
+    val occ = df
+      .select(col(idCol), posexplode(slidingWindows(toksOf, k)).as(Seq("_pos", "_w")))
+      .select(col(idCol), col("_pos"),
+        (if (hashKeys) xxhash64(col("_w")) else col("_w")).as("_win"))
+    // first = min (doc, pos) per window; duplicate groups only survive
+    val firsts = occ
+      .groupBy(col("_win"))
+      .agg(count(lit(1)).as("_n"),
+        min(struct(col(idCol), col("_pos"))).as("_first"))
+      .where(col("_n") > 1)
+      .select(col("_win"), col("_first"))
+    // duplicate occurrences: same key as the aggregation — the exchange
+    // is reused; the firsts side is output-bounded and unhinted (AQE
+    // broadcasts while it fits)
+    val dupOcc = occ
+      .join(firsts, "_win")
+      .where(struct(col(idCol), col("_pos")) =!= col("_first"))
+    // deletion marks: explode AFTER the duplicate filter (bounded by
+    // duplicated-token volume, not corpus volume)
+    val deleted = dupOcc
+      .select(col(idCol), explode(sequence(col("_pos"), col("_pos") + lit(k - 1))).as("_pos"))
+    val rebuilt = toks
+      .join(deleted, Seq(idCol, "_pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("_pos"), col("_tok")))).as("_sorted"))
+      // GetArrayStructFields, not transform(...): stays codegen'd
+      .select(col(idCol), concat_ws(" ", col("_sorted").getField("_tok")).as("_rebuilt"))
+    df.join(rebuilt, Seq(idCol), "left")
+      .select(df.columns.filter(c => c != textCol && c != out).map(col) :+
+        coalesce(col("_rebuilt"), lit("")).as(out): _*)
+  }
 }

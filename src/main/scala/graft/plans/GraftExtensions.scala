@@ -83,6 +83,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       },
     ))
     ext.injectFunction((
+      new FunctionIdentifier("sliding_windows"),
+      new ExpressionInfo(classOf[SlidingWindows].getName, "sliding_windows"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "sliding_windows(tokens, k, sep)")
+        val sepArg = args(2)
+        require(sepArg.foldable, s"sep must be a literal string, got $sepArg")
+        val sep = sepArg.eval() match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s
+          case other => throw new IllegalArgumentException(
+            s"sep must be a string literal, got $other")
+        }
+        SlidingWindows(args.head, positiveInt(args(1), "k"), sep)
+      },
+    ))
+    ext.injectFunction((
       new FunctionIdentifier("ngram_jaccard_text"),
       new ExpressionInfo(classOf[NgramJaccardText].getName, "ngram_jaccard_text"),
       (args: Seq[Expression]) => {
