@@ -150,10 +150,14 @@ object Ann {
     // collision rows or the distinct shuffle (the minHashPairs shape)
     def bandedSlim(df: DataFrame, id: String): DataFrame = {
       val sig = signBits(col(vecCol), planes)
+      // static unrolling (bands is a plan-time constant): the
+      // transform(sequence(...)) lambda would evaluate interpreted per
+      // row — the Dedup.bandKeys discipline
       df.select(col(idCol).as(id), sig.as("_sig"))
-        .select(col(id), explode(transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band"),
-            call_function("shiftright", col("_sig"), b * lit(r)).bitwiseAND(lit(mask)).as("key")))).as("_bk"))
+        .select(col(id), explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            call_function("shiftright", col("_sig"), lit(b * r)).bitwiseAND(lit(mask)).as("key"))
+        }: _*)).as("_bk"))
         .select(col(id), col("_bk.band").as("_b"), col("_bk.key").as("_k"))
     }
     val c = bandedSlim(Dedup.scatter(corpus), "neighbor_id")

@@ -262,7 +262,10 @@ object Curation {
         explode(sequence(lo, hi)).as("chunk_id"))
       .groupBy(idCol, "chunk_id")
       .agg(count(lit(1)).cast(IntegerType).as("n_tokens"),
-        concat_ws(" ", transform(array_sort(collect_list(struct(col("_p"), col("_t")))),
-          x => x.getField("_t"))).as("chunk_text"))
+        array_sort(collect_list(struct(col("_p"), col("_t")))).as("_sorted"))
+      // GetArrayStructFields, not transform(...): the lambda evaluates
+      // interpreted; the field pull over the sorted array stays codegen'd
+      .select(col(idCol), col("chunk_id"), col("n_tokens"),
+        concat_ws(" ", col("_sorted").getField("_t")).as("chunk_text"))
   }
 }

@@ -165,9 +165,14 @@ object Dedup {
     }
     val sa = pruned.select(col(idCol).as("id_a"), col("_sig").as("_sig_a"))
     val sb = pruned.select(col(idCol).as("id_b"), col("_sig").as("_sig_b"))
-    val agree = aggregate(
-      zip_with(col("_sig_a"), col("_sig_b"), (x, y) => when(x === y, 1L).otherwise(0L)),
-      lit(0L), (acc, x) => acc + x)
+    // static unrolling (numHashes is a plan-time constant): the
+    // aggregate(zip_with(...)) form runs BOTH lambdas interpreted per
+    // surviving pair — this chain of element_at comparisons stays in
+    // whole-stage codegen
+    val agree = (0 until numHashes).map { i =>
+      when(element_at(col("_sig_a"), i + 1) === element_at(col("_sig_b"), i + 1), 1L)
+        .otherwise(0L)
+    }.reduce(_ + _)
     candidates.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
       .select(col("id_a"), col("id_b"), (agree / lit(numHashes.toDouble)).as("est_jaccard"))
   }
@@ -238,10 +243,14 @@ object Dedup {
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
     val hashed = simHashes(df, textCol, idCol)
+    // static unrolling (bands is a plan-time constant): the
+    // transform(sequence(...)) form evaluates its lambda interpreted
+    // per row — the bandKeys discipline
     val banded = handle.persist(hashed.select(col(idCol), col("_sh"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        q => struct(q.as("q"),
-          call_function("shiftright", col("_sh"), q * lit(width)).bitwiseAND(lit(mask)).as("key")))).as("_band"))
+      explode(array((0 until bands).map { q =>
+        struct(lit(q).as("q"),
+          call_function("shiftright", col("_sh"), lit(q * width)).bitwiseAND(lit(mask)).as("key"))
+      }: _*)).as("_band"))
       .select(col(idCol), col("_sh"), col("_band.q").as("_q"), col("_band.key").as("_k")))
     // bucket census: one tiny aggregate over the cached slim rows (at
     // most bands·2^width groups); joined back as a left-semi filter so
@@ -581,9 +590,10 @@ object Dedup {
       .where(trim(col("_para")) === "" || col("_occ") === 1)
     kept
       .groupBy(col(idCol))
-      .agg(concat_ws("\n",
-        transform(array_sort(collect_list(struct(col("_pos"), col("_para")))),
-          s => s.getField("_para"))).as(out))
+      .agg(array_sort(collect_list(struct(col("_pos"), col("_para")))).as("_sorted"))
+      // GetArrayStructFields, not transform(...): the lambda evaluates
+      // interpreted; the field pull over the sorted array stays codegen'd
+      .select(col(idCol), concat_ws("\n", col("_sorted").getField("_para")).as(out))
   }
 
   /** Corpus-frequency boilerplate removal (the C4/RefinedWeb line rule):
