@@ -1690,6 +1690,26 @@ items:
     Dedup.dedupSpans(planted, k = 8).orderBy("doc_id")
   }
 
+  /** The at-scale `hashKeys` configuration of dedupSpans (8-byte
+    * xxhash64 shuffle keys, window strings never leave their
+    * projection), hash-pinned against the SAME oracle as the exact
+    * path: on a collision-free corpus the outputs are identical, so a
+    * divergence means the hashed path dropped or kept a span the exact
+    * semantics would not — the semantic_dedup_k32 discipline of gating
+    * the production configuration, not just the reference point.
+    */
+  def dedupSpansHashedQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+    val shared = "the quick brown fox jumps over the lazy dog near the riverbank"
+    val rep = "copy this exact phrase twice in a row please now"
+    val planted = docs.select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 5 === 0, lit(" " + shared)).otherwise(lit("")),
+        when(col("doc_id") % 7 === 3, lit(" " + rep + " " + rep))
+          .otherwise(lit(""))).as("text"))
+    Dedup.dedupSpans(planted, k = 8, hashKeys = true).orderBy("doc_id")
+  }
+
   private val dedupSpansSql = """
     WITH u AS (
       SELECT doc_id,
@@ -1723,6 +1743,53 @@ items:
     SELECT u.doc_id, coalesce(reb.text, '') AS text
     FROM u LEFT JOIN reb ON u.doc_id = reb.doc_id
     ORDER BY u.doc_id"""
+
+  /** CCNet-style bigram-LM quality scoring (TextOps.lmScore),
+    * self-scored: the documents corpus is both the model and the scored
+    * set, so every bigram is in-vocabulary and the oracle's inner joins
+    * replay Spark's left joins exactly. Per-bigram log-probabilities
+    * are frozen to the half-up 1e-6 integer grid (the tfidf_topk
+    * determinism rule), so the per-doc aggregation is integer-exact on
+    * both engines; the mean divides back to a double post-aggregation.
+    */
+  def lmScoreQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+    TextOps.lmScore(docs, docs).orderBy("doc_id")
+  }
+
+  private val lmScoreSql = """
+    WITH norm AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(regexp_replace(lower(coalesce(text, '')),'[^a-z0-9\s]+',' ','g')),'\s+'), x -> x <> '') AS t
+      FROM documents),
+    uc AS (
+      SELECT u, count(*) AS c1
+      FROM (SELECT unnest(t) AS u FROM norm) GROUP BY u),
+    v AS (SELECT count(*) AS vs FROM uc),
+    bgall AS (
+      SELECT doc_id, unnest(gs) AS bg
+      FROM (SELECT doc_id,
+                   CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+                        ELSE list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]) END AS gs
+            FROM norm)),
+    bc AS (SELECT bg, count(*) AS c2 FROM bgall GROUP BY bg),
+    scored AS (
+      SELECT a.doc_id,
+             CAST(floor(ln(CAST(bc.c2 + 1 AS DOUBLE) / CAST(uc.c1 + v.vs AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS lp
+      FROM bgall a
+      JOIN bc ON a.bg = bc.bg
+      JOIN uc ON string_split(a.bg, ' ')[1] = uc.u
+      CROSS JOIN v),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(lp) AS BIGINT) AS lm_micro
+      FROM scored GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(agg.n_bigrams, 0) AS n_bigrams,
+           agg.lm_micro,
+           CAST(agg.lm_micro AS DOUBLE) / 1e6 / agg.n_bigrams AS lm_logprob
+    FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+    ORDER BY d.doc_id"""
 
   private val repSignalsSql = """
     WITH docs AS (
@@ -4264,6 +4331,8 @@ items:
     ("dedup_paragraphs", dedupParagraphsQ _, Some(dedupParagraphsSql)),
     ("remove_frequent_lines", removeFrequentLinesQ _, Some(removeFrequentLinesSql)),
     ("dedup_spans", dedupSpansQ _, Some(dedupSpansSql)),
+    ("dedup_spans_hashed", dedupSpansHashedQ _, Some(dedupSpansSql)),
+    ("lm_score", lmScoreQ _, Some(lmScoreSql)),
     ("text_stats", textStats _, Some(textStatsSql)),
     ("rep_signals", repSignals _, Some(repSignalsSql)),
     ("pii_redact", piiRedact _, Some(piiRedactSql)),
@@ -4410,7 +4479,7 @@ items:
     "d2_attribute", "e5_select", "e10_weighted_avg", "e12_quantile", "e12c_median_sketch",
     "e12_window_hicard", "e12_sketch_hicard", "e13_decile",
     "e7e8_cpi", "e9_equivalence", "isc_summary", "isc_summary_bucketed",
-    "dedup_exact", "dedup_paragraphs", "remove_frequent_lines", "dedup_spans", "text_stats", "rep_signals", "lang_id", "quality_score", "ngram_jaccard",
+    "dedup_exact", "dedup_paragraphs", "remove_frequent_lines", "dedup_spans", "dedup_spans_hashed", "lm_score", "text_stats", "rep_signals", "lang_id", "quality_score", "ngram_jaccard",
     "tfidf_topk", "ngram_topk", "winnow_fingerprints", "winnow_near_dups",
     "pii_redact", "contamination", "decontaminate", "pack_shards", "chunk_docs",
     "stratified_sample", "curation_pipeline",

@@ -690,21 +690,31 @@ object Dedup {
     * empty text).
     *
     * Scale shape, at 100 TB: window materialization is a per-row
-    * codegen projection (no shuffle); the duplicate-window search is
-    * ONE linear shuffle keyed by window identity with partial
-    * aggregation absorbing skew (a boilerplate window in millions of
-    * docs partial-aggs to one row per map task); the occurrence→first
-    * join reuses that key; deletion marks are OUTPUT-BOUNDED by the
+    * codegen projection (no shuffle), and the corpus-wide duplicate
+    * search runs ENTIRELY on 8-byte `xxhash64(window)` keys — one
+    * partial-aggregated count keyed by hash over slim (id, pos, hash)
+    * rows (a boilerplate window in millions of docs partial-aggs to
+    * one row per map task). The sf100 probe forced this shape: keying
+    * the corpus-wide aggregation by window STRING intermittently OOMed
+    * the 32-thread sort at 5M docs (~6·k bytes per key through
+    * exchange + sort buffers) while the identical run on hashes
+    * completed. The exact path (default) then re-derives window text
+    * ONLY for rows whose hash is duplicated — a pruned second scan,
+    * the [[graft.ops.Ann]].cosineNearDupPairs re-attach shape — and
+    * re-verifies the duplicate count on the true text, so hash
+    * collisions cost a little extra work, never a wrong deletion;
+    * hash-unique rows are provably text-unique and never touch a
+    * string exchange. `hashKeys = true` skips the verification pass
+    * and trusts the hash (collision risk ≈ (#windows)²/2⁶⁵ of one
+    * extra span wrongly deleted — the configuration for corpora where
+    * the duplicate volume itself is corpus-scale, e.g. crawl snapshots
+    * with mirror sites). Deletion marks are OUTPUT-BOUNDED by the
     * duplicated-token volume (explode of `sequence` sits after the
     * duplicate filter, the [[removeFrequentLines]] precedent); the
     * final anti-join + reassembly are linear shuffles on
-    * `(doc, position)` / doc. With `hashKeys = true` (the at-scale
-    * configuration) the shuffle key is `xxhash64(window)` — 8 bytes
-    * instead of ~6·k — and the window string never leaves its
-    * projection; collision risk ≈ (#windows)²/2⁶⁵ of one extra span
-    * wrongly deleted, negligible against a crawl corpus' noise floor.
-    * The gate runs the exact-string path; at sf0.01 both paths are
-    * hash-identical (no collisions), which the spec pins.
+    * `(doc, position)` / doc. The gate runs both configurations
+    * against one oracle; the spec pins their identity on a
+    * collision-free fixture.
     */
   def dedupSpans(
       df: DataFrame,
@@ -724,25 +734,65 @@ object Dedup {
     }
     val toks = df
       .select(col(idCol), posexplode(toksOf).as(Seq("_pos", "_tok")))
-    // hashKeys: hash AFTER the explode — a scalar codegen'd xxhash64 in
-    // the same stage (no interpreted transform(...) lambda); the window
-    // string is a transient between generator and projection and never
-    // reaches the exchange
-    val occ = df
+    // hash AFTER the explode — a scalar codegen'd xxhash64 in the same
+    // stage (no interpreted transform(...) lambda); the window string
+    // is a transient between generator and projection and — on the slim
+    // pass — never reaches the exchange
+    val occSlim = df
       .select(col(idCol), posexplode(slidingWindows(toksOf, k)).as(Seq("_pos", "_w")))
-      .select(col(idCol), col("_pos"),
-        (if (hashKeys) xxhash64(col("_w")) else col("_w")).as("_win"))
-    // first = min (doc, pos) per window; duplicate groups only survive
-    val firsts = occ
+      .select(col(idCol), col("_pos"), xxhash64(col("_w")).as("_h"))
+    // duplicate occurrences + the (doc, pos)-minimal first per window.
+    // BOTH paths count on the 8-byte hash first: the corpus-wide
+    // exchange/aggregation only ever carries (id, pos, hash) rows. The
+    // sf100 probe showed why — grouping 5M docs' window STRINGS
+    // intermittently OOMed the 32-thread sort, while the identical run
+    // on hashes completed: string keys cost ~6·k bytes each through
+    // exchange + sort buffers. The exact path re-derives strings ONLY
+    // for rows whose hash is duplicated (a pruned second scan, the
+    // Ann.cosineNearDupPairs re-attach shape) and verifies the
+    // duplicate count on the true window text — hash-unique rows are
+    // provably string-unique, so exact semantics are preserved with the
+    // hashed path's memory profile.
+    val dupH = occSlim
+      .groupBy(col("_h")).agg(count(lit(1)).as("_nh"))
+      .where(col("_nh") > 1)
+      .select(col("_h"))
+    // occurrences whose key is (hash-)duplicated, carrying the FINAL
+    // identity column: the hash itself (hashKeys) or the re-derived
+    // window text (exact — a pruned second scan). dupH is unhinted:
+    // AQE broadcasts while it fits, so the common case has NO
+    // corpus-wide join shuffle at all.
+    val occDup =
+      if (hashKeys)
+        occSlim.join(dupH, Seq("_h"))
+          .select(col(idCol), col("_pos"), col("_h").as("_win"))
+      else {
+        // the slim rows join FIRST; window text is then re-derived per
+        // flagged position from the owning doc's token array
+        // (slice + concat_ws — both codegen'd, no lambda), so string
+        // bytes exist ONLY for dup-hash occurrences. A full-window
+        // string projection feeding the join instead would put the
+        // corpus-wide string stream one AQE degradation (dup-hash set
+        // past the broadcast threshold → SMJ) away from a sort/spill
+        // of every window string — the sf100 disk-wall.
+        val flagged = occSlim.join(dupH, Seq("_h")).select(col(idCol), col("_pos"))
+        val docToks = df.select(col(idCol), toksOf.as("_toks"))
+        flagged.join(docToks, Seq(idCol))
+          .select(col(idCol), col("_pos"),
+            concat_ws(" ", slice(col("_toks"), col("_pos") + 1, lit(k))).as("_win"))
+      }
+    // first = min (doc, pos) per surviving window; the exact path's
+    // string count here drops hash-duplicated-but-text-unique rows, so
+    // collisions cost a little extra work, never a wrong deletion. The
+    // min(struct) SortAggregate now runs over the dup-bounded subset
+    // only, never corpus-wide.
+    val firsts = occDup
       .groupBy(col("_win"))
       .agg(count(lit(1)).as("_n"),
         min(struct(col(idCol), col("_pos"))).as("_first"))
       .where(col("_n") > 1)
       .select(col("_win"), col("_first"))
-    // duplicate occurrences: same key as the aggregation — the exchange
-    // is reused; the firsts side is output-bounded and unhinted (AQE
-    // broadcasts while it fits)
-    val dupOcc = occ
+    val dupOcc = occDup
       .join(firsts, "_win")
       .where(struct(col(idCol), col("_pos")) =!= col("_first"))
     // deletion marks: explode AFTER the duplicate filter (bounded by

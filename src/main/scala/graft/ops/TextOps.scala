@@ -452,4 +452,75 @@ object TextOps {
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
       .where(col("shared") >= minShared)
   }
+
+  /** Bigram language-model quality scoring — the CCNet-style "LM
+    * filter" step (Wenzek et al. 2020: score each document under a
+    * reference-corpus LM, then keep/bucket by score): per document, the
+    * mean add-1-smoothed bigram log-probability under a bigram model
+    * counted from `model`:
+    *
+    *   P(cur | prev) = (c(prev cur) + 1) / (c(prev) + V)
+    *
+    * with c(·) occurrence counts over `model`'s normalized tokens and V
+    * its distinct-unigram vocabulary size. Tokens use the shared
+    * [[tfidfTopTerms]]/[[topNgrams]] normalization (lower-case,
+    * non-alphanumerics to spaces); bigrams come from the
+    * [[graft.plans.SlidingWindows]] kernel, not a per-row lambda or a
+    * window `lead` (no shuffle to build them). Unseen bigrams/contexts
+    * score ln(1 / (c(prev) + V)) — meaningful when `model` differs
+    * from `df` (the CCNet configuration: clean reference corpus scores
+    * a crawl).
+    *
+    * Determinism across engines (the [[tfidfTopTerms]] rule): each
+    * bigram's log-probability is frozen to the half-up 1e-6 grid —
+    * `floor(ln(p)·1e6 + 0.5)` as BIGINT — so the per-document sum is
+    * INTEGER aggregation, immune to float summation order; the exported
+    * mean divides back to a double after aggregation. Returns one row
+    * per input row: (idCol, n_bigrams, lm_micro, lm_logprob) with
+    * lm_micro/lm_logprob null for documents under two tokens.
+    *
+    * Scale shape: model counts are two map-combined hash aggregations
+    * (bigram, unigram) over exploded slim rows; V rides a broadcast
+    * single-row cross join (lazy, no driver action); scoring is two
+    * equi-joins of slim count rows onto the document bigram stream
+    * (probe-side hot-key skew absorbed by AQE) and one per-document
+    * aggregation. Linear shuffles only; nothing all-pairs.
+    */
+  def lmScore(
+      df: DataFrame,
+      model: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      modelTextCol: String = "text",
+  ): DataFrame = {
+    val mToks = normTokens(col(modelTextCol))
+    val mBigrams = model
+      .select(explode(Dedup.slidingWindows(mToks, 2)).as("_bg"))
+      .groupBy("_bg").agg(count(lit(1)).as("_c2"))
+    val mUnigrams = model
+      .select(explode(mToks).as("_u"))
+      .groupBy("_u").agg(count(lit(1)).as("_c1"))
+    val vocab = mUnigrams.agg(count(lit(1)).as("_V"))
+    val docBg = df
+      .select(col(idCol), explode(Dedup.slidingWindows(normTokens(col(textCol)), 2)).as("_bg"))
+      .withColumn("_prev", substring_index(col("_bg"), " ", 1))
+    val scored = docBg
+      .join(mBigrams, Seq("_bg"), "left")
+      .join(mUnigrams, col("_prev") === col("_u"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        floor(log(
+          (coalesce(col("_c2"), lit(0L)) + lit(1)).cast(DoubleType) /
+            (coalesce(col("_c1"), lit(0L)) + col("_V")).cast(DoubleType)) * lit(1e6) +
+          lit(0.5)).cast(LongType).as("_lp"))
+    val agg = scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("_lp")).as("lm_micro"))
+    df.select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("lm_micro"),
+        (col("lm_micro").cast(DoubleType) / lit(1e6) / col("n_bigrams"))
+          .as("lm_logprob"))
+  }
 }
