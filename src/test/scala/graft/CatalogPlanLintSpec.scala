@@ -46,6 +46,7 @@ class CatalogPlanLintSpec extends SparkSpec {
     "ann_lsh_full_recall", // ditto
     "rp_topk",            // projected-space brute pass + the exact-baseline audit
     "tfidf_topk",         // the corpus total N rides a broadcast SINGLE-ROW cross join
+    "lm_score",           // the vocabulary size V rides the same broadcast SINGLE-ROW cross join
   )
 
   /** Every physical node, descending through AQE wrappers and subqueries
