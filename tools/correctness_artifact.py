@@ -23,6 +23,11 @@ out_dir = sys.argv[2]
 skip = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else set()
 
 con = duckdb.connect()
+# at-scale replays (sf10/sf100) need out-of-core oracles: an in-memory
+# connection has no temp_directory, so big hash tables fail with
+# "Out of Memory Error" instead of spilling
+con.sql("SET temp_directory='/tmp/duckdb_oracle_spill'")
+con.sql("SET preserve_insertion_order=false")
 for p in glob.glob(f"{sf_dir}/*.parquet"):
     name = os.path.basename(p)[: -len(".parquet")]
     # Spark-written tables are directories of part files
