@@ -11,6 +11,10 @@ sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 
 con = duckdb.connect()
+# same out-of-core settings as correctness_artifact.py: at-scale oracle
+# replays need a temp_directory or DuckDB OOMs instead of spilling
+con.sql("SET temp_directory='/tmp/duckdb_oracle_spill'")
+con.sql("SET preserve_insertion_order=false")
 for p in glob.glob(f"{sf_dir}/*.parquet"):
     name = os.path.basename(p)[:-len(".parquet")]
     con.sql(f"create view {name} as select * from '{p}'")
