@@ -96,7 +96,24 @@ object Bench {
     }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }.mkString("{", ",", "}")
     val total = results.map(_._2._1.min).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"load":$ls,"load_avg_before":$loadBefore,"load_avg_after":$loadAfter,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
+    // Full artifact first (complete per-query mins + raw runs + load
+    // samples) for any consumer capturing whole stdout...
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"load":$ls,"load_avg_before":$loadBefore,"load_avg_after":$loadAfter,"errors":$es,"sf":"$sfDir"}""")
+    // ...then ONE compact summary as the FINAL stdout line. The driver
+    // snapshots only the last 2000 bytes of stdout (BENCH_r01..r14 all
+    // show tail=2000, parsed=null: the detailed line above is several KB,
+    // so its head was always cut mid-JSON). This line stays well under
+    // that budget (total + count + errors + the slowest rows), so the
+    // tail capture always contains at least one complete JSON object.
+    // Nothing may print to stdout after it (Spark logs go to stderr;
+    // spark.stop() already ran above).
+    val topN = results.map { case (k, (v, _)) => k -> v.min }.sortBy(-_._2).take(15)
+    val topJson = topN.map { case (k, v) => "\"" + esc(k) + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
+    // error NAMES only here (full messages live in the detailed line
+    // above) — a handful of 200-char messages would blow the 2000-byte
+    // tail budget this line exists to respect
+    val errNames = errors.keys.take(10).map(k => "\"" + esc(k) + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","n":${results.size},"error_count":${errors.size},"errored":$errNames,"top_slowest":$topJson,"sf":"$sfDir"}""")
   }
 }

@@ -417,18 +417,26 @@ object IdDecoder {
           "left").drop("_ext_y", "_ext_id")
         if (strict) {
           // the reference's completeness assert (decoder.py:596): every
-          // external-year household must resolve a code. One aggregation
-          // over the external-year slice; runs only in strict mode.
+          // external-year household must resolve a code. Enforced as a
+          // runtime assert INSIDE the output projection (raise_error on
+          // the first miss), not an eager count at plan-construction —
+          // verification and output share one scan, so the validated
+          // rows are BY CONSTRUCTION the rows downstream reads (an
+          // eager count re-executes the join: a second external-year
+          // scan, and on a non-deterministic source the checked data
+          // could differ from the returned data).
           val extYears = externals.map(e => lit(e.year))
-          val misses = joined
-            .where(col(settings.yearCol).isin(extYears: _*) && col(extCode).isNull)
-            .count()
-          require(misses == 0L,
-            s"external ID mapping for ${settings.name} is incomplete: $misses " +
-              "external-year row(s) decode to NULL (reference asserts zero misses, " +
-              "decoder.py:596); fix the mapping file or run with strict = false")
-        }
-        joined
+          val checked = when(
+            col(settings.yearCol).isin(extYears: _*) && col(extCode).isNull,
+            raise_error(concat(
+              lit(s"external ID mapping for ${settings.name} is incomplete: (Year, ID) = ("),
+              col(settings.yearCol).cast(StringType), lit(", "),
+              col(settings.idCol).cast(StringType),
+              lit(") decodes to NULL (reference asserts zero misses, decoder.py:596); " +
+                "fix the mapping file or run with strict = false"))).cast(LongType)
+          ).otherwise(col(extCode))
+          joined.withColumn(extCode, checked)
+        } else joined
       }
     val id = col(settings.idCol)
     val init = lit(null).cast(StringType)

@@ -708,7 +708,21 @@ object Dedup {
     * and trusts the hash (collision risk ≈ (#windows)²/2⁶⁵ of one
     * extra span wrongly deleted — the configuration for corpora where
     * the duplicate volume itself is corpus-scale, e.g. crawl snapshots
-    * with mirror sites). Deletion marks are OUTPUT-BOUNDED by the
+    * with mirror sites).
+    *
+    * PRECONDITION — deterministic input: `df` is re-scanned up to four
+    * times (token explode, window pass, the exact path's token
+    * re-derivation, the final re-join), deliberately UNPERSISTED — at
+    * 5M docs the (id, tokens) projection is multi-GB and caching it
+    * traded the sf100 probe's scan-bound linearity for eviction churn;
+    * re-reading columnar text is cheaper than materializing token
+    * arrays. A non-deterministic source (upstream `sample`/`limit`/
+    * non-deterministic UDF) could present different rows to different
+    * passes and mark wrong spans — persist such inputs (or land them
+    * via [[graft.ops.StorageHandle]]) before calling. Every shipped
+    * caller reads at-rest parquet, which is deterministic.
+    *
+    * Deletion marks are OUTPUT-BOUNDED by the
     * duplicated-token volume (explode of `sequence` sits after the
     * duplicate filter, the [[removeFrequentLines]] precedent); the
     * final anti-join + reassembly are linear shuffles on

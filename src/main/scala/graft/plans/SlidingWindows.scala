@@ -28,8 +28,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * see dedupSpans' hashKeys knob.
   *
   * Null contract: null input → null; null ELEMENTS are not accepted
-  * (tokenizers never produce them — enforced by the type check, which
-  * requires containsNull = false, e.g. the output of `split`).
+  * (tokenizers never produce them). The type check deliberately admits
+  * `containsNull = true` array types — CaseWhen branch coercion widens
+  * even provably-null-free token arrays (e.g. `when(empty).otherwise(
+  * split(...))`, the dedupSpans tokenizer) to the nullable container
+  * type — so the contract is enforced at RUNTIME: a null element
+  * throws, never a silently shorter window string.
   * Registered as `sliding_windows(tokens, k, sep)` with foldable k and
   * sep ([[GraftExtensions]]).
   */
@@ -69,7 +73,10 @@ final case class SlidingWindows(
 }
 
 object SlidingWindows {
-  /** The window loop; see class doc. Never returns null. */
+  /** The window loop; see class doc. Never returns null; throws on a
+    * null element (UTF8String.concatWs would silently SKIP it, yielding
+    * a shorter window string — a corrupt dedup key, not an error).
+    */
   def compute(toks: ArrayData, k: Int, sep: UTF8String): ArrayData = {
     val n = toks.numElements()
     val m = n - k + 1
@@ -80,7 +87,10 @@ object SlidingWindows {
     while (i < m) {
       var j = 0
       while (j < k) {
-        buf(j) = toks.getUTF8String(i + j)
+        val t = toks.getUTF8String(i + j)
+        if (t == null) throw new IllegalArgumentException(
+          s"sliding_windows: null token at index ${i + j} — token arrays must be null-element-free")
+        buf(j) = t
         j += 1
       }
       out(i) = UTF8String.concatWs(sep, buf: _*)

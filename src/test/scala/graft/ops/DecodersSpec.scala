@@ -182,11 +182,18 @@ Urban_Rural:
     def partial(year: Int, file: String) = Seq((777L, 2L)).toDF("ID", "code")
     def complete(year: Int, file: String) = Seq((777L, 2L), (888L, 1L)).toDF("ID", "code")
     // incomplete mapping + strict -> refuse loudly (decoder.py:596
-    // `assert codes.isna().sum() == 0`), naming the miss count
-    val ex = intercept[IllegalArgumentException](
+    // `assert codes.isna().sum() == 0`), naming the missed (Year, ID).
+    // The assert is a raise_error INSIDE the output projection — it
+    // fires at action time on the same scan that produces the output
+    // (no second external-year pass, no construct-time/read-time skew),
+    // so it surfaces wrapped in Spark's task-failure chain.
+    val ex = intercept[Throwable](
       IdDecoder.addAttributeLayouts(df, layouts, partial,
-        IdDecoder.Settings("County"), strict = true))
-    assert(ex.getMessage.contains("incomplete") && ex.getMessage.contains("1 "))
+        IdDecoder.Settings("County"), strict = true).collect())
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: chain(e.getCause))
+    val msgs = chain(ex).mkString("\n")
+    assert(msgs.contains("incomplete") && msgs.contains("888"), s"got: $msgs")
     // complete mapping + strict -> decodes normally, including the
     // positional year (strictness is about EXTERNAL misses only)
     val out = IdDecoder.addAttributeLayouts(df, layouts, complete,
