@@ -1678,17 +1678,24 @@ items:
     * both sides. DuckDB replays tokenization, windowing, corpus-first
     * selection, positional deletion, and reassembly.
     */
-  def dedupSpansQ(s: SparkSession, dir: String): DataFrame = {
+  /** The planted span texts shared by every dedup_spans gate. */
+  private val spanShared = "the quick brown fox jumps over the lazy dog near the riverbank"
+  private val spanRep = "copy this exact phrase twice in a row please now"
+
+  /** documents with the two planted duplicate-span regimes appended
+    * (see [[dedupSpansQ]]'s doc) — the common input of all span gates.
+    */
+  private def spanPlantedDocs(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
-    val shared = "the quick brown fox jumps over the lazy dog near the riverbank"
-    val rep = "copy this exact phrase twice in a row please now"
-    val planted = docs.select(col("doc_id"),
+    docs.select(col("doc_id"),
       concat(col("text"),
-        when(col("doc_id") % 5 === 0, lit(" " + shared)).otherwise(lit("")),
-        when(col("doc_id") % 7 === 3, lit(" " + rep + " " + rep))
+        when(col("doc_id") % 5 === 0, lit(" " + spanShared)).otherwise(lit("")),
+        when(col("doc_id") % 7 === 3, lit(" " + spanRep + " " + spanRep))
           .otherwise(lit(""))).as("text"))
-    Dedup.dedupSpans(planted, k = 8).orderBy("doc_id")
   }
+
+  def dedupSpansQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupSpans(spanPlantedDocs(s, dir), k = 8).orderBy("doc_id")
 
   /** The at-scale `hashKeys` configuration of dedupSpans (8-byte
     * xxhash64 shuffle keys, window strings never leave their
@@ -1698,51 +1705,126 @@ items:
     * semantics would not — the semantic_dedup_k32 discipline of gating
     * the production configuration, not just the reference point.
     */
-  def dedupSpansHashedQ(s: SparkSession, dir: String): DataFrame = {
-    val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
-    val shared = "the quick brown fox jumps over the lazy dog near the riverbank"
-    val rep = "copy this exact phrase twice in a row please now"
-    val planted = docs.select(col("doc_id"),
-      concat(col("text"),
-        when(col("doc_id") % 5 === 0, lit(" " + shared)).otherwise(lit("")),
-        when(col("doc_id") % 7 === 3, lit(" " + rep + " " + rep))
-          .otherwise(lit(""))).as("text"))
-    Dedup.dedupSpans(planted, k = 8, hashKeys = true).orderBy("doc_id")
-  }
+  def dedupSpansHashedQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupSpans(spanPlantedDocs(s, dir), k = 8, hashKeys = true).orderBy("doc_id")
 
-  private val dedupSpansSql = """
+  /** The span-dedup oracle body, optionally restricted to the
+    * deterministic md5 doc sample AT THE OUTPUT (reassembly + final
+    * rows only — duplicate detection, corpus-first selection, and the
+    * deletion set stay CORPUS-WIDE, so a sampled doc's text is exactly
+    * its slice of the full run's output).
+    *
+    * Formulation note (the sf100 feasibility fix): the original oracle
+    * replayed windows with `string_agg(...) OVER (PARTITION BY doc_id
+    * ...)` and picked corpus-firsts with `row_number() OVER (PARTITION
+    * BY win ...)` — the latter is a GLOBAL SORT of every window string
+    * (~215M × ~50B at sf100), the wall that forced the r14 sf100 skip.
+    * This form mirrors the Spark plan instead: per-doc window HASHES
+    * via list_transform (linear, no window function), duplicate
+    * detection as a hash aggregate on 8-byte keys, window TEXT
+    * re-derived only for dup-hash occurrences (DuckDB's `hash` differs
+    * from Spark's xxhash64 — irrelevant, both are internal pruning;
+    * the text re-verification makes the oracle collision-immune), and
+    * corpus-firsts as `min(struct)` hash aggregates. No global string
+    * sort anywhere; every stage is a hash aggregate or hash join.
+    */
+  private def dedupSpansSqlOf(sampleFraction: Option[Double]): String = {
+    val sampleCte = sampleFraction.map(f =>
+      s""",
+    smp AS (
+      SELECT doc_id FROM u
+      WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${Curation.hashSampleThreshold(f)}')""").getOrElse("")
+    val toksSrc = if (sampleFraction.isDefined) "tl JOIN smp USING (doc_id)" else "tl"
+    val outSrc = if (sampleFraction.isDefined) "u JOIN smp USING (doc_id)" else "u"
+    s"""
     WITH u AS (
       SELECT doc_id,
              text
-             || CASE WHEN doc_id % 5 = 0 THEN ' the quick brown fox jumps over the lazy dog near the riverbank' ELSE '' END
-             || CASE WHEN doc_id % 7 = 3 THEN ' copy this exact phrase twice in a row please now copy this exact phrase twice in a row please now' ELSE '' END AS text
+             || CASE WHEN doc_id % 5 = 0 THEN ' $spanShared' ELSE '' END
+             || CASE WHEN doc_id % 7 = 3 THEN ' $spanRep $spanRep' ELSE '' END AS text
       FROM documents),
-    d AS (
-      SELECT doc_id, trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')) AS norm FROM u),
-    toks AS (
-      SELECT doc_id, unnest(l) AS tok, unnest(generate_series(0, len(l) - 1)) AS pos
-      FROM (SELECT doc_id, CASE WHEN norm = '' THEN CAST([] AS VARCHAR[]) ELSE string_split(norm, ' ') END AS l FROM d)),
-    wins AS (
-      SELECT doc_id, pos, string_agg(tok, ' ') OVER w AS win, count(*) OVER w AS c
-      FROM toks
-      WINDOW w AS (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)),
-    marked AS (
-      SELECT doc_id, pos,
-             row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn,
-             count(*) OVER (PARTITION BY win) AS n
-      FROM wins WHERE c = 8),
+    tl AS (
+      SELECT doc_id,
+             CASE WHEN norm = '' THEN CAST([] AS VARCHAR[]) ELSE string_split(norm, ' ') END AS l
+      FROM (SELECT doc_id, trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')) AS norm FROM u))$sampleCte,
+    occ AS (
+      SELECT doc_id,
+             unnest(range(0, greatest(len(l) - 7, 0))) AS pos,
+             unnest(list_transform(range(0, greatest(len(l) - 7, 0)),
+                                   i -> hash(array_to_string(l[i + 1:i + 8], ' ')))) AS h
+      FROM tl),
+    duph AS (SELECT h FROM occ GROUP BY h HAVING count(*) > 1),
+    occd AS (
+      SELECT o.doc_id, o.pos, array_to_string(t.l[o.pos + 1:o.pos + 8], ' ') AS win
+      FROM occ o JOIN duph USING (h) JOIN tl t ON o.doc_id = t.doc_id),
+    firsts AS (
+      SELECT win, min(struct_pack(d := doc_id, p := pos)) AS f
+      FROM occd GROUP BY win HAVING count(*) > 1),
     del AS (
       SELECT DISTINCT doc_id, pos FROM (
-        SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS pos
-        FROM marked WHERE n > 1 AND rn > 1)),
-    keep AS (
-      SELECT t.doc_id, t.pos, t.tok
+        SELECT o.doc_id, unnest(generate_series(o.pos, o.pos + 7)) AS pos
+        FROM occd o JOIN firsts x USING (win)
+        WHERE struct_pack(d := o.doc_id, p := o.pos) <> x.f)),
+    toks AS (
+      SELECT doc_id, unnest(range(0, len(l))) AS pos, unnest(l) AS tok FROM $toksSrc),
+    reb AS (
+      SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.pos) AS text
       FROM toks t LEFT JOIN del x ON t.doc_id = x.doc_id AND t.pos = x.pos
-      WHERE x.doc_id IS NULL),
-    reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text FROM keep GROUP BY doc_id)
+      WHERE x.doc_id IS NULL
+      GROUP BY t.doc_id)
     SELECT u.doc_id, coalesce(reb.text, '') AS text
-    FROM u LEFT JOIN reb ON u.doc_id = reb.doc_id
+    FROM $outSrc LEFT JOIN reb USING (doc_id)
     ORDER BY u.doc_id"""
+  }
+
+  private val dedupSpansSql = dedupSpansSqlOf(None)
+  private val dedupSpansSampleSql = dedupSpansSqlOf(Some(0.01))
+
+  /** The at-scale gate slice of [[dedupSpansQ]]: full span-dedup (the
+    * deletion set is corpus-wide), output restricted to the
+    * deterministic 1% md5(doc_id) sample — the formulation that keeps
+    * the sf100 DuckDB replay's expensive stage (per-doc reassembly +
+    * the output string compare) at 1/100th volume while duplicate
+    * detection still covers all ~215M windows. Gated at every sf; at
+    * sf100 this row (plus the _hashed twin and the closed-form
+    * [[dedupSpansInvariantsQ]]) is the family's hash evidence.
+    */
+  def dedupSpansSampleQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupSpans(spanPlantedDocs(s, dir), k = 8)
+      .where(Curation.hashSamplePredicate(col("doc_id"), 0.01))
+      .orderBy("doc_id")
+
+  def dedupSpansHashedSampleQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupSpans(spanPlantedDocs(s, dir), k = 8, hashKeys = true)
+      .where(Curation.hashSamplePredicate(col("doc_id"), 0.01))
+      .orderBy("doc_id")
+
+  /** Closed-form invariants of the planted spans, checked over the
+    * ENTIRE corpus (the complement of the 1% sampled slice): exactly
+    * one document (the corpus-first, doc 0) still contains the full
+    * 12-token shared sentence; exactly one (doc 3, the lowest
+    * doc_id % 7 = 3) still contains the 10-token repeated phrase, and
+    * none contains it twice. The oracle is pure literals — the
+    * expected values follow from ExactSubstr semantics alone (every
+    * non-first occurrence's k-windows cover all planted tokens), not
+    * from replaying the computation, which is what makes this row
+    * feasible at ANY scale. Robust to natural duplicate text: a doc
+    * whose entire text duplicates a lower doc loses its plant too,
+    * and corpus-first plants sit in the lowest-doc_id carriers by
+    * construction (doc_id dominates the (doc, pos) order).
+    */
+  def dedupSpansInvariantsQ(s: SparkSession, dir: String): DataFrame = {
+    val out = Dedup.dedupSpans(spanPlantedDocs(s, dir), k = 8)
+    out.agg(
+      sum(when(col("text").contains(spanShared), 1L).otherwise(0L)).as("docs_keeping_shared"),
+      sum(when(col("text").contains(spanRep + " " + spanRep), 1L).otherwise(0L)).as("docs_keeping_double_rep"),
+      sum(when(col("text").contains(spanRep), 1L).otherwise(0L)).as("docs_keeping_rep"))
+  }
+
+  private val dedupSpansInvariantsSql = """
+    SELECT CAST(1 AS BIGINT) AS docs_keeping_shared,
+           CAST(0 AS BIGINT) AS docs_keeping_double_rep,
+           CAST(1 AS BIGINT) AS docs_keeping_rep"""
 
   /** CCNet-style bigram-LM quality scoring (TextOps.lmScore),
     * self-scored: the documents corpus is both the model and the scored
@@ -4332,6 +4414,9 @@ items:
     ("remove_frequent_lines", removeFrequentLinesQ _, Some(removeFrequentLinesSql)),
     ("dedup_spans", dedupSpansQ _, Some(dedupSpansSql)),
     ("dedup_spans_hashed", dedupSpansHashedQ _, Some(dedupSpansSql)),
+    ("dedup_spans_sample", dedupSpansSampleQ _, Some(dedupSpansSampleSql)),
+    ("dedup_spans_hashed_sample", dedupSpansHashedSampleQ _, Some(dedupSpansSampleSql)),
+    ("dedup_spans_invariants", dedupSpansInvariantsQ _, Some(dedupSpansInvariantsSql)),
     ("lm_score", lmScoreQ _, Some(lmScoreSql)),
     ("text_stats", textStats _, Some(textStatsSql)),
     ("rep_signals", repSignals _, Some(repSignalsSql)),
