@@ -4508,6 +4508,21 @@ items:
       Some(RealPipeline.realTotalOutlaySql)),
     ("real_expenditure_breakdown", RealPipeline.realExpenditureBreakdown _,
       Some(RealPipeline.realExpenditureBreakdownSql)),
+    // full-archive (one-plan) gates: every family across its entire
+    // real availability span, oracled end-to-end
+    ("real_total_expenditure_39y",
+      ((s: SparkSession, dir: String) =>
+        RealPipeline.realTotalExpenditureMultiYear(s, dir).orderBy("Year", "ID")),
+      Some(RealPipeline.realTotalExpenditure39ySql)),
+    ("real_members_income_multiyear",
+      ((s: SparkSession, dir: String) =>
+        RealPipeline.realMembersIncomeBreakdownMultiYear(s, dir)
+          .orderBy("Year", "ID", "Member_Number", "Income_Type")),
+      Some(RealPipeline.realMembersIncomeMultiYearSql)),
+    ("real_total_outlay_multiyear",
+      ((s: SparkSession, dir: String) =>
+        RealPipeline.realTotalOutlayMultiYear(s, dir).orderBy("Year", "ID")),
+      Some(RealPipeline.realTotalOutlayMultiYearSql)),
     ("real_number_of_members", RealPipeline.realNumberOfMembers _,
       Some(RealPipeline.realNumberOfMembersSql)),
     ("real_equivalence_scale", RealPipeline.realEquivalenceScale _,

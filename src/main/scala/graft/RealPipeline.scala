@@ -386,14 +386,15 @@ object RealPipeline {
     * driver's plan-build cost O(n log n) in leaf count where the old
     * left-deep chain re-analyzed a growing prefix per year.
     */
-  def realTotalExpenditureMultiYear(s: SparkSession, dir: String): DataFrame = {
+  def realTotalExpenditureMultiYear(s: SparkSession, dir: String, buildParallelism: Option[Int] = None): DataFrame = {
     require(RealMeta.available, "reference metadata corpus not found")
+    val cfg = RepoConfig(availability = RealMeta.tableAvailability)
     val repo = new TableRepo(s, RealMeta.tables, RealMeta.schema,
       rawReader = (name, year) => rawMultiYear(s, dir, name, year),
       // the 1363-1368 food era derives Duration by classification
       // (schema.yaml food `add_classification: {name: Duration}`)
       classifications = Map("Duration" -> RealMeta.commodities("Duration")),
-      config = RepoConfig(availability = RealMeta.tableAvailability))
+      config = buildParallelism.fold(cfg)(p => cfg.copy(buildParallelism = p)))
     repo.table("Total_Expenditure", 1363 to 1401)
   }
 
@@ -504,6 +505,9 @@ object RealPipeline {
     s.read.parquet(s"$dir/lineitem.parquet").select(
       (lit(1L) + col("l_orderkey") % 400L).as("address"),
       (col("l_orderkey") % 2L).as("ypar"),
+      // 33-way year selector for the income family's full archive span
+      // (Cash_Incomes' table_list starts 1369, schema.yaml:1062)
+      (col("l_orderkey") % 33L).as("y33"),
       (col("l_partkey") % 5L).as("t5"),
       (lit(11111L) + col("l_partkey") % 8000L).as("code"),
       (lit(1L) + col("l_linenumber") % 4).as("member"),
@@ -672,6 +676,210 @@ object RealPipeline {
   def realMembersTotalIncome(s: SparkSession, dir: String): DataFrame =
     incomeRepo(s, dir).table("Members_Total_Income", Seq(1389, 1400))
       .orderBy("Year", "ID", "Member_Number")
+
+  // ------------------------------------- multi-year income + outlay DAGs
+
+  /** Era-correct COL-era projections of the four income raw files, for
+    * the full-archive income runs. Sub-eras transcribed from
+    * tables.yaml:
+    *   employment_income  — 1369 yearly-only (COL04 sector_1, COL06/08/
+    *     10/12, :1793-1801), 1370 adds the monthly columns (:1803-1816),
+    *     1374 shifts for Activity_Status (COL05 sector — sector_1 until
+    *     1375, sector_2 from 1376 — COL06-13 money, :1818-1835);
+    *   self_employed_income — 1369 COL02..COL12 (:1846-1858), 1374
+    *     COL02 Activity_Status .. COL13 profit (:1859-1873);
+    *   other_income — one COL layout for the whole era (COL03..COL08 +
+    *     the explicit `TAX: drop`, :1918-1927);
+    *   subsidy — DYCOL-only (exists from 1390, :1941-1963).
+    * 1384+ delegates to the DYCOL projections in [[incomeRaw]].
+    */
+  private def incomeRawEra(sl: DataFrame, name: String, year: Int): DataFrame = {
+    def fill(mod: Long): Column = (col("code") % mod).cast(DoubleType)
+    if (year >= 1384) incomeRaw(sl, name)
+    else name match {
+      case "employment_income" =>
+        if (year >= 1374) sl.select(
+          col("address").as("ADDRESS"), col("member").as("COL01"),
+          (col("member") % 3L).as("COL02"), col("code").as("COL03"),
+          (col("code") % 97L).as("COL04"), col("sector").as("COL05"),
+          fill(50L).as("COL06"), fill(51L).as("COL07"),
+          fill(52L).as("COL08"), fill(53L).as("COL09"),
+          fill(54L).as("COL10"), fill(55L).as("COL11"),
+          fill(56L).as("COL12"), col("ynet").as("COL13"))
+        else if (year >= 1370) sl.select(
+          col("address").as("ADDRESS"), col("member").as("COL01"),
+          col("code").as("COL02"), (col("code") % 97L).as("COL03"),
+          col("sector").as("COL04"),
+          fill(50L).as("COL05"), fill(51L).as("COL06"),
+          fill(52L).as("COL07"), fill(53L).as("COL08"),
+          fill(54L).as("COL09"), fill(55L).as("COL10"),
+          fill(56L).as("COL11"), col("ynet").as("COL12"))
+        else sl.select( // 1369: yearly columns only
+          col("address").as("ADDRESS"), col("member").as("COL01"),
+          col("code").as("COL02"), (col("code") % 97L).as("COL03"),
+          col("sector").as("COL04"),
+          fill(51L).as("COL06"), fill(53L).as("COL08"),
+          fill(55L).as("COL10"), col("ynet").as("COL12"))
+      case "self_employed_income" =>
+        if (year >= 1374) sl.select(
+          col("address").as("ADDRESS"), col("member").as("COL01"),
+          (col("member") % 3L).as("COL02"), col("code").as("COL03"),
+          (col("code") % 97L).as("COL04"),
+          (lit(4L) + col("code") % 3L).as("COL05"),
+          col("isagri").as("COL06"),
+          fill(60L).as("COL07"), fill(61L).as("COL08"),
+          fill(62L).as("COL09"), fill(63L).as("COL10"),
+          fill(64L).as("COL11"), fill(65L).as("COL12"),
+          col("profit").as("COL13"))
+        else sl.select( // 1369-73
+          col("address").as("ADDRESS"), col("member").as("COL01"),
+          col("code").as("COL02"), (col("code") % 97L).as("COL03"),
+          (lit(4L) + col("code") % 3L).as("COL04"),
+          col("isagri").as("COL05"),
+          fill(60L).as("COL06"), fill(61L).as("COL07"),
+          fill(62L).as("COL08"), fill(63L).as("COL09"),
+          fill(64L).as("COL10"), fill(65L).as("COL11"),
+          col("profit").as("COL12"))
+      case "other_income" => sl.select(
+        col("address").as("ADDRESS"), col("member").as("COL01"),
+        col("u0").as("COL03"), col("u1").as("COL04"),
+        col("u2").as("COL05"), col("u3").as("COL06"),
+        col("u4").as("COL07"), col("u5").as("COL08"),
+        lit("x").as("TAX")) // explicit drop column (tables.yaml:1927)
+      case other => throw new IllegalArgumentException(s"no COL-era income raw for $other")
+    }
+  }
+
+  /** Raw reader for the FULL-ARCHIVE income runs (1369-1401, the whole
+    * Cash_Incomes availability span): the NonCash side rides the same
+    * era-correct expenditure projections as [[rawMultiYear]] (home's
+    * commodity codes steered onto the ERA'S Imputed_Rent classification
+    * codes — 31117/31128/31172 before 1383, 42111/42211/42212 from it,
+    * commodities.yaml:2002-2024); the cash side serves the four income
+    * files from [[ibase]]'s 33-way year slices with the era-correct
+    * layouts of [[incomeRawEra]]; subsidy exists from 1390
+    * (tables.yaml:1943).
+    */
+  def rawIncomeMultiYear(s: SparkSession, dir: String, name: String, year: Int): Option[DataFrame] = {
+    if (year < 1369 || year > 1401) return None
+    val expTables = if (year >= 1383) tables1383 else tables1363
+    if (name == "home") {
+      val i = expTables.indexOf("home")
+      val sl0 = base(s, dir).where(col("y39") === (year - 1363).toLong &&
+        (if (year >= 1383) col("t13") else col("t9")) === i.toLong)
+      val (own1, own2, mort) =
+        if (year >= 1383) (42111L, 42211L, 42212L) else (31117L, 31128L, 31172L)
+      val sl = sl0.withColumn("code",
+        when(col("code") % 5L === 0L, own1)
+          .when(col("code") % 5L === 1L, own2)
+          .when(col("code") % 5L === 2L, mort)
+          .otherwise(col("code")))
+      Some(if (year >= 1388) dycolTable(sl, "home")
+      else if (year >= 1383) transitionTable(sl, "home", year)
+      else if (year >= 1374) colTable(sl, "home")
+      else earlyTable(sl, "home", year))
+    } else if (expTables.contains(name)) rawMultiYear(s, dir, name, year)
+    else incomeSlices.get(name).flatMap { t =>
+      if (name == "subsidy" && year < 1390) None
+      else Some(incomeRawEra(
+        ibase(s, dir).where(col("t5") === t && col("y33") === (year - 1369).toLong),
+        name, year))
+    }
+  }
+
+  private def incomeMultiYearRepo(s: SparkSession, dir: String, buildParallelism: Option[Int] = None): TableRepo = {
+    require(RealMeta.available, "reference metadata corpus not found")
+    val base = RepoConfig(availability = RealMeta.tableAvailability,
+      cacheDir = Some(cacheDirFor(dir, "income39")))
+    new TableRepo(s, RealMeta.tables, RealMeta.schema,
+      rawReader = (name, year) => rawIncomeMultiYear(s, dir, name, year),
+      classifications = Map("Imputed_Rent" -> RealMeta.commodities("Imputed_Rent")),
+      config = buildParallelism.fold(base)(p => base.copy(buildParallelism = p)))
+  }
+
+  /** Total_Income over the income family's ENTIRE availability span —
+    * 33 years in one plan, crossing the 1370 monthly-column, 1374
+    * Activity_Status, 1376 sector_2, 1383 Imputed_Rent-code, 1384
+    * DYCOL, and 1390 subsidy eras. The reference's own load matrix
+    * (tests/test_metadata/test_tables.py:27-146) is table × EVERY
+    * available year; this is that span for the deepest DAG family.
+    */
+  def realTotalIncomeMultiYear(s: SparkSession, dir: String, buildParallelism: Option[Int] = None): DataFrame =
+    incomeMultiYearRepo(s, dir, buildParallelism).table("Total_Income", 1369 to 1401)
+
+  /** Members_Income_Breakdown over the same 33-year span (the cash-only
+    * per-member cut — the family [[realMembersIncomeBreakdownSql]]'s
+    * multi-year twin oracles in `real_members_income_multiyear`).
+    */
+  def realMembersIncomeBreakdownMultiYear(s: SparkSession, dir: String): DataFrame =
+    incomeMultiYearRepo(s, dir).table("Members_Income_Breakdown", 1369 to 1401)
+
+  /** Raw reader for the FULL-ARCHIVE outlay runs: the expenditure
+    * tables on the outlay moduli (t14 ≥1383, t10 below) through the
+    * same era-correct projections as [[rawMultiYear]], plus INVESTMENT
+    * with its own era ladder (tables.yaml:1550-1588): 1366 value-only,
+    * 1367 +pm+secondhand, 1369 +price-system, 1374 the COL shape the
+    * two-year gate pins, 1384+ DYCOL; file_code null 1363-65 and
+    * 1375-77 (the availability matrix's gap — Original_Outlays'
+    * versioned table_list drops it those years, schema.yaml:724-780).
+    */
+  def rawOutlayMultiYear(s: SparkSession, dir: String, name: String, year: Int): Option[DataFrame] = {
+    if (year < 1363 || year > 1401) return None
+    val y = base(s, dir).where(col("y39") === (year - 1363).toLong)
+    if (name == "investment") {
+      if (!((year >= 1366 && year <= 1374) || year >= 1378)) None
+      else {
+        val sl = y.where(if (year >= 1383) col("t14") === 13L else col("t10") === 9L)
+        Some(
+          if (year >= 1384) sl.select(
+            col("address").as("ADDRESS"), col("code").as("DYCOL01"),
+            col("pm").as("DYCOL02"), col("exp").as("DYCOL03"),
+            col("shs").as("DYCOL04"))
+          else if (year >= 1374) sl.select(
+            col("address").as("ADDRESS"), col("code").as("COL1"),
+            col("pm").as("COL3"), col("exp").as("COL4"),
+            col("shs").as("COL5"))
+          else if (year >= 1369) sl.select(
+            col("address").as("ADDRESS"), col("code").as("COL1"),
+            col("pm").as("COL3"), (col("code") % 2L).as("COL4"),
+            col("exp").as("COL5"), col("shs").as("COL6"))
+          else if (year >= 1367) sl.select(
+            col("address").as("ADDRESS"), col("code").as("COL1"),
+            col("pm").as("COL3"), col("exp").as("COL4"),
+            col("shs").as("COL5"))
+          else sl.select( // 1366: value only — no pm, no secondhand
+            col("address").as("ADDRESS"), col("code").as("COL1"),
+            col("exp").as("COL3")))
+      }
+    } else {
+      val expTables = if (year >= 1383) tables1383 else tables1363
+      val i = expTables.indexOf(name)
+      if (i < 0) None
+      else {
+        val sl = y.where((if (year >= 1383) col("t14") else col("t10")) === i.toLong)
+        Some(if (year >= 1388) dycolTable(sl, name)
+        else if (year >= 1383) transitionTable(sl, name, year)
+        else if (year >= 1374) colTable(sl, name)
+        else earlyTable(sl, name, year))
+      }
+    }
+  }
+
+  /** Total_Outlay over all 39 archive years — the third family through
+    * the one-plan archive, with the investment join appearing and
+    * disappearing across its availability gaps exactly as the real
+    * era-versioned table_list dictates. Oracled by
+    * `real_total_outlay_multiyear`.
+    */
+  def realTotalOutlayMultiYear(s: SparkSession, dir: String): DataFrame = {
+    require(RealMeta.available, "reference metadata corpus not found")
+    val repo = new TableRepo(s, RealMeta.tables, RealMeta.schema,
+      rawReader = (name, year) => rawOutlayMultiYear(s, dir, name, year),
+      classifications = Map("Duration" -> RealMeta.commodities("Duration")),
+      config = RepoConfig(availability = RealMeta.tableAvailability,
+        cacheDir = Some(cacheDirFor(dir, "outlay39"))))
+    repo.table("Total_Outlay", 1363 to 1401)
+  }
 
   // ------------------------------------------- household-attribute DAGs
 
@@ -999,6 +1207,164 @@ object RealPipeline {
     *   - annualize x/Duration*360 (schema.yaml:704-712 Expenditures);
     *   - sum per (Year, ID) (schema.yaml:697-714 Total_Expenditure).
     */
+  /** FULL-ARCHIVE Total_Expenditure oracle — all 39 years, re-derived
+    * from the YAML independently of the engine:
+    *   - table sets per era: t13 slices 0..12 from 1383, t9 slices 0..8
+    *     before (Original_Expenditures' versioned table_list,
+    *     schema.yaml:591-618);
+    *   - Duration: durable 360 (last index both eras); food 1363-1368
+    *     from the sci_coicop_1363 level-4 ranges the synthetic codes
+    *     are confined to (flour/bread/cake 2, cereals 30 —
+    *     commodities.yaml:29-49, the engine resolves them through the
+    *     REAL add_classification); everything else 30;
+    *   - Secondhand_Sale only on durable (tables.yaml:1505-1548), with
+    *     fillna(0) Gross/Net and x/Duration*360 annualization.
+    * Every lineitem row lands in exactly one (year, table): y39 picks
+    * the year, t13/t9 the table.
+    */
+  val realTotalExpenditure39ySql: String = """
+    WITH base AS (
+      SELECT 1 + l_orderkey % 400 AS address,
+             CAST(1363 + l_orderkey % 39 AS INTEGER) AS Year,
+             l_partkey % 13 AS t13,
+             l_partkey % 9 AS t9,
+             11111 + l_partkey % 8000 AS code,
+             CASE WHEN l_suppkey % 11 = 0 THEN NULL
+                  ELSE CAST(720 * (1 + CAST(round(l_extendedprice*100,0) AS BIGINT) % 997) AS DOUBLE) END AS exp,
+             CASE WHEN l_linenumber % 3 = 0 THEN NULL
+                  ELSE CAST(720 * (CAST(round(l_discount*100,0) AS BIGINT) % 7) AS DOUBLE) END AS shs
+      FROM lineitem),
+    items AS (
+      SELECT Year, CAST(address AS BIGINT) AS ID,
+             CASE
+               WHEN Year >= 1383 THEN CASE WHEN t13 = 12 THEN 360 ELSE 30 END
+               WHEN Year >= 1369 THEN CASE WHEN t9 = 8 THEN 360 ELSE 30 END
+               ELSE CASE WHEN t9 = 8 THEN 360
+                         WHEN t9 = 0 THEN
+                           CASE WHEN 11100 + code % 400 >= 11200
+                                 AND 11100 + code % 400 < 11300 THEN 30 ELSE 2 END
+                         ELSE 30 END
+             END AS dur,
+             coalesce(exp, 0) AS g,
+             coalesce(exp, 0)
+               - (CASE WHEN (Year >= 1383 AND t13 = 12) OR (Year < 1383 AND t9 = 8)
+                       THEN coalesce(shs, 0) ELSE 0 END) AS n
+      FROM base)
+    SELECT Year, ID,
+           sum(g / dur * 360) AS Gross_Expenditure,
+           sum(n / dur * 360) AS Net_Expenditure
+    FROM items GROUP BY 1, 2"""
+
+  /** FULL-ARCHIVE Members_Income_Breakdown oracle (1369-1401): the
+    * two-year cash oracle with the era dispatches the 33-year span
+    * crosses — the 1376 sector map flip (sector_1 maps only 1→Public /
+    * 2→Private, tables.yaml:1635-1643; sector_2 adds Cooperative,
+    * :1645-1650 — unmapped codes become null categories and vanish in
+    * the dropna groupby exactly like pandas) and the 1390 subsidy
+    * table_list flip (schema.yaml:1059-1079).
+    */
+  val realMembersIncomeMultiYearSql: String = {
+    def u(k: Int): String =
+      s"""CASE WHEN (sk + $k) % 4 = 0 THEN NULL
+               WHEN (ok + $k) % 11 = 0 THEN CAST(0 AS DOUBLE)
+               ELSE CAST((c + ${k * 37}) % 50021 AS DOUBLE) END AS u$k"""
+    s"""
+    WITH L AS (
+      SELECT l_orderkey AS ok, l_partkey AS pk, l_suppkey AS sk, l_linenumber AS ln,
+             CAST(round(l_extendedprice*100,0) AS BIGINT) AS c
+      FROM lineitem),
+    ib AS (
+      SELECT 1 + ok % 400 AS address,
+             CAST(1369 + ok % 33 AS INTEGER) AS Year,
+             pk % 5 AS t5,
+             1 + ln % 4 AS member,
+             1 + (ok // 2) % 4 AS sector,
+             CASE WHEN sk % 7 = 0 THEN NULL ELSE (ok // 2) % 2 END AS isagri,
+             CASE WHEN sk % 5 = 0 THEN NULL ELSE CAST(c % 100000 AS DOUBLE) END AS ynet,
+             CASE WHEN sk % 11 = 0 THEN NULL ELSE CAST(c % 99991 AS DOUBLE) END AS profit,
+             CASE WHEN sk % 3 = 0 THEN NULL ELSE CAST(c % 40009 AS DOUBLE) END AS subsidy,
+             ${u(0)}, ${u(1)}, ${u(2)}, ${u(3)}, ${u(4)}, ${u(5)}
+      FROM L),
+    cash AS (
+      SELECT Year, address AS ID, member,
+             CASE WHEN Year <= 1375 THEN
+               CASE sector WHEN 1 THEN 'Cash_Public' WHEN 2 THEN 'Cash_Private' END
+             ELSE
+               CASE sector WHEN 1 THEN 'Cash_Public' WHEN 2 THEN 'Cash_Cooperative'
+                           WHEN 3 THEN 'Cash_Private' END
+             END AS Income_Type,
+             coalesce(ynet, 0) AS Income
+      FROM ib WHERE t5 = 1
+      UNION ALL
+      SELECT Year, address, member,
+             CASE isagri WHEN 1 THEN 'Cash_Agricultural'
+                         WHEN 0 THEN 'Cash_NonAgricultural' END,
+             coalesce(profit, 0)
+      FROM ib WHERE t5 = 2
+      UNION ALL
+      SELECT Year, address, member, 'Cash_' || t, v FROM (
+        SELECT Year, address, member, 'Retirement' AS t, u0 AS v FROM ib WHERE t5 = 3
+        UNION ALL SELECT Year, address, member, 'Rent', u1 FROM ib WHERE t5 = 3
+        UNION ALL SELECT Year, address, member, 'Interest', u2 FROM ib WHERE t5 = 3
+        UNION ALL SELECT Year, address, member, 'Aid', u3 FROM ib WHERE t5 = 3
+        UNION ALL SELECT Year, address, member, 'Home_Production', u4 FROM ib WHERE t5 = 3
+        UNION ALL SELECT Year, address, member, 'Transfer', u5 FROM ib WHERE t5 = 3
+      ) WHERE v IS NOT NULL AND v > 0
+      UNION ALL
+      SELECT Year, address, member, 'Cash_Subsidy', coalesce(subsidy, 0)
+      FROM ib WHERE t5 = 4 AND Year >= 1390)
+    SELECT Year, CAST(ID AS BIGINT) AS ID,
+           CAST(member AS BIGINT) AS Member_Number,
+           Income_Type, sum(Income) AS Income
+    FROM cash WHERE Income_Type IS NOT NULL
+    GROUP BY 1, 2, 3, 4"""
+  }
+
+  /** FULL-ARCHIVE Total_Outlay oracle — the expenditure arm on the
+    * outlay moduli (t14 from 1383, t10 before) plus INVESTMENT with
+    * its availability gaps (absent 1363-65 and 1375-77,
+    * tables.yaml:1552-1557) and era layouts: no Secondhand_Sale at all
+    * in 1366 (value-only file, :1562-1564), Duration 360 always
+    * (schema.yaml:505-515). Food keeps its classification durations
+    * pre-1369; durable and investment both net Secondhand_Sale.
+    */
+  val realTotalOutlayMultiYearSql: String = """
+    WITH base AS (
+      SELECT 1 + l_orderkey % 400 AS address,
+             CAST(1363 + l_orderkey % 39 AS INTEGER) AS Year,
+             l_partkey % 14 AS t14,
+             l_partkey % 10 AS t10,
+             11111 + l_partkey % 8000 AS code,
+             CASE WHEN l_suppkey % 11 = 0 THEN NULL
+                  ELSE CAST(720 * (1 + CAST(round(l_extendedprice*100,0) AS BIGINT) % 997) AS DOUBLE) END AS exp,
+             CASE WHEN l_linenumber % 3 = 0 THEN NULL
+                  ELSE CAST(720 * (CAST(round(l_discount*100,0) AS BIGINT) % 7) AS DOUBLE) END AS shs
+      FROM lineitem),
+    items AS (
+      SELECT Year, CAST(address AS BIGINT) AS ID,
+             CASE
+               WHEN (Year >= 1383 AND t14 IN (12, 13)) OR (Year < 1383 AND t10 IN (8, 9))
+                 THEN 360
+               WHEN Year < 1369 AND t10 = 0 THEN
+                 CASE WHEN 11100 + code % 400 >= 11200
+                       AND 11100 + code % 400 < 11300 THEN 30 ELSE 2 END
+               ELSE 30
+             END AS dur,
+             coalesce(exp, 0) AS g,
+             coalesce(exp, 0)
+               - (CASE WHEN (Year >= 1383 AND t14 = 12) OR (Year < 1383 AND t10 = 8)
+                         OR ((Year >= 1383 AND t14 = 13 OR Year < 1383 AND t10 = 9)
+                             AND Year <> 1366)
+                       THEN coalesce(shs, 0) ELSE 0 END) AS n
+      FROM base
+      -- investment availability gaps: those rows simply have no file
+      WHERE NOT ((Year < 1366 OR (Year >= 1375 AND Year <= 1377))
+                 AND ((Year >= 1383 AND t14 = 13) OR (Year < 1383 AND t10 = 9))))
+    SELECT Year, ID,
+           sum(g / dur * 360) AS Gross_Expenditure,
+           sum(n / dur * 360) AS Net_Expenditure
+    FROM items GROUP BY 1, 2"""
+
   val realTotalExpenditureSql: String = """
     WITH base AS (
       SELECT 1 + l_orderkey % 400 AS address,

@@ -117,23 +117,37 @@ object CleanOps {
     // ORIGINAL value, never another replacement's output — a chained
     // fold (when(acc === from)) would let {1->0, 0->null} null out raw
     // 1s, with the outcome depending on map iteration order
-    // A replace key that does not parse as a number can never match a
-    // NUMERIC raw column (pandas .replace just never fires): the real
+    // A replace key that is not ITSELF a numeric literal can never match
+    // a NUMERIC raw column (pandas .replace just never fires): the real
     // metadata carries string sentinels like Job_Code's "x0000"
-    // (tables.yaml:1614) that only occur in string-typed raw files —
-    // against a numeric source they must be dropped, not crash toDouble.
+    // (tables.yaml:1614) and the income ADDRESS sentinels "00" ..
+    // "12" (tables.yaml:1592-1597) that only occur in string-typed
+    // raw files — against a numeric source they must be dropped. The
+    // key-shape check is a strict regex, NOT `trim.toDoubleOption`:
+    // both String.trim and Java's parseDouble discard every char
+    // <= U+0020, so "12" would otherwise parse as 12 and null out
+    // five real household IDs in year 1374 (caught by the
+    // real_members_income_multiyear gate). YAML-numeric keys ("3",
+    // "0.0", "1e5") still match numerically.
+    val numKey = "^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$".r
+    def numericKey(s: String): Option[Double] = {
+      val t = s.strip() // Unicode whitespace only; keeps control chars
+      if (numKey.matches(t)) t.toDoubleOption else None
+    }
     val applicable = rawType match {
       case _: NumericType =>
-        spec.replace.filter { case (from, _) => from.trim.toDoubleOption.isDefined }
-      case _ => spec.replace
+        spec.replace.flatMap { case (from, to) =>
+          numericKey(from).map(d => (d, to))
+        }.toSeq
+      case _ => spec.replace.toSeq
     }
     val replaced =
       if (applicable.isEmpty) raw
       else {
-        val cases = applicable.toSeq.map { case (from, to) =>
-          val fromLit: Column = rawType match {
-            case _: NumericType => lit(from.trim.toDouble).cast(rawType)
-            case _              => lit(from)
+        val cases = applicable.map { case (from, to) =>
+          val fromLit: Column = from match {
+            case d: Double => lit(d).cast(rawType)
+            case s: String => lit(s)
           }
           (raw === fromLit) -> to.map(lit(_).cast(rawType)).getOrElse(lit(null).cast(rawType))
         }
