@@ -2606,6 +2606,69 @@ items:
     SELECT id_a, id_b, round(cos_raw, 6) AS cosine
     FROM p WHERE cos_raw >= CAST(0.8 AS DOUBLE)"""
 
+  /** The centroid-split near-dup pairs (Ann.cosineNearDupPairs with
+    * `centroids`): the SAME planted corpus as `ann_cosine_dedup`,
+    * candidates bounded by (cluster, band, key) — the SemDeDup
+    * composition applied to the PAIRS operator, whose band-bucket
+    * quadratic residue at a fixed operating point was the honest sf10
+    * wall (SCALE.md r13 finding #2). The oracle replays the cluster
+    * assignment (argmax cosine over the 32 fixed-id centroids, ties to
+    * the higher id) and restricts the exact pair join to same-cluster
+    * pairs — so a near-dup pair straddling a cluster boundary is
+    * excluded from BOTH engines, gating exactly the semantics the
+    * operator promises (within-cluster recall; the unrestricted pair
+    * set remains `ann_cosine_dedup`'s contract).
+    */
+  def annCosineDedupClusteredQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val idType = emb.schema("vec_id").dataType
+    val planted = emb.where(col("vec_id") < 25).select(
+      (col("vec_id") + lit(10000)).cast(idType).as("vec_id"),
+      concat(array(lit(0.0f)), slice(col("embedding"), 2, 63)).as("embedding"))
+    val corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    val ctrs = emb.where(col("vec_id").isin(semanticK32CentroidIds: _*))
+      .select(col("vec_id").cast(LongType), col("embedding")).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1).toSeq
+    Ann.cosineNearDupPairs(corpus, threshold = 0.8, dim = 64, centroids = Some(ctrs))
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .orderBy("id_a", "id_b")
+  }
+
+  private def annCosineDedupClusteredSql: String = s"""
+    WITH u AS (
+      SELECT vec_id AS id, embedding AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000, list_concat([CAST(0.0 AS FLOAT)], embedding[2:64])
+      FROM embeddings WHERE vec_id < 25),
+    ctr AS (
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      WHERE vec_id IN (${semanticK32CentroidIds.mkString(", ")})),
+    scored AS (
+      SELECT u.id, u.v, ctr.cid,
+             CASE WHEN (sqrt(list_sum(list_transform(list_zip(u.v, u.v), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE))))
+                       * sqrt(list_sum(list_transform(list_zip(ctr.cv, ctr.cv), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE))))) > 0
+                  THEN list_sum(list_transform(list_zip(u.v, ctr.cv), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(list_zip(u.v, u.v), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(list_zip(ctr.cv, ctr.cv), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))))
+                  ELSE 0.0 END AS sim
+      FROM u CROSS JOIN ctr),
+    asg AS (
+      SELECT id, v, cid AS cluster
+      FROM scored
+      QUALIFY row_number() OVER (PARTITION BY id ORDER BY sim DESC, cid DESC) = 1),
+    p AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             CASE WHEN (sqrt(list_sum(list_transform(list_zip(a.v, a.v), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE))))
+                       * sqrt(list_sum(list_transform(list_zip(b.v, b.v), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE))))) > 0
+                  THEN list_sum(list_transform(list_zip(a.v, b.v), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(list_zip(a.v, a.v), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(list_zip(b.v, b.v), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))))
+                  ELSE 0.0 END AS cos_raw
+      FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.id < b.id)
+    SELECT id_a, id_b, round(cos_raw, 6) AS cosine
+    FROM p WHERE cos_raw >= CAST(0.8 AS DOUBLE)"""
+
   /** SemDeDup gate (Ann.semanticDedup): the SAME planted corpus as
     * `ann_cosine_dedup`, clustered against 8 fixed-id centroid vectors
     * and pruned by the keep-least-central rule. The centroid set is
@@ -4443,6 +4506,7 @@ items:
     ("ann_int8_topk", annInt8TopK _, Some(annInt8Sql)),
     ("ann_lsh_topk", annLshTopK _, Some(annLshTopKSql)),
     ("ann_cosine_dedup", annCosineDedup _, Some(annCosineDedupSql)),
+    ("ann_cosine_dedup_clustered", annCosineDedupClusteredQ _, Some(annCosineDedupClusteredSql)),
     ("semantic_dedup", semanticDedupQ _, Some(semanticDedupSql)),
     ("semantic_dedup_k32", semanticDedupK32Q _, Some(semanticDedupK32Sql)),
     ("multimodal_features", multimodalFeatures _, Some(multimodalSql)),
@@ -4585,7 +4649,7 @@ items:
     "stratified_sample", "curation_pipeline",
     "minhash_pairs", "minhash_near_dups", "simhash_pairs", "simhash_near_dups",
     "ann_brute_topk", "ann_int8_topk", "ann_lsh_query", "rp_topk",
-    "ann_cosine_dedup", "semantic_dedup", "semantic_dedup_k32", "semantic_dedup_scaled", "ivf_topk", "ivf_int8_topk", "kmeans_step", "ann_pipeline", "dedup_clusters", "skew_salted_agg",
+    "ann_cosine_dedup", "ann_cosine_dedup_clustered", "semantic_dedup", "semantic_dedup_k32", "semantic_dedup_scaled", "ivf_topk", "ivf_int8_topk", "kmeans_step", "ann_pipeline", "dedup_clusters", "skew_salted_agg",
     "multimodal_features",
     "events_window_agg", "events_window_stream", "events_stream_sink",
     "events_dedup_stream", "events_enrich_stream",

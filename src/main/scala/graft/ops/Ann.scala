@@ -234,12 +234,26 @@ object Ann {
       vecCol: String = "embedding",
       seed: Long = 42L,
       handle: StorageHandle = StorageHandle.unmanaged,
+      centroids: Option[Seq[(Int, Array[Double])]] = None,
   ): DataFrame = {
     require(numPlanes % bands == 0, "bands must divide numPlanes")
+    require(centroids.forall(_.nonEmpty), "centroid list, when given, must be non-empty")
     val r = numPlanes / bands
     val planes = hyperplanes(numPlanes, dim, seed)
     val mask = (1L << r) - 1
     val sig = signBits(col(vecCol), planes)
+    // Optional centroid split (the semanticDedup candidate bound,
+    // reusable here because a sign-LSH band bucket's quadratic residue
+    // at a FIXED operating point grows with n² — the measured sf10
+    // wall): candidates must additionally share the nearest-centroid
+    // cluster, cutting each bucket's residue by the cluster count. The
+    // trade is RECALL SCOPE, stated explicitly: only within-cluster
+    // pairs surface (a near-dup pair straddling a cluster boundary is
+    // invisible), which is the SemDeDup semantics — near-identical
+    // vectors co-assign except exactly at boundary ties, and k ∝ n
+    // keeps the per-cluster residue constant as the corpus grows. The
+    // default (None) remains the cluster-free oracled fixed point.
+    val clusterCol = centroids.map(cs => nearestCentroid(col(vecCol), cs).getField("id"))
     // persist: the signature pass runs once, not once per self-join side;
     // scatter: small-file corpora would otherwise compute on one task.
     // Norms are precomputed HERE, once per vector: the join projection
@@ -248,19 +262,21 @@ object Ann {
     // bit-identical results, since norm(a)·norm(b) runs the exact same
     // operations in the same order as the inline cosine() form.
     val sigs = handle.persist(
-      Dedup.scatter(corpus).select(col(idCol), col(vecCol), sig.as("_sig"),
-        norm(col(vecCol)).as("_n")))
+      Dedup.scatter(corpus).select(Seq(col(idCol), col(vecCol), sig.as("_sig"),
+        norm(col(vecCol)).as("_n")) ++ clusterCol.map(_.as("_cl")): _*))
     // static unrolling keeps the band-key projection in whole-stage
     // codegen — a transform/sequence formulation evaluates interpreted
     // (higher-order functions have no doGenCode), the same rule
     // Dedup.bandKeys documents
     val bandCols = array((0 until bands).map(b =>
       shiftright(col("_sig"), b * r).bitwiseAND(lit(mask))): _*)
+    val joinKeys = (if (clusterCol.isDefined) Seq("_cl") else Nil) ++ Seq("_b", "_k")
     def side(id: String, vec: String, nrm: String): DataFrame = sigs.select(
-      Seq(col(idCol).as(id), col(vecCol).as(vec), col("_n").as(nrm),
-        posexplode(bandCols).as(Seq("_b", "_k"))): _*)
+      Seq(col(idCol).as(id), col(vecCol).as(vec), col("_n").as(nrm)) ++
+        clusterCol.map(_ => col("_cl")) ++
+        Seq(posexplode(bandCols).as(Seq("_b", "_k"))): _*)
     val denom = col("_na") * col("_nb")
-    side("id_a", "_va", "_na").join(side("id_b", "_vb", "_nb"), Seq("_b", "_k"))
+    side("id_a", "_va", "_na").join(side("id_b", "_vb", "_nb"), joinKeys)
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         when(denom > 0, dot(col("_va"), col("_vb")) / denom)
