@@ -105,4 +105,77 @@ class DedupSpansSpec extends SparkSpec {
     assert(out.getAs[String]("lang") == "en")
     intercept[IllegalArgumentException](Dedup.dedupSpans(df, k = 1))
   }
+
+  test("property: survival, subsequence, hashed≡exact, idempotence, duplicate-free identity") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // Generated corpora: each doc is a stream of DOC-UNIQUE base tokens
+    // (d<doc>t<i>) with zero or more shared plant phrases (from a small
+    // pool) spliced at random positions. Doc-unique bases make the
+    // idempotence claim PROVABLE for this input class, not just
+    // observed: a deletion stitches plant-adjacent fragments together,
+    // and any new k-window the stitch creates contains at least one
+    // doc-unique base token, so it cannot duplicate anything — second
+    // passes find nothing. (Idempotence is NOT an unconditional law of
+    // span dedup: with repeated base text across docs, a stitch can
+    // manufacture a window that equals another doc's intact run. The
+    // generator documents the boundary instead of hiding it.)
+    val k = 4
+    val plantPool = Vector(
+      "p1 p2 p3 p4 p5", "q1 q2 q3 q4", "r1 r2 r3 r4 r5 r6")
+    def doc(docId: Long): Gen[(Long, String)] = for {
+      nBase <- Gen.choose(0, 12)
+      base = (0 until nBase).map(i => s"d${docId}t$i")
+      nPlants <- Gen.frequency((2, Gen.const(0)), (3, Gen.choose(1, 2)))
+      plants <- Gen.listOfN(nPlants, Gen.oneOf(plantPool))
+      cuts <- Gen.listOfN(nPlants, Gen.choose(0, math.max(nBase, 0)))
+    } yield {
+      val toks = plants.zip(cuts).foldLeft(base.toVector) { case (acc, (p, c)) =>
+        val at = math.min(c, acc.size)
+        (acc.take(at) :+ p) ++ acc.drop(at)
+      }
+      (docId, toks.mkString(" "))
+    }
+    val corpusGen: Gen[List[(Long, String)]] = for {
+      n <- Gen.choose(2, 8)
+      docs <- Gen.sequence[List[(Long, String)], (Long, String)](
+        (1L to n.toLong).map(doc).toList)
+    } yield docs
+    def normalize(t: String): String = t.trim.replaceAll("\\s+", " ")
+    val prop = Prop.forAll(corpusGen) { corpus =>
+      val df = corpus.toDF("doc_id", "text")
+      val exact = texts(Dedup.dedupSpans(df, k = k))
+      // 1. every input row survives
+      val survival = exact.keySet == corpus.map(_._1).toSet
+      // 2. deletion-only: each output is a token SUBSEQUENCE of the
+      //    whitespace-normalized input
+      def isSubseq(out: Seq[String], in: Seq[String]): Boolean = {
+        var i = 0
+        out.forall { t => val j = in.indexOf(t, i); if (j < 0) false else { i = j + 1; true } }
+      }
+      val subseq = corpus.forall { case (id, text) =>
+        val in = normalize(text).split(" ").filter(_.nonEmpty).toSeq
+        val out = exact(id).split(" ").filter(_.nonEmpty).toSeq
+        isSubseq(out, in)
+      }
+      // 3. the 8-byte-key at-scale path is output-identical (the plant
+      //    pool is trivially collision-free under xxhash64)
+      val hashed = texts(Dedup.dedupSpans(df, k = k, hashKeys = true))
+      // 4. idempotence on this input class (see generator note)
+      val again = texts(Dedup.dedupSpans(
+        exact.toSeq.toDF("doc_id", "text"), k = k))
+      // 5. a corpus that happens to carry no duplicate window is
+      //    returned whitespace-normalized-identical
+      val dupFree = {
+        val wins = corpus.flatMap { case (_, t) =>
+          normalize(t).split(" ").filter(_.nonEmpty).sliding(k).filter(_.size == k).map(_.mkString(" "))
+        }
+        wins.size == wins.distinct.size
+      }
+      val identity = !dupFree || corpus.forall { case (id, t) => exact(id) == normalize(t) }
+      survival && subseq && hashed == exact && again == exact && identity
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(25).withWorkers(1), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
