@@ -4583,6 +4583,11 @@ items:
         RealPipeline.realMembersIncomeBreakdownMultiYear(s, dir)
           .orderBy("Year", "ID", "Member_Number", "Income_Type")),
       Some(RealPipeline.realMembersIncomeMultiYearSql)),
+    ("real_income_breakdown_multiyear",
+      ((s: SparkSession, dir: String) =>
+        RealPipeline.realIncomeBreakdownMultiYear(s, dir)
+          .orderBy("Year", "ID", "Income_Type")),
+      Some(RealPipeline.realIncomeBreakdownMultiYearSql)),
     ("real_total_outlay_multiyear",
       ((s: SparkSession, dir: String) =>
         RealPipeline.realTotalOutlayMultiYear(s, dir).orderBy("Year", "ID")),

@@ -814,6 +814,27 @@ object RealPipeline {
   def realMembersIncomeBreakdownMultiYear(s: SparkSession, dir: String): DataFrame =
     incomeMultiYearRepo(s, dir).table("Members_Income_Breakdown", 1369 to 1401)
 
+  /** Income_Breakdown over the full 33-year span — ALL THREE derivation
+    * families era-correct at every year, which drags in the global
+    * provision-method map's five variants (tables.yaml:1216-1221: 1363
+    * subsidised/free purchase split, 1369 code-2 Purchase, 1374 the
+    * shifted map with code 8 UNMAPPED, 1379 code 8 =
+    * Instead_of_Cooperative, 1383 the modern map) and the Imputed_Rent
+    * code era. Oracled end-to-end by `real_income_breakdown_multiyear`.
+    * The repo is CACHELESS by design: the schema's `cache_result` flags
+    * are exercised by the two-year [[realTotalIncome]] gate; here they
+    * would serialize 33 per-year cache materializations into the
+    * driver gate's budget for no added evidence.
+    */
+  def realIncomeBreakdownMultiYear(s: SparkSession, dir: String): DataFrame = {
+    require(RealMeta.available, "reference metadata corpus not found")
+    val repo = new TableRepo(s, RealMeta.tables, RealMeta.schema,
+      rawReader = (name, year) => rawIncomeMultiYear(s, dir, name, year),
+      classifications = Map("Imputed_Rent" -> RealMeta.commodities("Imputed_Rent")),
+      config = RepoConfig(availability = RealMeta.tableAvailability))
+    repo.table("Income_Breakdown", 1369 to 1401)
+  }
+
   /** Raw reader for the FULL-ARCHIVE outlay runs: the expenditure
     * tables on the outlay moduli (t14 ≥1383, t10 below) through the
     * same era-correct projections as [[rawMultiYear]], plus INVESTMENT
@@ -1318,6 +1339,144 @@ object RealPipeline {
            Income_Type, sum(Income) AS Income
     FROM cash WHERE Income_Type IS NOT NULL
     GROUP BY 1, 2, 3, 4"""
+  }
+
+  /** FULL-ARCHIVE Income_Breakdown oracle (1369-1401): the two-year
+    * oracle's three arms with every era dispatch transcribed
+    * independently from the YAML —
+    *   - the GLOBAL provision-method map's variants
+    *     (tables.yaml:1216-1221 → :1144-1209): variant 2 (1369, code 2
+    *     = Purchase, code 1 UNMAPPED), variant 3 (1374, shifted map,
+    *     code 8 unmapped), variant 4 (1379, code 8 =
+    *     Instead_of_Cooperative_Service), variant 5 (1383). Unmapped
+    *     codes keep their raw value (pandas rename_categories), pass
+    *     the != 'Purchase' filter, match no Income_Type, and vanish in
+    *     the dropna groupby — so the oracle expresses them as
+    *     CASE-misses;
+    *   - the Imputed_Rent classification's code era
+    *     (commodities.yaml:2002-2024: 31117/31128/31172 before 1383)
+    *     and the era's Purchase code in its isnull-or-Purchase filter;
+    *   - the cash arms' 1376 sector_2 flip and 1390 subsidy flip
+    *     (realMembersIncomeMultiYearSql's dispatches, household-level);
+    *   - durable = the last slice index of the era's table list
+    *     (t13 = 12 from 1383, t9 = 8 before).
+    */
+  val realIncomeBreakdownMultiYearSql: String = {
+    def u(k: Int): String =
+      s"""CASE WHEN (sk + $k) % 4 = 0 THEN NULL
+               WHEN (ok + $k) % 11 = 0 THEN CAST(0 AS DOUBLE)
+               ELSE CAST((c + ${k * 37}) % 50021 AS DOUBLE) END AS u$k"""
+    s"""
+    WITH L AS (
+      SELECT l_orderkey AS ok, l_partkey AS pk, l_suppkey AS sk, l_linenumber AS ln,
+             CAST(round(l_extendedprice*100,0) AS BIGINT) AS c,
+             CAST(round(l_discount*100,0) AS BIGINT) AS d
+      FROM lineitem),
+    eb AS (
+      SELECT 1 + ok % 400 AS address,
+             CAST(1363 + ok % 39 AS INTEGER) AS Year,
+             pk % 13 AS t13,
+             pk % 9 AS t9,
+             11111 + pk % 8000 AS code,
+             CASE WHEN (ok + ln) % 31 = 0 THEN NULL ELSE 1 + (ok + ln) % 8 END AS pm,
+             CASE WHEN sk % 11 = 0 THEN NULL ELSE CAST(720 * (1 + c % 997) AS DOUBLE) END AS exp,
+             CASE WHEN ln % 3 = 0 THEN NULL ELSE CAST(720 * (d % 7) AS DOUBLE) END AS shs
+      FROM L WHERE 1363 + ok % 39 >= 1369),
+    noncash_excl AS (
+      SELECT Year, address AS ID,
+             CASE
+               WHEN Year < 1374 THEN
+                 CASE pm WHEN 3 THEN 'NonCash_HomeProduction'
+                         WHEN 4 THEN 'NonCash_Public'
+                         WHEN 5 THEN 'NonCash_Private'
+                         WHEN 6 THEN 'NonCash_Agricultural'
+                         WHEN 7 THEN 'NonCash_NonAgricultural'
+                         WHEN 8 THEN 'NonCash_Donation' END
+               WHEN Year < 1379 THEN
+                 CASE pm WHEN 2 THEN 'NonCash_HomeProduction'
+                         WHEN 3 THEN 'NonCash_Public'
+                         WHEN 4 THEN 'NonCash_Private'
+                         WHEN 5 THEN 'NonCash_Agricultural'
+                         WHEN 6 THEN 'NonCash_NonAgricultural'
+                         WHEN 7 THEN 'NonCash_Donation' END
+               WHEN Year < 1383 THEN
+                 CASE pm WHEN 2 THEN 'NonCash_HomeProduction'
+                         WHEN 3 THEN 'NonCash_Public'
+                         WHEN 4 THEN 'NonCash_Private'
+                         WHEN 5 THEN 'NonCash_Agricultural'
+                         WHEN 6 THEN 'NonCash_NonAgricultural'
+                         WHEN 7 THEN 'NonCash_Donation'
+                         WHEN 8 THEN 'NonCash_Cooperative' END
+               ELSE
+                 CASE pm WHEN 2 THEN 'NonCash_HomeProduction'
+                         WHEN 3 THEN 'NonCash_Public'
+                         WHEN 4 THEN 'NonCash_Cooperative'
+                         WHEN 5 THEN 'NonCash_Private'
+                         WHEN 6 THEN 'NonCash_Agricultural'
+                         WHEN 7 THEN 'NonCash_NonAgricultural'
+                         WHEN 8 THEN 'NonCash_Donation' END
+             END AS Income_Type,
+             (coalesce(exp, 0)
+               - CASE WHEN (Year >= 1383 AND t13 = 12) OR (Year < 1383 AND t9 = 8)
+                      THEN coalesce(shs, 0) ELSE 0 END)
+               / (CASE WHEN (Year >= 1383 AND t13 = 12) OR (Year < 1383 AND t9 = 8)
+                       THEN 360 ELSE 30 END) * 360 AS Income
+      FROM eb WHERE pm IS NOT NULL),
+    imputed AS (
+      SELECT Year, address AS ID,
+             CASE WHEN code % 5 IN (0, 1) THEN 'NonCash_ImputedRent_Ownership'
+                  WHEN code % 5 = 2 THEN 'NonCash_ImputedRent_Mortgage' END AS Income_Type,
+             coalesce(exp, 0) * 12 AS Income
+      FROM eb
+      WHERE ((Year >= 1383 AND t13 = 3) OR (Year < 1383 AND t9 = 2))
+        AND code % 5 <= 2
+        AND (pm IS NULL OR pm = (CASE WHEN Year < 1374 THEN 2 ELSE 1 END))),
+    ib AS (
+      SELECT 1 + ok % 400 AS address,
+             CAST(1369 + ok % 33 AS INTEGER) AS Year,
+             pk % 5 AS t5,
+             1 + (ok // 2) % 4 AS sector,
+             CASE WHEN sk % 7 = 0 THEN NULL ELSE (ok // 2) % 2 END AS isagri,
+             CASE WHEN sk % 5 = 0 THEN NULL ELSE CAST(c % 100000 AS DOUBLE) END AS ynet,
+             CASE WHEN sk % 11 = 0 THEN NULL ELSE CAST(c % 99991 AS DOUBLE) END AS profit,
+             CASE WHEN sk % 3 = 0 THEN NULL ELSE CAST(c % 40009 AS DOUBLE) END AS subsidy,
+             ${u(0)}, ${u(1)}, ${u(2)}, ${u(3)}, ${u(4)}, ${u(5)}
+      FROM L),
+    cash AS (
+      SELECT Year, address AS ID,
+             CASE WHEN Year <= 1375 THEN
+               CASE sector WHEN 1 THEN 'Cash_Public' WHEN 2 THEN 'Cash_Private' END
+             ELSE
+               CASE sector WHEN 1 THEN 'Cash_Public' WHEN 2 THEN 'Cash_Cooperative'
+                           WHEN 3 THEN 'Cash_Private' END
+             END AS Income_Type,
+             coalesce(ynet, 0) AS Income
+      FROM ib WHERE t5 = 1
+      UNION ALL
+      SELECT Year, address,
+             CASE isagri WHEN 1 THEN 'Cash_Agricultural'
+                         WHEN 0 THEN 'Cash_NonAgricultural' END,
+             coalesce(profit, 0)
+      FROM ib WHERE t5 = 2
+      UNION ALL
+      SELECT Year, address, 'Cash_' || t, v FROM (
+        SELECT Year, address, 'Retirement' AS t, u0 AS v FROM ib WHERE t5 = 3
+        UNION ALL SELECT Year, address, 'Rent', u1 FROM ib WHERE t5 = 3
+        UNION ALL SELECT Year, address, 'Interest', u2 FROM ib WHERE t5 = 3
+        UNION ALL SELECT Year, address, 'Aid', u3 FROM ib WHERE t5 = 3
+        UNION ALL SELECT Year, address, 'Home_Production', u4 FROM ib WHERE t5 = 3
+        UNION ALL SELECT Year, address, 'Transfer', u5 FROM ib WHERE t5 = 3
+      ) WHERE v IS NOT NULL AND v > 0
+      UNION ALL
+      SELECT Year, address, 'Cash_Subsidy', coalesce(subsidy, 0)
+      FROM ib WHERE t5 = 4 AND Year >= 1390),
+    allrows AS (
+      SELECT * FROM noncash_excl
+      UNION ALL SELECT * FROM imputed
+      UNION ALL SELECT * FROM cash)
+    SELECT Year, CAST(ID AS BIGINT) AS ID, Income_Type, sum(Income) AS Income
+    FROM allrows WHERE Income_Type IS NOT NULL
+    GROUP BY 1, 2, 3"""
   }
 
   /** FULL-ARCHIVE Total_Outlay oracle — the expenditure arm on the
