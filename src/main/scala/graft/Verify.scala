@@ -8,8 +8,12 @@ object Verify {
     val sfDir = args(0)
     val outDir = args(1)
     // optional 3rd arg: comma-separated query names (dev-only fast path;
-    // the driver always calls with two args = full catalog)
-    val only: Option[Set[String]] = args.lift(2).map(_.split(",").toSet)
+    // the driver always calls with two args = full catalog), or
+    // "--sql-only" to refresh the FULL oracle_sql.json over an existing
+    // dump without re-running any query (oracle-SQL-only edits)
+    val sqlOnly = args.lift(2).contains("--sql-only")
+    val only: Option[Set[String]] =
+      if (sqlOnly) Some(Set.empty) else args.lift(2).map(_.split(",").toSet)
     def keep(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -57,7 +61,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
+    val json = SparkEntry.oracleSql.filter(kv => sqlOnly || keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -47,6 +47,7 @@ class CatalogPlanLintSpec extends SparkSpec {
     "rp_topk",            // projected-space brute pass + the exact-baseline audit
     "tfidf_topk",         // the corpus total N rides a broadcast SINGLE-ROW cross join
     "lm_score",           // the vocabulary size V rides the same broadcast SINGLE-ROW cross join
+    "ccnet_buckets",      // composes lm_score: the same single-row V broadcast
   )
 
   /** Every physical node, descending through AQE wrappers and subqueries
