@@ -1920,6 +1920,82 @@ items:
                 WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
     FROM sc ORDER BY doc_id"""
 
+  /** The SCALE formulation of [[ccnetBuckets]] — what CCNet actually
+    * runs at corpus size (Wenzek et al. 2020 §4.3 computes bucket
+    * thresholds from a scored SAMPLE, not a corpus sort): per-language
+    * tertile CUTOFFS from a deterministic 25% md5 hash sample
+    * (seedless, engine-portable — the hash_sample gate's proven
+    * cross-engine predicate), then bucket assignment as a comparison
+    * against the broadcast cutoffs. No per-language global sort ever
+    * touches the corpus: the only ordered pass runs over the sample's
+    * distinct (lang, score) rows, whose size the sample fraction
+    * bounds at any corpus scale, and the assignment join is
+    * broadcast-shaped (one row per language).
+    *
+    * EXACTLY oracled, no tolerance: the sample membership, the
+    * lower-weighted-percentile cutoff rule (min v with cum ≥ p·tot —
+    * the e12 family's rule), and the ≤-comparisons replay
+    * bit-identically in DuckDB (scores are the lm_score-gated doubles;
+    * cutoff arithmetic is CAST(tot AS DOUBLE)/3.0 in both engines).
+    * Bucket sizes are approximately balanced (sampling error), which
+    * is the trade the production shape makes — the exact-tertile
+    * contract lives in the sibling [[ccnetBuckets]] gate. Languages
+    * absent from the sample would drop (inner join); CcnetBucketsSpec
+    * asserts the fixture's languages are all sampled.
+    */
+  def ccnetBucketsScaled(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = T(s, dir, "documents")
+    val scored = TextOps.lmScore(docs.select(col("doc_id"), col("text")), docs)
+      .where(col("n_bigrams") > 0)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("lm_logprob"))
+    val sample = scored.where(graft.ops.Curation.hashSamplePredicate(col("doc_id"), 0.25))
+    val cum = sample.groupBy("lang", "lm_logprob").agg(count(lit(1)).as("_w"))
+      .withColumn("_cum",
+        sum("_w").over(Window.partitionBy("lang").orderBy("lm_logprob")))
+      .withColumn("_tot", sum("_w").over(Window.partitionBy("lang")))
+    val cuts = cum.groupBy("lang").agg(
+      min(when(col("_cum") >= col("_tot").cast(DoubleType) / lit(3.0),
+        col("lm_logprob"))).as("t1"),
+      min(when(col("_cum") >= col("_tot").cast(DoubleType) * lit(2.0) / lit(3.0),
+        col("lm_logprob"))).as("t2"))
+    scored.join(broadcast(cuts), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("lm_logprob"),
+        when(col("lm_logprob") <= col("t1"), "tail")
+          .when(col("lm_logprob") <= col("t2"), "middle")
+          .otherwise("head").as("bucket"))
+      .orderBy("doc_id")
+  }
+
+  private val ccnetBucketsScaledSql = s"""
+    WITH $lmScoreCtes,
+    sc AS (
+      SELECT d.doc_id, d.lang,
+             CAST(agg.lm_micro AS DOUBLE) / 1e6 / agg.n_bigrams AS lm_logprob
+      FROM documents d JOIN agg ON d.doc_id = agg.doc_id
+      WHERE agg.n_bigrams > 0),
+    cw AS (
+      SELECT lang, lm_logprob AS v, count(*) AS w FROM sc
+      WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${graft.ops.Curation.hashSampleThreshold(0.25)}'
+      GROUP BY 1, 2),
+    cc AS (
+      SELECT lang, v,
+             sum(w) OVER (PARTITION BY lang ORDER BY v) AS cum,
+             sum(w) OVER (PARTITION BY lang) AS tot
+      FROM cw),
+    cuts AS (
+      SELECT lang,
+             min(CASE WHEN cum >= CAST(tot AS DOUBLE) / 3.0 THEN v END) AS t1,
+             min(CASE WHEN cum >= CAST(tot AS DOUBLE) * 2.0 / 3.0 THEN v END) AS t2
+      FROM cc GROUP BY 1)
+    SELECT sc.doc_id, sc.lang, sc.lm_logprob,
+           CASE WHEN sc.lm_logprob <= cuts.t1 THEN 'tail'
+                WHEN sc.lm_logprob <= cuts.t2 THEN 'middle'
+                ELSE 'head' END AS bucket
+    FROM sc JOIN cuts USING (lang)
+    ORDER BY sc.doc_id"""
+
   private val repSignalsSql = """
     WITH docs AS (
       SELECT doc_id,
@@ -4608,6 +4684,7 @@ items:
     ("dedup_spans_invariants", dedupSpansInvariantsQ _, Some(dedupSpansInvariantsSql)),
     ("lm_score", lmScoreQ _, Some(lmScoreSql)),
     ("ccnet_buckets", ccnetBuckets _, Some(ccnetBucketsSql)),
+    ("ccnet_buckets_scaled", ccnetBucketsScaled _, Some(ccnetBucketsScaledSql)),
     ("text_stats", textStats _, Some(textStatsSql)),
     ("rep_signals", repSignals _, Some(repSignalsSql)),
     ("pii_redact", piiRedact _, Some(piiRedactSql)),
@@ -4775,7 +4852,7 @@ items:
     "d2_attribute", "e5_select", "e10_weighted_avg", "e12_quantile", "e12c_median_sketch",
     "e12_window_hicard", "e12_sketch_hicard", "e13_decile",
     "e7e8_cpi", "e9_equivalence", "isc_summary", "isc_summary_bucketed",
-    "dedup_exact", "dedup_paragraphs", "remove_frequent_lines", "dedup_spans", "dedup_spans_hashed", "lm_score", "ccnet_buckets", "text_stats", "rep_signals", "lang_id", "quality_score", "ngram_jaccard",
+    "dedup_exact", "dedup_paragraphs", "remove_frequent_lines", "dedup_spans", "dedup_spans_hashed", "lm_score", "ccnet_buckets", "ccnet_buckets_scaled", "text_stats", "rep_signals", "lang_id", "quality_score", "ngram_jaccard",
     "tfidf_topk", "ngram_topk", "winnow_fingerprints", "winnow_near_dups",
     "pii_redact", "contamination", "decontaminate", "pack_shards", "chunk_docs",
     "stratified_sample", "curation_pipeline",

@@ -222,12 +222,31 @@ object Dedup {
     *      `neighborWindow` neighbors (the sorted-window technique of
     *      Manku et al.'s SimHash dedup) — recovers hamming
     *      1..maxDistance pairs whose remaining bits sort nearby, at
-    *      cost hot-membership × window, linear in n.
+    *      cost hot-membership × window, linear in n;
+    *   3. a SUB-BAND pass: each oversized bucket's members re-bucket by
+    *      8 slices of the REMAINING 64−width bits (7-bit slices at
+    *      bands = 8), and sub-buckets back under the cap run the
+    *      ordinary pairwise join. This keeps the pigeonhole guarantee
+    *      alive INSIDE hot buckets: a pair at hamming ≤ 7 total has ≤ 7
+    *      differing bits in the 56 non-band bits, which cannot corrupt
+    *      all 8 sub-slices — so it shares a clean sub-slice and meets
+    *      in that sub-bucket (unless the sub-bucket is itself still
+    *      hot, where the sorted-neighbor window applies within the
+    *      refined group). Cost is bounded exactly like the main join:
+    *      Σ sub-bucket² ≤ (8·hot-membership)·cap. Added after the 100×
+    *      sweep measured the residual for real: at 500k docs the
+    *      corpus's agreeing-band buckets crossed the cap (1603–2541
+    *      members vs cap 1000) and 61/255 true pairs fell into the
+    *      sacrificed tail; all 61 carried an agreeing sub-slice, and
+    *      this pass restores them (SCALE.md round 15).
     *
     * The residual sacrificed tail is pairs at distance 1..maxDistance
-    * that meet ONLY inside oversized buckets AND sort more than
-    * `neighborWindow` apart there. With the cap the output is a
-    * documented subset; with maxBucketSize = 0 semantics are exact.
+    * that meet ONLY inside oversized buckets, disagree on EVERY
+    * sub-slice there (possible only at hamming ≥ 8 — outside the
+    * banding guarantee to begin with), and sort more than
+    * `neighborWindow` apart in every hot (sub-)bucket. With the cap
+    * the output is a documented subset; with maxBucketSize = 0
+    * semantics are exact.
     */
   def simHashCandidates(
       df: DataFrame,
@@ -300,7 +319,66 @@ object Dedup {
             least(col(idCol), col("_nb.nid")).as("id_a"),
             greatest(col(idCol), col("_nb.nid")).as("id_b"),
             hammingDistance(col("_sh"), col("_nb.nsh")).as("hamming"))
-        joined.union(stars).union(neighbors)
+        // pass 3 — sub-band refinement of hot buckets (see Scaladoc):
+        // re-key each hot member by 8 slices of the non-band bits and
+        // run the ordinary capped pairwise join inside the refined
+        // groups; still-hot sub-buckets get their own sorted-neighbor
+        // window (a strictly more local sort than pass 2's)
+        val subWidth = (64 - width) / 8
+        // at maxDistance = 0 the star pass already gives COMPLETE recall
+        // inside hot buckets (equal hashes land in one star group), so
+        // the sub-band machinery would explode hot members 8× to
+        // recover nothing — skip it
+        val subRecovered = if (subWidth < 1 || maxDistance == 0) joined.limit(0) else {
+          val subMask = (1L << subWidth) - 1
+          // _sh with band _q's slice compacted out; static when-chain
+          // over q (bands is a plan-time constant), codegen-friendly
+          val rem = (0 until bands).map { q =>
+            val hi =
+              if (q == bands - 1) lit(0L)
+              else shiftleft(shiftrightunsigned(col("_sh"), (q + 1) * width), q * width)
+            val lo =
+              if (q == 0) lit(0L)
+              else col("_sh").bitwiseAND(lit((1L << (q * width)) - 1))
+            q -> hi.bitwiseOR(lo)
+          }.foldLeft(lit(0L)) { case (acc, (q, e)) => when(col("_q") === q, e).otherwise(acc) }
+          val sub = hot
+            .select(col(idCol), col("_sh"), col("_q"), col("_k"), rem.as("_rem"))
+            .select(col(idCol), col("_sh"), col("_q"), col("_k"),
+              explode(array((0 until 8).map { r =>
+                struct(lit(r).as("r"),
+                  shiftrightunsigned(col("_rem"), r * subWidth)
+                    .bitwiseAND(lit(subMask)).as("sk"))
+              }: _*)).as("_s"))
+            .select(col(idCol), col("_sh"), col("_q"), col("_k"),
+              col("_s.r").as("_r"), col("_s.sk").as("_sk"))
+          val subKeys = Seq("_q", "_k", "_r", "_sk")
+          val subCounts = sub.groupBy(subKeys.map(col): _*).agg(count(lit(1)).as("_n"))
+          val subCool = sub.join(
+            subCounts.where(col("_n") <= maxBucketSize), subKeys, "left_semi")
+          val sa2 = subCool.select(col(idCol).as("id_a") +: col("_sh").as("_sh_a") +: subKeys.map(col): _*)
+          val sb2 = subCool.select(col(idCol).as("id_b") +: col("_sh").as("_sh_b") +: subKeys.map(col): _*)
+          val subJoined = sa2.join(sb2, subKeys)
+            .where(col("id_a") < col("id_b"))
+            .select(col("id_a"), col("id_b"),
+              hammingDistance(col("_sh_a"), col("_sh_b")).as("hamming"))
+          val subHot = sub.join(
+            subCounts.where(col("_n") > maxBucketSize), subKeys, "left_semi")
+          val subSortWin = Window.partitionBy(subKeys.map(col): _*)
+            .orderBy(col("_sh"), col(idCol))
+          val subLeads = array((1 to neighborWindow).map(i =>
+            lead(struct(col(idCol).as("nid"), col("_sh").as("nsh")), i).over(subSortWin)): _*)
+          val subNeighbors = subHot
+            .select(col(idCol), col("_sh"), subLeads.as("_leads"))
+            .select(col(idCol), col("_sh"), explode(col("_leads")).as("_nb"))
+            .where(col("_nb.nid").isNotNull)
+            .select(
+              least(col(idCol), col("_nb.nid")).as("id_a"),
+              greatest(col(idCol), col("_nb.nid")).as("id_b"),
+              hammingDistance(col("_sh"), col("_nb.nsh")).as("hamming"))
+          subJoined.union(subNeighbors)
+        }
+        joined.union(stars).union(neighbors).union(subRecovered)
       }
     // hamming is a pure function of the two full hashes, so every copy
     // of a pair (one per shared band) carries the SAME distance — filter

@@ -48,6 +48,7 @@ class CatalogPlanLintSpec extends SparkSpec {
     "tfidf_topk",         // the corpus total N rides a broadcast SINGLE-ROW cross join
     "lm_score",           // the vocabulary size V rides the same broadcast SINGLE-ROW cross join
     "ccnet_buckets",      // composes lm_score: the same single-row V broadcast
+    "ccnet_buckets_scaled", // ditto (sampled-cutoff variant)
   )
 
   /** Every physical node, descending through AQE wrappers and subqueries

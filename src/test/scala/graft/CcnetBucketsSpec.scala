@@ -44,4 +44,36 @@ class CcnetBucketsSpec extends SparkSpec {
       .where(org.apache.spark.sql.functions.col("n_bigrams") > 0).count()
     assert(rows.length.toLong == scorable)
   }
+
+  test("scaled variant: sample covers every language; buckets score-ordered and near-balanced") {
+    assume(new File(sfDir).exists(), s"$sfDir not present")
+    val exact = Queries.ccnetBuckets(spark, sfDir).collect()
+    val scaled = Queries.ccnetBucketsScaled(spark, sfDir).collect()
+
+    // the inner cutoff join must not drop a language: every scorable doc
+    // gets a bucket, which also asserts the 25% sample hit every lang
+    assert(scaled.length == exact.length,
+      s"scaled bucketed ${scaled.length} docs vs ${exact.length} scorable")
+
+    scaled.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      val byBucket = rs.groupBy(_.getAs[String]("bucket"))
+        .map { case (b, v) => b -> v.map(_.getAs[Double]("lm_logprob")) }
+      // comparisons against shared cutoffs make ordering strict
+      for (h <- byBucket.get("head"); m <- byBucket.get("middle"))
+        assert(h.min > m.max, s"$lang head/middle overlap")
+      for (m <- byBucket.get("middle"); t <- byBucket.get("tail"))
+        assert(m.min > t.max, s"$lang middle/tail overlap")
+      // sampled cutoffs land near the exact tertiles: each bucket holds
+      // a third of the language give or take sampling error. Only
+      // meaningful where the 25% sample is big enough to estimate
+      // tertiles — tiny strata (sf0.01's zh: ~75 docs → ~19 sampled,
+      // discrete scores) legitimately skew, and their contract is the
+      // ordering invariant above, not balance
+      val n = rs.length.toDouble
+      if (n >= 200) byBucket.foreach { case (b, v) =>
+        val frac = v.length / n
+        assert(frac > 0.15 && frac < 0.55, s"$lang $b fraction $frac (n=$n)")
+      }
+    }
+  }
 }

@@ -42,6 +42,7 @@ class OracleSqlLintSpec extends AnyFunSuite {
       "q1_agg" -> Set("l_quantity"), // DOUBLE in the fixture
       "c10_groupby_sum" -> Set("l_quantity"), // DOUBLE in the fixture
       "e12c_median_sketch" -> Set("w"), // internal CTE alias, consumed before output
+      "ccnet_buckets_scaled" -> Set("w"), // sample-count CTE alias, consumed by the cutoff rule
       "events_session_stream" -> Set("new_session"), // window sum consumed by GROUP BY key
       "events_session_window" -> Set("new_session"),
       "events_sessionize" -> Set("new_session"),
