@@ -323,7 +323,20 @@ object Dedup {
         // re-key each hot member by 8 slices of the non-band bits and
         // run the ordinary capped pairwise join inside the refined
         // groups; still-hot sub-buckets get their own sorted-neighbor
-        // window (a strictly more local sort than pass 2's)
+        // window (a strictly more local sort than pass 2's).
+        //
+        // Refinement targets the CAP-ADJACENT regime only (buckets up
+        // to 8·cap — the measured sf10 residual sat at 1.6–2.5·cap):
+        // once buckets grow far past the cap the refined 15-bit key
+        // space saturates too (a 5M-doc corpus puts ~20k members in an
+        // AVERAGE bucket, whose ~160-member sub-buckets are all "cool"
+        // yet aggregate to a ~5e10-probe join and a >50 GB shuffle —
+        // the measured sf100 wall, SCALE.md round 15). Beyond the
+        // bound the pass degrades gracefully to star+sorted-neighbor,
+        // and the Jaccard-recall contract at that density belongs to
+        // MinHash banding, which keys on shingle content rather than a
+        // fixed 64-bit space and does not saturate.
+        val subBandMaxBucket = 8L * maxBucketSize
         val subWidth = (64 - width) / 8
         // at maxDistance = 0 the star pass already gives COMPLETE recall
         // inside hot buckets (equal hashes land in one star group), so
@@ -342,7 +355,10 @@ object Dedup {
               else col("_sh").bitwiseAND(lit((1L << (q * width)) - 1))
             q -> hi.bitwiseOR(lo)
           }.foldLeft(lit(0L)) { case (acc, (q, e)) => when(col("_q") === q, e).otherwise(acc) }
-          val sub = hot
+          val hotAdjacent = banded.join(
+            counts.where(col("_n") > maxBucketSize && col("_n") <= subBandMaxBucket),
+            Seq("_q", "_k"), "left_semi")
+          val sub = hotAdjacent
             .select(col(idCol), col("_sh"), col("_q"), col("_k"), rem.as("_rem"))
             .select(col(idCol), col("_sh"), col("_q"), col("_k"),
               explode(array((0 until 8).map { r =>

@@ -28,6 +28,10 @@ con = duckdb.connect()
 # "Out of Memory Error" instead of spilling
 con.sql("SET temp_directory='/tmp/duckdb_oracle_spill'")
 con.sql("SET preserve_insertion_order=false")
+# hard cap so the 1000x replays SPILL instead of getting OOM-killed by
+# the kernel (the 5M-doc ccnet window replay died at rss>hostmem with
+# no limit set; DuckDB only spills when it knows its budget)
+con.sql("SET memory_limit='64GB'")
 for p in glob.glob(f"{sf_dir}/*.parquet"):
     name = os.path.basename(p)[: -len(".parquet")]
     # Spark-written tables are directories of part files
