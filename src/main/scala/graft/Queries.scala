@@ -2439,11 +2439,16 @@ items:
     * theorem, not a heuristic: every gate consumes `p` through
     * `round(j,6) >= 0.6`, i.e. true j >= 0.5999995 > 0.55, and for any
     * pair with J(x,y) >= 0.55 the intersection has at least
-    * ceil(0.55*|x|) shingles (|x∩y| = J*|x∪y| >= J*|x|, integer), which
-    * cannot fit inside x's suffix of ceil(0.55*|x|)-1 shingles — so x's
-    * rarest-first prefix of |x| - ceil(0.55*|x|) + 1 shingles must
-    * share an element with y, and the prefix-vs-full-index join emits
-    * the pair. Candidates are then verified EXACTLY: |x∩y| counted by
+    * ceil(11·|x|/20) shingles (|x∩y| = J·|x∪y| >= J·|x|, integer),
+    * which cannot fit inside x's suffix of ceil(11·|x|/20)-1 shingles
+    * — so x's rarest-first prefix of |x| - ceil(11·|x|/20) + 1
+    * shingles must share an element with y, and the prefix-vs-full-
+    * index join emits the pair. The bound is computed with EXACT
+    * integer arithmetic, (11*n + 19) // 20: the float form
+    * ceil(0.55*n) overshoots by 1 whenever 0.55*n is an exact integer
+    * (binary 0.55·20 = 11.000000000000002 → ceil 12), which would
+    * shorten the prefix below the theorem's requirement for a pair at
+    * exactly J = 0.55. Candidates are then verified EXACTLY: |x∩y| counted by
     * the shared-shingle equi-join (sh is already distinct, so count(*)
     * IS the set intersection), |x∪y| = |x| + |y| − |x∩y| — the same
     * values the old list_intersect/list_concat formula produced, as
@@ -2475,7 +2480,7 @@ items:
                row_number() OVER (PARTITION BY ex.doc_id
                                   ORDER BY gdf.df, ex.g) AS r
         FROM ex JOIN gdf USING (g))
-      WHERE r <= n - CAST(ceil(0.55 * n) AS BIGINT) + 1),
+      WHERE r <= n - ((11 * n + 19) // 20) + 1),
     cand AS MATERIALIZED (
       SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
                       greatest(a.doc_id, b.doc_id) AS id_b
@@ -2697,11 +2702,19 @@ items:
     */
   val simhashBlindSpot: Seq[(Long, Long)] = Seq((1166L, 4828L))
 
-  private val simhashNearDupsSql = s"""
+  private val simhashNearDupsSql = {
+    // guard: an empty pin list must NOT emit "AND NOT ()" (a DuckDB
+    // syntax error) — e.g. after a fixture regen clears the pins
+    val blindSpotClause =
+      if (simhashBlindSpot.isEmpty) ""
+      else simhashBlindSpot
+        .map { case (a, b) => s"(id_a = $a AND id_b = $b)" }
+        .mkString("\n      AND NOT (", " OR ", ")")
+    s"""
     WITH ${nearDupPairCtes("documents")}
     SELECT id_a, id_b, round(j, 6) AS jaccard FROM p
-    WHERE round(j, 6) >= 0.6
-      AND NOT (${simhashBlindSpot.map { case (a, b) => s"(id_a = $a AND id_b = $b)" }.mkString(" OR ")})"""
+    WHERE round(j, 6) >= 0.6$blindSpotClause"""
+  }
 
   /** Brute-force exact cosine top-k (k=5, 3 query vectors). */
   def annBruteTopK(s: SparkSession, dir: String): DataFrame = {

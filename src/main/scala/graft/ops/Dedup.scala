@@ -240,13 +240,19 @@ object Dedup {
     *      sacrificed tail; all 61 carried an agreeing sub-slice, and
     *      this pass restores them (SCALE.md round 15).
     *
-    * The residual sacrificed tail is pairs at distance 1..maxDistance
-    * that meet ONLY inside oversized buckets, disagree on EVERY
-    * sub-slice there (possible only at hamming ≥ 8 — outside the
-    * banding guarantee to begin with), and sort more than
-    * `neighborWindow` apart in every hot (sub-)bucket. With the cap
-    * the output is a documented subset; with maxBucketSize = 0
-    * semantics are exact.
+    * The residual sacrificed tail, in the CAP-ADJACENT regime the
+    * sub-band pass covers (hot buckets of size ≤ 8·maxBucketSize), is
+    * pairs at distance 1..maxDistance that meet ONLY inside oversized
+    * buckets, disagree on EVERY sub-slice there (possible only at
+    * hamming ≥ 8 — outside the banding guarantee to begin with), and
+    * sort more than `neighborWindow` apart in every hot (sub-)bucket.
+    * Buckets hotter than 8·maxBucketSize fall back to the
+    * star+sorted-neighbor passes alone (see the pass-3 saturation
+    * comment), where pairs at any hamming 1..maxDistance can still be
+    * sacrificed if their hashes sort more than `neighborWindow` apart;
+    * at that density the recall contract belongs to MinHash banding.
+    * With the cap the output is a documented subset; with
+    * maxBucketSize = 0 semantics are exact.
     */
   def simHashCandidates(
       df: DataFrame,

@@ -30,8 +30,12 @@ con.sql("SET temp_directory='/tmp/duckdb_oracle_spill'")
 con.sql("SET preserve_insertion_order=false")
 # hard cap so the 1000x replays SPILL instead of getting OOM-killed by
 # the kernel (the 5M-doc ccnet window replay died at rss>hostmem with
-# no limit set; DuckDB only spills when it knows its budget)
-con.sql("SET memory_limit='64GB'")
+# no limit set; DuckDB only spills when it knows its budget). Capped to
+# ~75% of detected host RAM so a smaller host doesn't get a budget
+# ABOVE its physical memory, which would reintroduce the OOM-kill the
+# limit exists to prevent.
+_host_gb = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") / 2**30
+con.sql(f"SET memory_limit='{min(64, int(_host_gb * 0.75))}GB'")
 for p in glob.glob(f"{sf_dir}/*.parquet"):
     name = os.path.basename(p)[: -len(".parquet")]
     # Spark-written tables are directories of part files
