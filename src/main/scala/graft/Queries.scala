@@ -2511,6 +2511,59 @@ items:
     WITH ${nearDupPairCtes("documents")}
     SELECT id_a, id_b FROM p WHERE round(j, 6) >= 0.6"""
 
+  /** [[minhashNearDups]] with a deterministic REPLICA-WINDOW readout —
+    * the formulation that makes the operator hash-gateable at corpus
+    * scales where the full-corpus pair oracle outgrows DuckDB (the
+    * `dedup_spans_sample` discipline applied to near-dup pairs).
+    *
+    * The OPERATOR runs on the FULL corpus: signature build, banding,
+    * candidate join, and exact verification all see every document, so
+    * any at-scale recall loss (bucket density, hot keys) is live in
+    * the plan under test. Only the READOUT is windowed: the gate keeps
+    * pairs whose BOTH endpoints fall in a deterministic 1-in-50 sample
+    * of inflation replicas (`doc_id div STRIDE ≡ 0 (mod 50)`, STRIDE =
+    * 1e8 — InflateSf's key-shift unit). Because the inflation planted
+    * near-dup structure strictly WITHIN replicas (cross-replica
+    * shingle sets are disjoint by the per-replica token suffix), the
+    * sample unit is the replica, and the windowed pair set is exactly
+    * the pair set of the sampled SUB-corpus — which is what the oracle
+    * computes with the same prefix-filtered All-Pairs join over
+    * `documents WHERE (doc_id // 1e8) % 50 = 0`. At sf100 that is a
+    * 100k-doc oracle (20 of 1000 replicas) against a 5M-doc operator
+    * run; at the sf0.01 driver gate every doc_id < 1e8, the window is
+    * the whole corpus, and the row degenerates to exact equality with
+    * `minhash_near_dups`.
+    *
+    * Catalyst legitimately pushes the window predicate through the
+    * verify joins into the candidate join's two sides — so the PLAN
+    * restricts banding to sampled docs rather than post-filtering 5M
+    * docs' pairs. For MinHash this is semantics-preserving, not a gate
+    * weakening: banding recall is a PER-PAIR property (a pair collides
+    * iff its own two signatures agree on a band, independent of every
+    * other document — no cap, no bucket interaction), so the windowed
+    * sub-corpus pair set is identical either way. The full-corpus
+    * run's feasibility evidence stays with the unsampled
+    * `minhash_near_dups` row, benched at every sf.
+    */
+  def minhashNearDupsSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val cands = Dedup.minHashCandidates(docs, bands = 32)
+    val a = docs.select(col("doc_id").as("id_a"), col("text").as("_ta"))
+    val b = docs.select(col("doc_id").as("id_b"), col("text").as("_tb"))
+    cands.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Dedup.ngramJaccard(col("_ta"), col("_tb")), 6).as("jaccard"))
+      .where(col("jaccard") >= 0.6)
+      .where(expr("(id_a div 100000000) % 50 = 0 AND (id_b div 100000000) % 50 = 0"))
+      .orderBy("id_a", "id_b")
+  }
+
+  private val minhashNearDupsSampleSql = s"""
+    WITH docs_rs AS MATERIALIZED (
+      SELECT * FROM documents WHERE (doc_id // 100000000) % 50 = 0),
+    ${nearDupPairCtes("docs_rs")}
+    SELECT id_a, id_b, round(j, 6) AS jaccard FROM p WHERE round(j, 6) >= 0.6"""
+
   /** Signature-build stage alone (perf probe; rows-only). The raw
     * Array[Long] signature is digested to one deterministic scalar per
     * row (xxhash64 over the array) — the driver's pandas row-sort cannot
@@ -4715,6 +4768,7 @@ items:
     ("ngram_jaccard", ngramJaccard _, Some(ngramJaccardSql)),
     ("minhash_pairs", minhashPairs _, Some(minhashPairsSql)),
     ("minhash_near_dups", minhashNearDups _, Some(minhashNearDupsSql)),
+    ("minhash_near_dups_sample", minhashNearDupsSample _, Some(minhashNearDupsSampleSql)),
     ("minhash_sigs", minhashSigs _, Some(minhashSigsSql)),
     ("simhash_pairs", simhashPairs _, Some(simhashPairsSql)),
     ("simhash_pairs_capped", simhashPairsCapped _, Some(simhashPairsSql)),
@@ -4800,6 +4854,11 @@ items:
         RealPipeline.realMembersIncomeBreakdownMultiYear(s, dir)
           .orderBy("Year", "ID", "Member_Number", "Income_Type")),
       Some(RealPipeline.realMembersIncomeMultiYearSql)),
+    ("real_members_total_income_multiyear",
+      ((s: SparkSession, dir: String) =>
+        RealPipeline.realMembersTotalIncomeMultiYear(s, dir)
+          .orderBy("Year", "ID", "Member_Number")),
+      Some(RealPipeline.realMembersTotalIncomeMultiYearSql)),
     ("real_income_breakdown_multiyear",
       ((s: SparkSession, dir: String) =>
         RealPipeline.realIncomeBreakdownMultiYear(s, dir)

@@ -814,6 +814,26 @@ object RealPipeline {
   def realMembersIncomeBreakdownMultiYear(s: SparkSession, dir: String): DataFrame =
     incomeMultiYearRepo(s, dir).table("Members_Income_Breakdown", 1369 to 1401)
 
+  /** Members_Total_Income over the full 33-year span — the last
+    * standard-table family without a full-archive row (the reference's
+    * load matrix, tests/test_metadata/test_tables.py:27-146, is
+    * table × EVERY available year). Per-member totals over the
+    * 33-year cash DAG (schema.yaml:1165-1181: groupby (Year, ID,
+    * Member_Number) sum over Members_Income_Breakdown). Cacheless like
+    * [[realIncomeBreakdownMultiYear]]: the schema's `cache_result`
+    * flag is exercised by the two-year [[realMembersTotalIncome]]
+    * gate; 33 per-year cache materializations here would serialize
+    * the driver gate's budget for no added evidence.
+    */
+  def realMembersTotalIncomeMultiYear(s: SparkSession, dir: String): DataFrame = {
+    require(RealMeta.available, "reference metadata corpus not found")
+    val repo = new TableRepo(s, RealMeta.tables, RealMeta.schema,
+      rawReader = (name, year) => rawIncomeMultiYear(s, dir, name, year),
+      classifications = Map("Imputed_Rent" -> RealMeta.commodities("Imputed_Rent")),
+      config = RepoConfig(availability = RealMeta.tableAvailability))
+    repo.table("Members_Total_Income", 1369 to 1401)
+  }
+
   /** Income_Breakdown over the full 33-year span — ALL THREE derivation
     * families era-correct at every year, which drags in the global
     * provision-method map's five variants (tables.yaml:1216-1221: 1363
@@ -1340,6 +1360,15 @@ object RealPipeline {
     FROM cash WHERE Income_Type IS NOT NULL
     GROUP BY 1, 2, 3, 4"""
   }
+
+  /** FULL-ARCHIVE Members_Total_Income oracle: per-member totals over
+    * the 33-year cash breakdown (schema.yaml:1171-1172) — the same
+    * one-layer wrap as the two-year [[realMembersTotalIncomeSql]].
+    */
+  val realMembersTotalIncomeMultiYearSql: String =
+    s"""SELECT Year, ID, Member_Number, sum(Income) AS Income FROM (
+    $realMembersIncomeMultiYearSql
+    ) GROUP BY 1, 2, 3"""
 
   /** FULL-ARCHIVE Income_Breakdown oracle (1369-1401): the two-year
     * oracle's three arms with every era dispatch transcribed

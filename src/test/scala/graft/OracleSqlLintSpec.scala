@@ -56,6 +56,7 @@ class OracleSqlLintSpec extends AnyFunSuite {
       "real_members_income_breakdown" -> Set("income"),
       "real_members_total_income" -> Set("income"),
       "real_members_income_multiyear" -> Set("income"),
+      "real_members_total_income_multiyear" -> Set("income"),
       "real_income_breakdown_multiyear" -> Set("income"),
     ).withDefaultValue(Set.empty)
     val bad = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap { case (name, sql) =>
