@@ -2694,6 +2694,67 @@ items:
       .orderBy("id_a", "id_b")
   }
 
+  /** The SATURATED regime's gate: `maxBucketSize` = 10 puts sf0.01's
+    * largest (band,key) bucket (88 members) past the sub-band pass's
+    * 8·cap = 80 bound, so the documented saturation fallback — star +
+    * sorted-neighbor ONLY, no sub-band refinement — actually executes
+    * under hash verification (every other simhash row stays in the
+    * cool or cap-adjacent regimes at the driver gate). One invariants
+    * row, all computed Spark-side, oracle pure literals:
+    *
+    *   - `planted_found` = 25: hamming-0 recall survives saturation.
+    *     Equal-hash docs share every band bucket; a planted copy pair
+    *     meets in the capped join if any shared bucket is cool and in
+    *     the full-hash star otherwise — the fallback's unconditional
+    *     guarantee, independent of cap, window, or bucket size.
+    *   - `saturation_exercised`: ≥ 1 bucket above 8·cap (via
+    *     [[Dedup.simHashBucketCensus]] — the same banding algebra the
+    *     operator runs), so this row FAILS LOUDLY if a fixture regen
+    *     or parameter edit quietly drops the gate back into the
+    *     regimes other rows already cover.
+    *   - `within_pair_bound`: output pairs ≤ the operator's documented
+    *     census-derived cost bound — Σ C(n,2) over cool buckets, plus
+    *     hot membership · (1 + window) for star + sorted-neighbor,
+    *     plus 8 · cap-adjacent membership · (cap/2 + window) for the
+    *     sub-band pass — pinning that the degraded path's output
+    *     volume (and so its shuffle) stays inside the contract that
+    *     makes the cap scale-safe.
+    *
+    * maxDistance = 3 (not 0) so the run takes the full recovery
+    * machinery's code path — at 0 the operator rightly skips the
+    * sub-band pass, and the saturation branch would be dead code.
+    */
+  def simhashPairsSaturated(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val corpus = plantedCorpus(docs)
+    assertPlantedHashIsolation(corpus, dir)
+    val cap = 10
+    val window = 8
+    val out = Dedup.simHashCandidates(corpus, maxDistance = 3, bands = 8,
+      maxBucketSize = cap, neighborWindow = window)
+    val census = Dedup.simHashBucketCensus(corpus, bands = 8)
+    val bounds = census.agg(
+      sum(when(col("_n") > 8 * cap, 1L).otherwise(0L)).as("_saturated"),
+      (sum(when(col("_n") <= cap, col("_n") * (col("_n") - 1) / 2).otherwise(0L)) +
+        sum(when(col("_n") > cap, col("_n") * (1 + window)).otherwise(0L)) +
+        sum(when(col("_n") > cap && col("_n") <= 8 * cap,
+          col("_n") * 8 * (cap / 2 + window)).otherwise(0L))).as("_bound"))
+    val counts = out.agg(
+      sum(when(col("id_a") < 25 && col("id_b") === col("id_a") + 10000 &&
+        col("hamming") === 0, 1L).otherwise(0L)).as("_planted"),
+      count(lit(1)).as("_pairs"))
+    // two 1-row aggregates: the cross join is a broadcast scalar
+    counts.crossJoin(bounds).select(
+      col("_planted").as("planted_found"),
+      (col("_saturated") >= 1L).as("saturation_exercised"),
+      (col("_pairs") <= col("_bound")).as("within_pair_bound"))
+  }
+
+  private val simhashPairsSaturatedSql = """
+    SELECT CAST(25 AS BIGINT) AS planted_found,
+           TRUE AS saturation_exercised,
+           TRUE AS within_pair_bound"""
+
   /** SimHash-bucketed near-dup pipeline, oracled against the exact-pair
     * CTE MINUS the measured SimHash blind-spot list: banded candidates
     * -> exact n-gram-Jaccard verify at 0.6. SimHash is a deterministic
@@ -4772,6 +4833,7 @@ items:
     ("minhash_sigs", minhashSigs _, Some(minhashSigsSql)),
     ("simhash_pairs", simhashPairs _, Some(simhashPairsSql)),
     ("simhash_pairs_capped", simhashPairsCapped _, Some(simhashPairsSql)),
+    ("simhash_pairs_saturated", simhashPairsSaturated _, Some(simhashPairsSaturatedSql)),
     ("simhash_near_dups", simhashNearDups _, Some(simhashNearDupsSql)),
     ("ann_brute_topk", annBruteTopK _, Some(annBruteSql)),
     ("ann_int8_topk", annInt8TopK _, Some(annInt8Sql)),

@@ -214,6 +214,20 @@ object Ann {
     * appear only in the two pre-join band exchanges (one side each),
     * never in any exchange above the join.
     *
+    * OPERATING GUIDANCE — centroids are REQUIRED at corpus scale. The
+    * cluster-free form is the oracled fixed point and fine to ~10⁴–10⁵
+    * vectors, but its banded-bucket residue is quadratic in n at a
+    * fixed operating point: measured 0.35 s at 20k vectors (sf0.1,
+    * where the two forms tie) vs 81–122 s at 200k (sf10) — while the
+    * centroid split with k ∝ n (the [[graft.Queries.semanticDedupScaled]]
+    * k-growth rule, k ≈ n/2500) holds 2.9–4.3 s at 200k, a 30–40×
+    * win that widens with every decade. Production use above ~50k
+    * vectors should pass `centroids` (k lowest-id corpus vectors, or a
+    * trained codebook) and accept the stated SemDeDup recall scope;
+    * the cluster-free gate row exists to pin exact semantics, not as
+    * the at-scale configuration. Crossover and measurements: SCALE.md
+    * rounds 15–16.
+    *
     * Cache lifecycle: the persisted (id, vector, signature, norm) set —
     * the operator's largest intermediate — follows the [[StorageHandle]]
     * contract. On the default `unmanaged` handle it stays cached until

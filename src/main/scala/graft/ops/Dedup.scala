@@ -254,6 +254,41 @@ object Dedup {
     * With the cap the output is a documented subset; with
     * maxBucketSize = 0 semantics are exact.
     */
+  /** The banding projection shared by [[simHashCandidates]] and
+    * [[simHashBucketCensus]]: one row per (doc, band) carrying the
+    * band's bit-slice key. Static unrolling (bands is a plan-time
+    * constant): the transform(sequence(...)) form would evaluate its
+    * lambda interpreted per row — the bandKeys discipline.
+    */
+  private def bandedSlices(hashed: DataFrame, idCol: String, bands: Int): DataFrame = {
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    hashed.select(col(idCol), col("_sh"),
+      explode(array((0 until bands).map { q =>
+        struct(lit(q).as("q"),
+          call_function("shiftright", col("_sh"), lit(q * width)).bitwiseAND(lit(mask)).as("key"))
+      }: _*)).as("_band"))
+      .select(col(idCol), col("_sh"), col("_band.q").as("_q"), col("_band.key").as("_k"))
+  }
+
+  /** Per-(band, key) bucket census of [[simHashCandidates]]'s banding:
+    * `(_q, _k, _n)` rows, at most bands·2^(64/bands) of them.
+    * Introspection for gates and specs that pin WHICH hot-bucket
+    * regime a corpus puts the operator in (cool / cap-adjacent /
+    * saturated past 8·cap) and derive candidate-volume bounds from the
+    * same bit algebra the operator runs — without replicating it.
+    */
+  def simHashBucketCensus(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      bands: Int = 4,
+  ): DataFrame = {
+    require(64 % bands == 0, s"bands=$bands must divide 64")
+    bandedSlices(simHashes(df, textCol, idCol), idCol, bands)
+      .groupBy("_q", "_k").agg(count(lit(1)).as("_n"))
+  }
+
   def simHashCandidates(
       df: DataFrame,
       textCol: String = "text",
@@ -266,17 +301,8 @@ object Dedup {
   ): DataFrame = {
     require(64 % bands == 0, s"bands=$bands must divide 64")
     val width = 64 / bands
-    val mask = if (width == 64) -1L else (1L << width) - 1
     val hashed = simHashes(df, textCol, idCol)
-    // static unrolling (bands is a plan-time constant): the
-    // transform(sequence(...)) form evaluates its lambda interpreted
-    // per row — the bandKeys discipline
-    val banded = handle.persist(hashed.select(col(idCol), col("_sh"),
-      explode(array((0 until bands).map { q =>
-        struct(lit(q).as("q"),
-          call_function("shiftright", col("_sh"), lit(q * width)).bitwiseAND(lit(mask)).as("key"))
-      }: _*)).as("_band"))
-      .select(col(idCol), col("_sh"), col("_band.q").as("_q"), col("_band.key").as("_k")))
+    val banded = handle.persist(bandedSlices(hashed, idCol, bands))
     // bucket census: one tiny aggregate over the cached slim rows (at
     // most bands·2^width groups); joined back as a left-semi filter so
     // no count column rides the pairwise join
