@@ -1234,7 +1234,9 @@ items:
     val li = T(s, dir, "lineitem")
       .withColumn("w_cents", cents(col("l_extendedprice")))
     // all three quartiles out of ONE single-pass buffer per group
-    val agg = WeightedQuantileSketch.weightedPercentilesAgg(Seq(0.25, 0.5, 0.75))
+    // (native TypedImperativeAggregate form — the udaf twin is
+    // cross-checked bit-for-bit in WeightedQuantileSketchSpec)
+    val agg = WeightedQuantileSketch.weightedPercentilesNativeAgg(Seq(0.25, 0.5, 0.75))
     li.groupBy("l_returnflag")
       .agg(agg(col("l_quantity").cast(DoubleType), col("w_cents").cast(DoubleType)).as("_q"))
       .select(col("l_returnflag"),

@@ -40,7 +40,7 @@ object WeightedQuantileSketch {
   /** Parallel sorted arrays; vs.length == ws.length ≤ capacity. */
   final case class WQBuf(vs: Array[Double], ws: Array[Double])
 
-  private def bufInsert(b: WQBuf, v: Double, w: Double, cap: Int): WQBuf = {
+  private[graft] def bufInsert(b: WQBuf, v: Double, w: Double, cap: Int): WQBuf = {
     val idx = java.util.Arrays.binarySearch(b.vs, v)
     if (idx >= 0) {
       // exact coalesce — no growth, no compression. In-place: the
@@ -65,7 +65,7 @@ object WeightedQuantileSketch {
     * then compress once — cheaper and more accurate than re-inserting
     * one side's centroids one at a time.
     */
-  private def bufMerge(a: WQBuf, b: WQBuf, cap: Int): WQBuf = {
+  private[graft] def bufMerge(a: WQBuf, b: WQBuf, cap: Int): WQBuf = {
     val n = a.vs.length + b.vs.length
     val vs = new Array[Double](n)
     val ws = new Array[Double](n)
@@ -81,7 +81,7 @@ object WeightedQuantileSketch {
   }
 
   /** Merge closest adjacent centroids until within capacity. */
-  private def bufCompress(b: WQBuf, cap: Int): WQBuf = {
+  private[graft] def bufCompress(b: WQBuf, cap: Int): WQBuf = {
     if (b.vs.length <= cap) return b
     var vs = b.vs; var ws = b.ws
     while (vs.length > cap) {
@@ -107,7 +107,7 @@ object WeightedQuantileSketch {
   }
 
   /** Lower weighted percentile of the buffer (NaN when empty). */
-  private def bufPercentile(b: WQBuf, p: Double): Double = {
+  private[graft] def bufPercentile(b: WQBuf, p: Double): Double = {
     if (b.vs.isEmpty) return Double.NaN
     val target = p * b.ws.sum
     var cum = 0.0
@@ -148,21 +148,46 @@ object WeightedQuantileSketch {
     override def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder()
   }
 
-  /** Column form: `wq(value, weight)` usable in any groupBy.agg. */
+  /** Column form: `wq(value, weight)` usable in any groupBy.agg.
+    * Aggregator/udaf path — kept as the cross-check twin of the native
+    * form (WeightedQuantileSketchSpec asserts they agree bit-for-bit);
+    * prefer [[weightedPercentilesNativeAgg]] in production plans.
+    */
   def weightedPercentileAgg(p: Double, maxCentroids: Int = 128): (Column, Column) => Column = {
     val u = udaf(new WeightedPercentile(p, maxCentroids))
     (v, w) => u(v, w)
   }
 
-  /** Column form returning array<double>, one element per requested p. */
+  /** Column form returning array<double>, one element per requested p
+    * (Aggregator/udaf path — see [[weightedPercentileAgg]]).
+    */
   def weightedPercentilesAgg(ps: Seq[Double], maxCentroids: Int = 128): (Column, Column) => Column = {
     val u = udaf(new WeightedPercentiles(ps, maxCentroids))
     (v, w) => u(v, w)
   }
 
+  /** NATIVE column form — the default. Same buffer kernels as the
+    * Aggregator path (bit-identical results by construction) through
+    * [[graft.plans.WeightedPercentilesSketch]], a TypedImperativeAggregate
+    * whose `update` reads the two doubles straight off the InternalRow:
+    * no per-row ExpressionEncoder round-trip, no boxed tuple. At the
+    * sketch's design regime (extreme group cardinality, tiny groups)
+    * that per-row tax is the dominant term — the udaf form measured
+    * 1.4× the WINDOW path at sf0.1 `e12_sketch_hicard` before this
+    * (SCALE.md round 16). Needs [[graft.plans.GraftExtensions]]
+    * installed (every session in this library installs it). Returns
+    * array<double>, one element per requested p; inputs must already
+    * be double (callers cast, as with the udaf form).
+    */
+  def weightedPercentilesNativeAgg(ps: Seq[Double], maxCentroids: Int = 128): (Column, Column) => Column =
+    (v, w) => call_function("wq_percentiles", v, w,
+      lit(ps.toArray), lit(maxCentroids))
+
   /** Per-group lower weighted percentile VALUE via the sketch — the
     * one-pass sibling of [[Stats.weightedPercentileValue]]. Null values
-    * and null/non-positive weights are dropped, as in the window path.
+    * and null/non-positive weights are dropped, as in the window path
+    * (the native aggregate's update drops them row-side; the explicit
+    * where keeps the scan-level filter pushdown too).
     */
   def weightedPercentileSketch(
       df: DataFrame,
@@ -173,9 +198,9 @@ object WeightedQuantileSketch {
       out: String = "percentile_value",
       maxCentroids: Int = 128,
   ): DataFrame = {
-    val agg = weightedPercentileAgg(p, maxCentroids)
+    val agg = weightedPercentilesNativeAgg(Seq(p), maxCentroids)
     df.where(col(valueCol).isNotNull && col(weightCol).isNotNull && col(weightCol) > 0)
       .groupBy(groupby.map(col): _*)
-      .agg(agg(col(valueCol).cast("double"), col(weightCol).cast("double")).as(out))
+      .agg(element_at(agg(col(valueCol).cast("double"), col(weightCol).cast("double")), 1).as(out))
   }
 }

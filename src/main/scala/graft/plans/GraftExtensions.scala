@@ -193,5 +193,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         NearestCentroid(args.head, flat, labels)
       },
     ))
+    ext.injectFunction((
+      new FunctionIdentifier("wq_percentiles"),
+      new ExpressionInfo(classOf[WeightedPercentilesSketch].getName, "wq_percentiles"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          "wq_percentiles(value, weight, array(p...), maxCentroids)")
+        def doubles(e: Expression): Seq[Double] = {
+          require(e.foldable, s"percentile list must be a literal array, got $e")
+          val et = e.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+          val data = e.eval().asInstanceOf[ArrayData]
+          Seq.tabulate(data.numElements()) { i =>
+            data.get(i, et) match {
+              case d: java.lang.Double  => d.doubleValue
+              case f: java.lang.Float   => f.doubleValue
+              case n: java.lang.Integer => n.doubleValue
+              case other => throw new IllegalArgumentException(
+                s"percentiles must be numeric literals, got $other")
+            }
+          }
+        }
+        WeightedPercentilesSketch(args.head, args(1),
+          doubles(args(2)), positiveInt(args(3), "maxCentroids"))
+      },
+    ))
   }
 }

@@ -77,6 +77,44 @@ class WeightedQuantileSketchSpec extends SparkSpec {
     got.values.foreach(q => assert(q(0) <= q(1) && q(1) <= q(2)))
   }
 
+  test("native TypedImperativeAggregate form agrees with the udaf form bit-for-bit") {
+    import spark.implicits._
+    // both above AND below capacity, several merge shapes: the two
+    // forms share the buffer kernels, so any divergence is a wiring
+    // bug (input order, null handling, serialization)
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 4000).map(i =>
+      (i % 13, rnd.nextDouble() * 100.0, (rnd.nextInt(7) + 1).toDouble))
+    for (parts <- Seq(1, 3, 8); k <- Seq(16, 128)) {
+      val df = rows.toDF("g", "v", "w").repartition(parts)
+      val ps = Seq(0.1, 0.5, 0.9)
+      val udafAgg = WeightedQuantileSketch.weightedPercentilesAgg(ps, k)
+      val natAgg = WeightedQuantileSketch.weightedPercentilesNativeAgg(ps, k)
+      val both = df.groupBy("g").agg(
+        udafAgg(col("v"), col("w")).as("u"),
+        natAgg(col("v"), col("w")).as("n"))
+      val rowsOut = both.collect()
+      assert(rowsOut.nonEmpty)
+      rowsOut.foreach { r =>
+        assert(r.getSeq[Double](1) == r.getSeq[Double](2),
+          s"parts=$parts k=$k g=${r.get(0)}: udaf ${r.getSeq[Double](1)} vs native ${r.getSeq[Double](2)}")
+      }
+    }
+  }
+
+  test("native form drops nulls and non-positive weights row-side") {
+    import spark.implicits._
+    val df = Seq(
+      (1, Some(1.0), Some(1.0)), (1, Some(2.0), Some(1.0)), (1, Some(3.0), Some(1.0)),
+      (1, None, Some(99.0)), (1, Some(100.0), None), (1, Some(100.0), Some(-5.0)),
+    ).toDF("g", "v", "w")
+    // no pre-filter here — the aggregate itself must drop the bad rows
+    val natAgg = WeightedQuantileSketch.weightedPercentilesNativeAgg(Seq(0.5))
+    val out = df.groupBy("g")
+      .agg(element_at(natAgg(col("v"), col("w")), 1).as("m")).collect()
+    assert(out.map(r => r.getInt(0) -> r.getDouble(1)).toMap == Map(1 -> 2.0))
+  }
+
   test("empty group input yields no rows; single value is its own median") {
     import spark.implicits._
     val df = Seq((1, 42.0, 3.0)).toDF("g", "v", "w")
