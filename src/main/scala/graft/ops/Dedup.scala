@@ -362,12 +362,19 @@ object Dedup {
         // once buckets grow far past the cap the refined 15-bit key
         // space saturates too (a 5M-doc corpus puts ~20k members in an
         // AVERAGE bucket, whose ~160-member sub-buckets are all "cool"
-        // yet aggregate to a ~5e10-probe join and a >50 GB shuffle —
-        // the measured sf100 wall, SCALE.md round 15). Beyond the
-        // bound the pass degrades gracefully to star+sorted-neighbor,
-        // and the Jaccard-recall contract at that density belongs to
-        // MinHash banding, which keys on shingle content rather than a
-        // fixed 64-bit space and does not saturate.
+        // yet aggregate to a ~5e10-probe join and a >50 GB shuffle).
+        // Beyond the bound the pass degrades gracefully to
+        // star+sorted-neighbor, and the Jaccard-recall contract at
+        // that density belongs to MinHash banding, which keys on
+        // shingle content rather than a fixed 64-bit space and does
+        // not saturate. MEASURED at sf100 (round 16, SCALE.md): 5M
+        // docs saturate ALL 2048 (band,key) buckets (max 29,095
+        // members, zero cool or cap-adjacent membership), and recall
+        // against the exact All-Pairs truth drops to 65.2% (167/256
+        // window pairs, zero false positives) — vs 255/255 exact at
+        // sf10 where this pass still applies. MinHash on the same
+        // corpus stays exact (minhash_near_dups_sample, hash-gated at
+        // sf100).
         val subBandMaxBucket = 8L * maxBucketSize
         val subWidth = (64 - width) / 8
         // at maxDistance = 0 the star pass already gives COMPLETE recall
