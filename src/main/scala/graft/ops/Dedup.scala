@@ -233,25 +233,28 @@ object Dedup {
     *      in that sub-bucket (unless the sub-bucket is itself still
     *      hot, where the sorted-neighbor window applies within the
     *      refined group). Cost is bounded exactly like the main join:
-    *      Σ sub-bucket² ≤ (8·hot-membership)·cap. Added after the 100×
-    *      sweep measured the residual for real: at 500k docs the
-    *      corpus's agreeing-band buckets crossed the cap (1603–2541
-    *      members vs cap 1000) and 61/255 true pairs fell into the
-    *      sacrificed tail; all 61 carried an agreeing sub-slice, and
-    *      this pass restores them (SCALE.md round 15).
+    *      Σ sub-bucket² ≤ (8·hot-membership)·cap, linear in n — the
+    *      SUB-bucket cap is the cost control, so the pass applies to
+    *      EVERY hot bucket regardless of how far past the cap it is
+    *      (the round-15 parent-size gate is gone: the round-16 sf100
+    *      measurement showed a fully saturated corpus — all 2048
+    *      buckets hot, max 29,095 members — whose refined sub-buckets
+    *      average ~227 members, comfortably cool, while the gated
+    *      pass's recall had fallen to 65.2%; see the pass-3 comment).
+    *      First added after the 100× sweep measured the residual for
+    *      real: at 500k docs the corpus's agreeing-band buckets
+    *      crossed the cap (1603–2541 members vs cap 1000) and 61/255
+    *      true pairs fell into the sacrificed tail; all 61 carried an
+    *      agreeing sub-slice, and this pass restores them (SCALE.md
+    *      rounds 15–16).
     *
-    * The residual sacrificed tail, in the CAP-ADJACENT regime the
-    * sub-band pass covers (hot buckets of size ≤ 8·maxBucketSize), is
-    * pairs at distance 1..maxDistance that meet ONLY inside oversized
-    * buckets, disagree on EVERY sub-slice there (possible only at
-    * hamming ≥ 8 — outside the banding guarantee to begin with), and
-    * sort more than `neighborWindow` apart in every hot (sub-)bucket.
-    * Buckets hotter than 8·maxBucketSize fall back to the
-    * star+sorted-neighbor passes alone (see the pass-3 saturation
-    * comment), where pairs at any hamming 1..maxDistance can still be
-    * sacrificed if their hashes sort more than `neighborWindow` apart;
-    * at that density the recall contract belongs to MinHash banding.
-    * With the cap the output is a documented subset; with
+    * The residual sacrificed tail is pairs at distance 1..maxDistance
+    * that meet ONLY inside oversized buckets and EITHER disagree on
+    * every 7-bit sub-slice there (possible only at hamming ≥ 8 —
+    * outside the banding guarantee to begin with) OR land every clean
+    * sub-slice in a sub-bucket that is ITSELF hot — and in both cases
+    * sort more than `neighborWindow` apart in every hot (sub-)bucket
+    * they share. With the cap the output is a documented subset; with
     * maxBucketSize = 0 semantics are exact.
     */
   /** The banding projection shared by [[simHashCandidates]] and
@@ -357,25 +360,27 @@ object Dedup {
         // groups; still-hot sub-buckets get their own sorted-neighbor
         // window (a strictly more local sort than pass 2's).
         //
-        // Refinement targets the CAP-ADJACENT regime only (buckets up
-        // to 8·cap — the measured sf10 residual sat at 1.6–2.5·cap):
-        // once buckets grow far past the cap the refined 15-bit key
-        // space saturates too (a 5M-doc corpus puts ~20k members in an
-        // AVERAGE bucket, whose ~160-member sub-buckets are all "cool"
-        // yet aggregate to a ~5e10-probe join and a >50 GB shuffle).
-        // Beyond the bound the pass degrades gracefully to
-        // star+sorted-neighbor, and the Jaccard-recall contract at
-        // that density belongs to MinHash banding, which keys on
-        // shingle content rather than a fixed 64-bit space and does
-        // not saturate. MEASURED at sf100 (round 16, SCALE.md): 5M
-        // docs saturate ALL 2048 (band,key) buckets (max 29,095
-        // members, zero cool or cap-adjacent membership), and recall
-        // against the exact All-Pairs truth drops to 65.2% (167/256
-        // window pairs, zero false positives) — vs 255/255 exact at
-        // sf10 where this pass still applies. MinHash on the same
-        // corpus stays exact (minhash_near_dups_sample, hash-gated at
-        // sf100).
-        val subBandMaxBucket = 8L * maxBucketSize
+        // Refinement applies to EVERY hot bucket. Through round 15 it
+        // was gated to the cap-adjacent regime (parent ≤ 8·cap) on the
+        // estimate that far-saturated buckets would re-saturate the
+        // refined key space into a quadratic join; the round-16 sf100
+        // measurement showed the opposite on both axes (SCALE.md):
+        // 5M docs saturate ALL 2048 (band,key) buckets (max 29,095
+        // members, zero cool/cap-adjacent membership), the gated pass
+        // therefore recovered NOTHING and recall fell to 65.2%
+        // (167/256 window pairs, 84 of the 89 losses INSIDE the
+        // hamming ≤ 7 pigeonhole envelope) — while the refined
+        // sub-buckets of a 29k-member parent average ~227 members,
+        // comfortably COOL. The sub-bucket cap below is what actually
+        // bounds cost, and it never needed the parent gate:
+        // Σ sub-cool² ≤ sub-membership·cap ≤ 8·hot·cap — linear in n,
+        // the same form as the main join's n·cap — and sub-buckets
+        // that are themselves hot fall to their own sorted-neighbor
+        // window, so an adversarially concentrated corpus degrades to
+        // the linear passes, never to a quadratic join. With the gate
+        // removed the envelope guarantee holds in every hot bucket:
+        // a hamming ≤ 7 pair has a clean 7-bit sub-slice and meets in
+        // that sub-bucket unless the sub-bucket is itself hot.
         val subWidth = (64 - width) / 8
         // at maxDistance = 0 the star pass already gives COMPLETE recall
         // inside hot buckets (equal hashes land in one star group), so
@@ -394,10 +399,7 @@ object Dedup {
               else col("_sh").bitwiseAND(lit((1L << (q * width)) - 1))
             q -> hi.bitwiseOR(lo)
           }.foldLeft(lit(0L)) { case (acc, (q, e)) => when(col("_q") === q, e).otherwise(acc) }
-          val hotAdjacent = banded.join(
-            counts.where(col("_n") > maxBucketSize && col("_n") <= subBandMaxBucket),
-            Seq("_q", "_k"), "left_semi")
-          val sub = hotAdjacent
+          val sub = hot
             .select(col(idCol), col("_sh"), col("_q"), col("_k"), rem.as("_rem"))
             .select(col(idCol), col("_sh"), col("_q"), col("_k"),
               explode(array((0 until 8).map { r =>
