@@ -2697,21 +2697,23 @@ items:
   }
 
   /** The SATURATED regime's gate: `maxBucketSize` = 10 puts sf0.01's
-    * largest (band,key) bucket (88 members) far past the cap (and past
-    * the former 8·cap parent gate), so the recovery machinery runs at
-    * genuine saturation density under hash verification — star,
-    * sorted-neighbor, AND the sub-band refinement that round 16
-    * extended to every hot bucket after the sf100 measurement showed
-    * the parent-size gate sacrificing in-envelope pairs (every other
-    * simhash row stays in the cool or cap-adjacent regimes at the
-    * driver gate). One invariants row, all computed Spark-side, oracle
-    * pure literals:
+    * largest (band,key) bucket (88 members) past the sub-band pass's
+    * 8·cap = 80 bound, so the documented saturation fallback — star +
+    * sorted-neighbor ONLY, no sub-band refinement — actually executes
+    * under hash verification (every other simhash row stays in the
+    * cool or cap-adjacent regimes at the driver gate). Round 16
+    * measured WHY the fallback is the design (not an economy): an
+    * ungated sub-band pass at saturation density generates a
+    * semantically quadratic candidate set (SCALE.md round 16), so the
+    * gate pins the load-shedding behavior the operator deliberately
+    * keeps. One invariants row, all computed Spark-side, oracle pure
+    * literals:
     *
     *   - `planted_found` = 25: hamming-0 recall survives saturation.
     *     Equal-hash docs share every band bucket; a planted copy pair
     *     meets in the capped join if any shared bucket is cool and in
-    *     the full-hash star otherwise — unconditional, independent of
-    *     cap, window, or bucket size.
+    *     the full-hash star otherwise — the fallback's unconditional
+    *     guarantee, independent of cap, window, or bucket size.
     *   - `saturation_exercised`: ≥ 1 bucket above 8·cap (via
     *     [[Dedup.simHashBucketCensus]] — the same banding algebra the
     *     operator runs), so this row FAILS LOUDLY if a fixture regen
@@ -2720,10 +2722,10 @@ items:
     *   - `within_pair_bound`: output pairs ≤ the operator's documented
     *     census-derived cost bound — Σ C(n,2) over cool buckets, plus
     *     hot membership · (1 + window) for star + sorted-neighbor,
-    *     plus 8 · hot membership · (cap/2 + window) for the sub-band
-    *     pass over every hot bucket — pinning that the recovery
-    *     passes' output volume (and so their shuffle) stays inside the
-    *     linear-in-n contract that makes the cap scale-safe.
+    *     plus 8 · cap-adjacent membership · (cap/2 + window) for the
+    *     sub-band pass — pinning that the degraded path's output
+    *     volume (and so its shuffle) stays inside the contract that
+    *     makes the cap scale-safe.
     *
     * maxDistance = 3 (not 0) so the run takes the full recovery
     * machinery's code path — at 0 the operator rightly skips the
@@ -2742,7 +2744,7 @@ items:
       sum(when(col("_n") > 8 * cap, 1L).otherwise(0L)).as("_saturated"),
       (sum(when(col("_n") <= cap, col("_n") * (col("_n") - 1) / 2).otherwise(0L)) +
         sum(when(col("_n") > cap, col("_n") * (1 + window)).otherwise(0L)) +
-        sum(when(col("_n") > cap,
+        sum(when(col("_n") > cap && col("_n") <= 8 * cap,
           col("_n") * 8 * (cap / 2 + window)).otherwise(0L))).as("_bound"))
     val counts = out.agg(
       sum(when(col("id_a") < 25 && col("id_b") === col("id_a") + 10000 &&

@@ -233,28 +233,28 @@ object Dedup {
     *      in that sub-bucket (unless the sub-bucket is itself still
     *      hot, where the sorted-neighbor window applies within the
     *      refined group). Cost is bounded exactly like the main join:
-    *      Σ sub-bucket² ≤ (8·hot-membership)·cap, linear in n — the
-    *      SUB-bucket cap is the cost control, so the pass applies to
-    *      EVERY hot bucket regardless of how far past the cap it is
-    *      (the round-15 parent-size gate is gone: the round-16 sf100
-    *      measurement showed a fully saturated corpus — all 2048
-    *      buckets hot, max 29,095 members — whose refined sub-buckets
-    *      average ~227 members, comfortably cool, while the gated
-    *      pass's recall had fallen to 65.2%; see the pass-3 comment).
-    *      First added after the 100× sweep measured the residual for
-    *      real: at 500k docs the corpus's agreeing-band buckets
-    *      crossed the cap (1603–2541 members vs cap 1000) and 61/255
-    *      true pairs fell into the sacrificed tail; all 61 carried an
-    *      agreeing sub-slice, and this pass restores them (SCALE.md
-    *      rounds 15–16).
+    *      Σ sub-bucket² ≤ (8·hot-membership)·cap. Added after the 100×
+    *      sweep measured the residual for real: at 500k docs the
+    *      corpus's agreeing-band buckets crossed the cap (1603–2541
+    *      members vs cap 1000) and 61/255 true pairs fell into the
+    *      sacrificed tail; all 61 carried an agreeing sub-slice, and
+    *      this pass restores them (SCALE.md round 15). The pass is
+    *      gated to the CAP-ADJACENT regime (parent ≤ 8·cap) — round 16
+    *      measured why on both sides; see the pass-3 comment.
     *
-    * The residual sacrificed tail is pairs at distance 1..maxDistance
-    * that meet ONLY inside oversized buckets and EITHER disagree on
-    * every 7-bit sub-slice there (possible only at hamming ≥ 8 —
-    * outside the banding guarantee to begin with) OR land every clean
-    * sub-slice in a sub-bucket that is ITSELF hot — and in both cases
-    * sort more than `neighborWindow` apart in every hot (sub-)bucket
-    * they share. With the cap the output is a documented subset; with
+    * The residual sacrificed tail, in the CAP-ADJACENT regime the
+    * sub-band pass covers (hot buckets of size ≤ 8·maxBucketSize), is
+    * pairs at distance 1..maxDistance that meet ONLY inside oversized
+    * buckets, disagree on EVERY sub-slice there (possible only at
+    * hamming ≥ 8 — outside the banding guarantee to begin with), and
+    * sort more than `neighborWindow` apart in every hot (sub-)bucket.
+    * Buckets hotter than 8·maxBucketSize fall back to the
+    * star+sorted-neighbor passes alone, where pairs at any hamming
+    * 1..maxDistance can still be sacrificed if their hashes sort more
+    * than `neighborWindow` apart — MEASURED at sf100 as 65.2% recall
+    * with perfect precision at full saturation (SCALE.md round 16);
+    * at that density the recall contract belongs to MinHash banding.
+    * With the cap the output is a documented subset; with
     * maxBucketSize = 0 semantics are exact.
     */
   /** The banding projection shared by [[simHashCandidates]] and
@@ -360,27 +360,36 @@ object Dedup {
         // groups; still-hot sub-buckets get their own sorted-neighbor
         // window (a strictly more local sort than pass 2's).
         //
-        // Refinement applies to EVERY hot bucket. Through round 15 it
-        // was gated to the cap-adjacent regime (parent ≤ 8·cap) on the
-        // estimate that far-saturated buckets would re-saturate the
-        // refined key space into a quadratic join; the round-16 sf100
-        // measurement showed the opposite on both axes (SCALE.md):
-        // 5M docs saturate ALL 2048 (band,key) buckets (max 29,095
-        // members, zero cool/cap-adjacent membership), the gated pass
-        // therefore recovered NOTHING and recall fell to 65.2%
-        // (167/256 window pairs, 84 of the 89 losses INSIDE the
-        // hamming ≤ 7 pigeonhole envelope) — while the refined
-        // sub-buckets of a 29k-member parent average ~227 members,
-        // comfortably COOL. The sub-bucket cap below is what actually
-        // bounds cost, and it never needed the parent gate:
-        // Σ sub-cool² ≤ sub-membership·cap ≤ 8·hot·cap — linear in n,
-        // the same form as the main join's n·cap — and sub-buckets
-        // that are themselves hot fall to their own sorted-neighbor
-        // window, so an adversarially concentrated corpus degrades to
-        // the linear passes, never to a quadratic join. With the gate
-        // removed the envelope guarantee holds in every hot bucket:
-        // a hamming ≤ 7 pair has a clean 7-bit sub-slice and meets in
-        // that sub-bucket unless the sub-bucket is itself hot.
+        // Refinement targets the CAP-ADJACENT regime only (buckets up
+        // to 8·cap). Round 16 MEASURED both sides of this gate at
+        // sf100 (5M docs — ALL 2048 (band,key) buckets saturated, max
+        // 29,095 members, zero cool/cap-adjacent membership; SCALE.md):
+        //
+        //  - WITH the gate, the pass recovers nothing at that density
+        //    and recall vs the exact All-Pairs truth is 65.2%
+        //    (167/256 window pairs, zero false positives), 84 of the
+        //    89 losses inside the hamming ≤ 7 envelope — the measured
+        //    PRICE of the gate;
+        //  - WITHOUT the gate (tried this round), the refined
+        //    sub-buckets are individually cool (~227 members) and the
+        //    join is feasible, but its SURVIVOR SET is not: on a
+        //    templated corpus the ~5·10¹⁰ sub-pair evaluations pass
+        //    the hamming filter in bulk (shared-template tokens pin
+        //    hashes together regardless of true Jaccard — the same
+        //    force that saturated the buckets), and two runs exhausted
+        //    47 GB and then 60 GB of shuffle spill before the
+        //    candidate set even reached verification. The explosion is
+        //    SEMANTIC — past saturation density the 64-bit signal no
+        //    longer discriminates, so candidate volume is inherently
+        //    quadratic — not an implementation artifact.
+        //
+        // The gate is therefore load-shedding at SimHash's semantic
+        // boundary: beyond it the pass degrades to star+sorted-
+        // neighbor, and the Jaccard-recall contract at that density
+        // belongs to MinHash banding, which keys on shingle content,
+        // does not saturate, and is hash-exact at sf100
+        // (minhash_near_dups_sample).
+        val subBandMaxBucket = 8L * maxBucketSize
         val subWidth = (64 - width) / 8
         // at maxDistance = 0 the star pass already gives COMPLETE recall
         // inside hot buckets (equal hashes land in one star group), so
@@ -399,29 +408,38 @@ object Dedup {
               else col("_sh").bitwiseAND(lit((1L << (q * width)) - 1))
             q -> hi.bitwiseOR(lo)
           }.foldLeft(lit(0L)) { case (acc, (q, e)) => when(col("_q") === q, e).otherwise(acc) }
-          val sub = hot
+          // the (q, k, r, sk) identity collapses to ONE 64-bit hashed
+          // key: the sub machinery shuffles its rows three times
+          // (census, the pairwise join's two sides, the sub-window
+          // sort) — one 8-byte key column instead of four narrows
+          // every one of those exchanges. A hash collision between two
+          // of the ≤ bands·2^width·8·2^subWidth live keys (~2^26 at
+          // the defaults, birthday-negligible in 2^64) would only
+          // MERGE two sub-buckets: extra candidates, filtered by the
+          // same hamming bound — cost, never correctness.
+          val hotAdjacent = banded.join(
+            counts.where(col("_n") > maxBucketSize && col("_n") <= subBandMaxBucket),
+            Seq("_q", "_k"), "left_semi")
+          val sub = hotAdjacent
             .select(col(idCol), col("_sh"), col("_q"), col("_k"), rem.as("_rem"))
-            .select(col(idCol), col("_sh"), col("_q"), col("_k"),
+            .select(col(idCol), col("_sh"),
               explode(array((0 until 8).map { r =>
-                struct(lit(r).as("r"),
+                xxhash64(col("_q"), col("_k"), lit(r),
                   shiftrightunsigned(col("_rem"), r * subWidth)
-                    .bitwiseAND(lit(subMask)).as("sk"))
-              }: _*)).as("_s"))
-            .select(col(idCol), col("_sh"), col("_q"), col("_k"),
-              col("_s.r").as("_r"), col("_s.sk").as("_sk"))
-          val subKeys = Seq("_q", "_k", "_r", "_sk")
-          val subCounts = sub.groupBy(subKeys.map(col): _*).agg(count(lit(1)).as("_n"))
+                    .bitwiseAND(lit(subMask)))
+              }: _*)).as("_skey"))
+          val subCounts = sub.groupBy("_skey").agg(count(lit(1)).as("_n"))
           val subCool = sub.join(
-            subCounts.where(col("_n") <= maxBucketSize), subKeys, "left_semi")
-          val sa2 = subCool.select(col(idCol).as("id_a") +: col("_sh").as("_sh_a") +: subKeys.map(col): _*)
-          val sb2 = subCool.select(col(idCol).as("id_b") +: col("_sh").as("_sh_b") +: subKeys.map(col): _*)
-          val subJoined = sa2.join(sb2, subKeys)
+            subCounts.where(col("_n") <= maxBucketSize), Seq("_skey"), "left_semi")
+          val sa2 = subCool.select(col(idCol).as("id_a"), col("_sh").as("_sh_a"), col("_skey"))
+          val sb2 = subCool.select(col(idCol).as("id_b"), col("_sh").as("_sh_b"), col("_skey"))
+          val subJoined = sa2.join(sb2, Seq("_skey"))
             .where(col("id_a") < col("id_b"))
             .select(col("id_a"), col("id_b"),
               hammingDistance(col("_sh_a"), col("_sh_b")).as("hamming"))
           val subHot = sub.join(
-            subCounts.where(col("_n") > maxBucketSize), subKeys, "left_semi")
-          val subSortWin = Window.partitionBy(subKeys.map(col): _*)
+            subCounts.where(col("_n") > maxBucketSize), Seq("_skey"), "left_semi")
+          val subSortWin = Window.partitionBy("_skey")
             .orderBy(col("_sh"), col(idCol))
           val subLeads = array((1 to neighborWindow).map(i =>
             lead(struct(col(idCol).as("nid"), col("_sh").as("nsh")), i).over(subSortWin)): _*)
