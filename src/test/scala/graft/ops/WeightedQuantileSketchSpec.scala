@@ -115,6 +115,34 @@ class WeightedQuantileSketchSpec extends SparkSpec {
     assert(out.map(r => r.getInt(0) -> r.getDouble(1)).toMap == Map(1 -> 2.0))
   }
 
+  test("property: native ≡ udaf over generated corpora (values, weights, caps, percentiles)") {
+    import spark.implicits._
+    // deterministic pseudo-random sweep in the StatsPropSpec style:
+    // varied group counts, duplicate-heavy and unique-heavy value
+    // distributions, capacities below AND above the distinct count,
+    // percentile endpoints included
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed * 104729)
+      val nGroups = 1 + rnd.nextInt(6)
+      val valSpace = if (seed % 2 == 0) 12 else 4000 // force/avoid coalescing
+      val rows = List.tabulate(400 + rnd.nextInt(600)) { _ =>
+        (rnd.nextInt(nGroups), rnd.nextInt(valSpace).toDouble,
+          (rnd.nextInt(9) + 1).toDouble)
+      }
+      val df = rows.toDF("g", "v", "w").repartition(1 + rnd.nextInt(7))
+      val k = Seq(8, 32, 256)(rnd.nextInt(3))
+      val ps = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+      val u = WeightedQuantileSketch.weightedPercentilesAgg(ps, k)
+      val nat = WeightedQuantileSketch.weightedPercentilesNativeAgg(ps, k)
+      df.groupBy("g")
+        .agg(u(col("v"), col("w")).as("u"), nat(col("v"), col("w")).as("n"))
+        .collect().foreach { r =>
+          assert(r.getSeq[Double](1) == r.getSeq[Double](2),
+            s"seed=$seed k=$k g=${r.get(0)}: ${r.getSeq[Double](1)} vs ${r.getSeq[Double](2)}")
+        }
+    }
+  }
+
   test("empty group input yields no rows; single value is its own median") {
     import spark.implicits._
     val df = Seq((1, 42.0, 3.0)).toDF("g", "v", "w")
