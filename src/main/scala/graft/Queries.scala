@@ -1233,16 +1233,15 @@ items:
   def e12cMedianSketch(s: SparkSession, dir: String): DataFrame = {
     val li = T(s, dir, "lineitem")
       .withColumn("w_cents", cents(col("l_extendedprice")))
-    // all three quartiles out of ONE single-pass buffer per group
-    // (native TypedImperativeAggregate form — the udaf twin is
-    // cross-checked bit-for-bit in WeightedQuantileSketchSpec)
-    val agg = WeightedQuantileSketch.weightedPercentilesNativeAgg(Seq(0.25, 0.5, 0.75))
-    li.groupBy("l_returnflag")
-      .agg(agg(col("l_quantity").cast(DoubleType), col("w_cents").cast(DoubleType)).as("_q"))
-      .select(col("l_returnflag"),
-        element_at(col("_q"), 1).as("q1_qty"),
-        element_at(col("_q"), 2).as("median_qty"),
-        element_at(col("_q"), 3).as("q3_qty"))
+    // all three quartiles out of ONE single-pass buffer per group,
+    // through the public entry point that owns the window/sketch
+    // routing (native TypedImperativeAggregate under the hood — the
+    // udaf twin is cross-checked bit-for-bit in
+    // WeightedQuantileSketchSpec, the window/sketch entry-point pair in
+    // StatsSpec).
+    Stats.quantileTable(li, "l_quantity", "w_cents",
+        groupby = Seq("l_returnflag"), ps = Seq(0.25, 0.5, 0.75),
+        outs = Seq("q1_qty", "median_qty", "q3_qty"), useSketch = true)
       .orderBy("l_returnflag")
   }
 

@@ -76,7 +76,12 @@ object SimhashSaturation {
     // INFLATE recall. (The minhash gate tolerates that pushdown —
     // banding recall there is per-pair — but simhash's recovery passes
     // are bucket-population-dependent, which is the thing under test.)
-    pairs.coalesce(1).write.mode("overwrite").parquet(s"$outDir/simhash_full_pairs")
+    // normal write parallelism: a coalesce(1) here would collapse the
+    // final post-shuffle stage (the exact-Jaccard verify join, the most
+    // expensive part of the 5M-doc run) to a single task. The output is
+    // a few thousand rows — many small files is the cheap side of that
+    // trade; the window dump below is the one that gets a single file.
+    pairs.write.mode("overwrite").parquet(s"$outDir/simhash_full_pairs")
     val full = spark.read.parquet(s"$outDir/simhash_full_pairs")
     val nFull = full.count()
     full.where(expr("(id_a div 100000000) % 50 = 0 AND (id_b div 100000000) % 50 = 0"))

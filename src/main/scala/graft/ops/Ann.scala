@@ -18,8 +18,11 @@ import org.apache.spark.sql.types._
   *     signatures (which can be persisted/bucketed-by on disk), and each
   *     query probes O(buckets hit), never the full corpus.
   *
-  * All vector math is zip_with/aggregate over array columns — codegen'd,
-  * no UDFs.
+  * Vector math in hot paths resolves to the native `vec_dot` Catalyst
+  * kernel (see [[graft.plans.VecDot]], registered by GraftExtensions) —
+  * the zip_with/aggregate formulation, kept as the documented fallback
+  * shape, evaluates interpreted and is avoided in candidate scoring. No
+  * Scala UDFs anywhere.
   */
 object Ann {
 

@@ -248,6 +248,10 @@ object Dedup {
     * buckets, disagree on EVERY sub-slice there (possible only at
     * hamming ≥ 8 — outside the banding guarantee to begin with), and
     * sort more than `neighborWindow` apart in every hot (sub-)bucket.
+    * (One birthday-negligible caveat: an xxhash64 sub-key collision
+    * (~2^-13/run) that pushes a merged sub-bucket past maxBucketSize
+    * can demote a cool sub-bucket and sacrifice hamming ≤ 7 pairs —
+    * the characterization above holds up to that probability.)
     * Buckets hotter than 8·maxBucketSize fall back to the
     * star+sorted-neighbor passes alone, where pairs at any hamming
     * 1..maxDistance can still be sacrificed if their hashes sort more
@@ -414,9 +418,14 @@ object Dedup {
           // sort) — one 8-byte key column instead of four narrows
           // every one of those exchanges. A hash collision between two
           // of the ≤ bands·2^width·8·2^subWidth live keys (~2^26 at
-          // the defaults, birthday-negligible in 2^64) would only
-          // MERGE two sub-buckets: extra candidates, filtered by the
-          // same hamming bound — cost, never correctness.
+          // the defaults, ~2^-13 birthday probability per run) MERGES
+          // two sub-buckets. Usually that only means extra candidates
+          // (filtered by the same hamming bound — pure cost), but if
+          // the merged census count crosses maxBucketSize it can
+          // demote a genuinely cool sub-bucket to the sorted-window
+          // path and sacrifice hamming≤7 pairs that path misses — so
+          // the sub-band contract below holds up to this negligible
+          // collision probability, not absolutely.
           val hotAdjacent = banded.join(
             counts.where(col("_n") > maxBucketSize && col("_n") <= subBandMaxBucket),
             Seq("_q", "_k"), "left_semi")

@@ -163,6 +163,71 @@ object Stats {
       .groupBy(groupby.map(col): _*)
       .agg(min(col(valueCol)).as(out))
 
+  /** Per-group weighted percentile VALUES, any number of `ps` in one
+    * pass — the public entry point that owns the window-vs-sketch
+    * choice (SURVEY §4):
+    *
+    *   - `useSketch = false` (default): EXACT. One window pass sorts
+    *     every row within its group to build cumulative weight shares,
+    *     then one hash aggregate takes the lower percentile per p. The
+    *     shuffle carries the ROWS — right whenever groups are big
+    *     relative to group count (the survey shape: a handful of years,
+    *     millions of households each).
+    *   - `useSketch = true`: the one-pass bounded-centroid sketch
+    *     ([[WeightedQuantileSketch]], native TypedImperativeAggregate
+    *     when GraftExtensions is installed). Map-side partials mean the
+    *     shuffle carries one ≤ `maxCentroids` buffer per (partition,
+    *     group), never the rows. Switch to it when the shuffle would
+    *     carry rows instead of buffers — extreme group cardinality
+    *     (groups ≈ rows/constant), where sorting every row by group is
+    *     the bottleneck. Exact while a group's distinct value count
+    *     stays ≤ `maxCentroids`; Ben-Haim–Tom-Tov-compressed past that.
+    *
+    * Both paths drop null values and null/non-positive weights and emit
+    * the same schema: `groupby ++ outs`, every percentile a double.
+    * `outs` defaults to `p25`-style names (`p12_5` for fractional).
+    */
+  def quantileTable(
+      df: DataFrame,
+      valueCol: String,
+      weightCol: String = "Weight",
+      groupby: Seq[String] = Seq("Year"),
+      ps: Seq[Double] = Seq(0.5),
+      outs: Seq[String] = Nil,
+      useSketch: Boolean = false,
+      maxCentroids: Int = 128,
+  ): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
+      s"percentiles must be in [0,1], got $ps")
+    val names =
+      if (outs.nonEmpty) {
+        require(outs.length == ps.length, s"outs (${outs.length}) must match ps (${ps.length})")
+        outs
+      } else ps.map(p => "p" + BigDecimal(p * 100).underlying.stripTrailingZeros.toPlainString.replace(".", "_"))
+    val clean = df.where(col(valueCol).isNotNull && col(weightCol).isNotNull && col(weightCol) > 0)
+    if (useSketch) {
+      val agg = WeightedQuantileSketch.percentilesAggFor(df.sparkSession, ps, maxCentroids)
+      val qs = clean.groupBy(groupby.map(col): _*)
+        .agg(agg(col(valueCol).cast("double"), col(weightCol).cast("double")).as("_qs"))
+      qs.select(groupby.map(col) ++ names.zipWithIndex.map { case (n, i) =>
+        element_at(col("_qs"), i + 1).as(n)
+      }: _*)
+    } else {
+      // one window pass shared by every p; min(value | share >= p) per p
+      // is the same lower-percentile rule as weightedPercentileValue.
+      val aggs = ps.zip(names).map { case (p, n) =>
+        min(when(col("_q") >= p, col(valueCol).cast("double"))).as(n)
+      }
+      // no tie-breaker needed: unlike per-row quantile ASSIGNMENT, the
+      // percentile VALUE is tie-order independent — the cumulative
+      // share where a value's run of ties ends is fixed, so whether
+      // min(...) picks that value doesn't depend on intra-tie order.
+      addQuantile(clean, valueCol, weightCol, groupby, "_q", tieBreaker = Seq.empty)
+        .groupBy(groupby.map(col): _*)
+        .agg(aggs.head, aggs.tail: _*)
+    }
+  }
+
   /** E7 add_cpi: broadcast-join the CPI lookup on (separateBy?, Year)
     * (api.py:467-517). `cpi` carries the join keys plus a `CPI` column.
     */

@@ -183,6 +183,25 @@ object WeightedQuantileSketch {
     (v, w) => call_function("wq_percentiles", v, w,
       lit(ps.toArray), lit(maxCentroids))
 
+  /** The sketch aggregate for THIS session: the native
+    * TypedImperativeAggregate when [[graft.plans.GraftExtensions]] is
+    * installed (the library default — no per-row encoder round-trip),
+    * else the bit-identical Aggregator/udaf twin, so a plain
+    * SparkSession without `spark.sql.extensions` configured still works
+    * instead of failing analysis with an opaque unresolved-function
+    * error on `wq_percentiles`.
+    */
+  def percentilesAggFor(
+      spark: org.apache.spark.sql.SparkSession,
+      ps: Seq[Double],
+      maxCentroids: Int = 128,
+  ): (Column, Column) => Column = {
+    val native = spark.sessionState.catalog.isRegisteredFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("wq_percentiles"))
+    if (native) weightedPercentilesNativeAgg(ps, maxCentroids)
+    else weightedPercentilesAgg(ps, maxCentroids)
+  }
+
   /** Per-group lower weighted percentile VALUE via the sketch — the
     * one-pass sibling of [[Stats.weightedPercentileValue]]. Null values
     * and null/non-positive weights are dropped, as in the window path
@@ -198,7 +217,7 @@ object WeightedQuantileSketch {
       out: String = "percentile_value",
       maxCentroids: Int = 128,
   ): DataFrame = {
-    val agg = weightedPercentilesNativeAgg(Seq(p), maxCentroids)
+    val agg = percentilesAggFor(df.sparkSession, Seq(p), maxCentroids)
     df.where(col(valueCol).isNotNull && col(weightCol).isNotNull && col(weightCol) > 0)
       .groupBy(groupby.map(col): _*)
       .agg(element_at(agg(col(valueCol).cast("double"), col(weightCol).cast("double")), 1).as(out))

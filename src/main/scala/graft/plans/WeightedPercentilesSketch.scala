@@ -32,7 +32,7 @@ import graft.ops.WeightedQuantileSketch.WQBuf
   * applies before the Aggregator form).
   *
   * The buffer stays the primitive-parallel-array [[WQBuf]]; shuffle/
-  * spill serialization is a flat ByteBuffer of doubles (8 bytes length
+  * spill serialization is a flat ByteBuffer of doubles (4-byte length
   * prefix + 16·n payload), not a row encoder.
   *
   * Registered as `wq_percentiles(value, weight, array(p...), cap)` by

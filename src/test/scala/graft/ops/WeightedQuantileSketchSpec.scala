@@ -150,4 +150,42 @@ class WeightedQuantileSketchSpec extends SparkSpec {
     val empty = df.where(col("v") < 0)
     assert(WeightedQuantileSketch.weightedPercentileSketch(empty, "v", "w", Seq("g")).count() == 0)
   }
+
+  test("Stats.quantileTable: window and sketch paths agree within capacity, same schema") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 800).map(i =>
+      (i % 4, (rnd.nextInt(60) + 1).toDouble, (rnd.nextInt(9) + 1).toDouble))
+    val df = rows.toDF("g", "v", "w").repartition(5)
+    val ps = Seq(0.25, 0.5, 0.75)
+    val win = Stats.quantileTable(df, "v", "w", Seq("g"), ps)
+    val skc = Stats.quantileTable(df, "v", "w", Seq("g"), ps, useSketch = true)
+    assert(win.columns.toSeq == Seq("g", "p25", "p50", "p75"))
+    assert(skc.columns.toSeq == win.columns.toSeq)
+    val wm = win.collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val sm = skc.collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(wm == sm, s"window $wm vs sketch $sm")
+    // custom out names thread through on both paths
+    val named = Stats.quantileTable(df, "v", "w", Seq("g"), Seq(0.5), outs = Seq("med"))
+    assert(named.columns.toSeq == Seq("g", "med"))
+    // fractional percentile gets an underscore name
+    assert(Stats.quantileTable(df, "v", "w", Seq("g"), Seq(0.125)).columns.contains("p12_5"))
+  }
+
+  test("quantileTable sketch path works without GraftExtensions (udaf fallback)") {
+    // simulate a plain SparkSession: a new session with wq_percentiles
+    // dropped from the registry — percentilesAggFor must route to the
+    // Aggregator/udaf twin instead of failing analysis
+    val s2 = spark.newSession()
+    s2.sessionState.functionRegistry.dropFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("wq_percentiles"))
+    assert(!s2.sessionState.catalog.isRegisteredFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("wq_percentiles")))
+    import s2.implicits._
+    val df = Seq((1, 1.0, 1.0), (1, 2.0, 1.0), (1, 3.0, 1.0)).toDF("g", "v", "w")
+    val out = Stats.quantileTable(df, "v", "w", Seq("g"), Seq(0.5), useSketch = true)
+    assert(out.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap == Map(1 -> 2.0))
+    val direct = WeightedQuantileSketch.weightedPercentileSketch(df, "v", "w", Seq("g"))
+    assert(direct.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap == Map(1 -> 2.0))
+  }
 }

@@ -35,7 +35,7 @@ con.sql("SET preserve_insertion_order=false")
 # ABOVE its physical memory, which would reintroduce the OOM-kill the
 # limit exists to prevent.
 _host_gb = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") / 2**30
-con.sql(f"SET memory_limit='{min(64, int(_host_gb * 0.75))}GB'")
+con.sql(f"SET memory_limit='{max(1, min(64, int(_host_gb * 0.75)))}GB'")
 for p in glob.glob(f"{sf_dir}/*.parquet"):
     name = os.path.basename(p)[: -len(".parquet")]
     # Spark-written tables are directories of part files
