@@ -77,6 +77,30 @@ object RawSources {
     if (years.isEmpty) df else df.where(col("Year").isin(years: _*))
   }
 
+  /** A3: read parquet straight off HTTP(S) URLs — the reference's
+    * remote-mirror path (data_engine.py:242-248: tables are fetched
+    * from a public parquet mirror before local reads; default URL at
+    * config/default_settings.yaml:37). Spark-first, there is no
+    * "download step": [[HttpRangeFileSystem]] makes the URL a
+    * first-class Hadoop path, so the SAME `spark.read.parquet` plan —
+    * column pruning, predicate pushdown, row-group skipping — runs
+    * against the remote file, fetching only the byte ranges the pruned
+    * scan touches (the S3A pattern over plain HTTP).
+    *
+    * Plain HTTP has no directory listings, so every element of `urls`
+    * must be an explicit file URL. Registration is process-wide and
+    * idempotent: Hadoop's core-default maps `fs.http.impl` to its
+    * non-seekable `HttpFileSystem` (length -1 — cannot read parquet),
+    * so this uses `set`, not `setIfUnset`.
+    */
+  def readRemote(spark: SparkSession, urls: Seq[String]): DataFrame = {
+    require(urls.nonEmpty, "readRemote needs at least one URL")
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.http.impl", classOf[HttpRangeFileSystem].getName)
+    hc.set("fs.https.impl", classOf[HttpsRangeFileSystem].getName)
+    spark.read.parquet(urls: _*)
+  }
+
   /** A8: CSV sink (header, overwrite) — the Access-extract side channel. */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
