@@ -2887,19 +2887,106 @@ items:
     */
   val simhashBlindSpot: Seq[(Long, Long)] = Seq((1166L, 4828L))
 
-  private val simhashNearDupsSql = {
-    // guard: an empty pin list must NOT emit "AND NOT ()" (a DuckDB
-    // syntax error) — e.g. after a fixture regen clears the pins
-    val blindSpotClause =
-      if (simhashBlindSpot.isEmpty) ""
-      else simhashBlindSpot
-        .map { case (a, b) => s"(id_a = $a AND id_b = $b)" }
-        .mkString("\n      AND NOT (", " OR ", ")")
-    s"""
+  // guard: an empty pin list must NOT emit "AND NOT ()" (a DuckDB
+  // syntax error) — e.g. after a fixture regen clears the pins
+  private val simhashBlindSpotClause =
+    if (simhashBlindSpot.isEmpty) ""
+    else simhashBlindSpot
+      .map { case (a, b) => s"(id_a = $a AND id_b = $b)" }
+      .mkString("\n      AND NOT (", " OR ", ")")
+
+  private val simhashNearDupsSql = s"""
     WITH ${nearDupPairCtes("documents")}
     SELECT id_a, id_b, round(j, 6) AS jaccard FROM p
-    WHERE round(j, 6) >= 0.6$blindSpotClause"""
+    WHERE round(j, 6) >= 0.6$simhashBlindSpotClause"""
+
+  /** Census-driven near-dup auto-routing, COOL fixture: the engine
+    * ACTS on the saturation boundary round 16 measured
+    * ([[graft.ops.Dedup.nearDupsAuto]]) instead of documenting the
+    * hand-off. The corpus is the replica-0 window (`doc_id < 1e8` —
+    * the whole corpus at the sf0.01 gate, the sf0.1 corpus verbatim
+    * under any inflation), which stays inside SimHash's recovery
+    * regime at the production cap (n ≤ 5000 ≪ 8·1000), so the census
+    * must route SIMHASH at every sf and the verified pair set must
+    * equal the exact ground truth minus the pinned structural blind
+    * spots — the same contract as `simhash_near_dups`, now reached
+    * THROUGH the dispatcher, with the taken route pinned as an output
+    * column the oracle states as a literal.
+    */
+  def nearDupsAutoQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").where(col("doc_id") < 100000000L)
+    val (route, cands) = Dedup.nearDupsAuto(docs)
+    val sh = docs.select(col("doc_id"), Dedup.shingleHashes(col("text")).as("_sh"))
+    val a = sh.select(col("doc_id").as("id_a"), col("_sh").as("_sha"))
+    val b = sh.select(col("doc_id").as("id_b"), col("_sh").as("_shb"))
+    cands.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .select(lit(route).as("route"), col("id_a"), col("id_b"),
+        round(Dedup.jaccardHashes(col("_sha"), col("_shb")), 6).as("jaccard"))
+      .where(col("jaccard") >= 0.6)
+      .orderBy("id_a", "id_b")
   }
+
+  private val nearDupsAutoSql = s"""
+    WITH dw AS MATERIALIZED (
+      SELECT doc_id, text FROM documents WHERE doc_id < 100000000),
+    ${nearDupPairCtes("dw")}
+    SELECT 'simhash' AS route, id_a, id_b, round(j, 6) AS jaccard FROM p
+    WHERE round(j, 6) >= 0.6$simhashBlindSpotClause"""
+
+  /** Census-driven near-dup auto-routing, SATURATED fixture: volume
+    * replicas of the replica-0 window with per-replica token suffixes —
+    * texts DISTINCT across replicas (shingles disjoint, so MinHash
+    * banding stays selective) while the 8-bit SimHash band keyspace
+    * collapses under sheer density: at 50 replicas the mean bucket is
+    * n/256 ≥ 97 even at the sf0.01 gate, and max ≥ mean, so some
+    * bucket exceeds the sub-band regime (8·cap = 80 at the gate's
+    * cap = 10) BY CONSTRUCTION at every sf — saturation from density,
+    * the regime the census exists to catch (mass-duplication is exact
+    * dedup's job upstream). The dispatcher must therefore route
+    * MINHASH, and the 25 planted exact copies (identical signatures →
+    * banding recall certain) must all surface at jaccard 1.0. Output
+    * is the saturated-gate boolean shape (`simhash_pairs_saturated`
+    * precedent): the oracle states the route, the census verdict, and
+    * the planted count as literals; the Spark side must DERIVE them.
+    */
+  def nearDupsAutoSaturatedQ(s: SparkSession, dir: String): DataFrame = {
+    val base = T(s, dir, "documents").where(col("doc_id") < 100000000L)
+      .select("doc_id", "text")
+    val reps = 50
+    val corpus = (0 until reps).map { r =>
+      val t =
+        if (r == 0) col("text")
+        else concat_ws(" ",
+          transform(split(col("text"), "\\s+"), x => concat(x, lit(s"q$r"))))
+      base.select((col("doc_id") + lit(r * 1000000L)).as("doc_id"), t.as("text"))
+    }.reduce(_.unionByName(_))
+    val planted = base.where(col("doc_id") < 25)
+      .select((col("doc_id") + lit(90000000L)).as("doc_id"), col("text"))
+    val full = corpus.unionByName(planted)
+    val cap = 10
+    val (route, cands) = Dedup.nearDupsAuto(full, maxBucketSize = cap)
+    val sh = full.select(col("doc_id"), Dedup.shingleHashes(col("text")).as("_sh"))
+    val a = sh.select(col("doc_id").as("id_a"), col("_sh").as("_sha"))
+    val b = sh.select(col("doc_id").as("id_b"), col("_sh").as("_shb"))
+    val verified = cands.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Dedup.jaccardHashes(col("_sha"), col("_shb")), 6).as("jaccard"))
+      .where(col("jaccard") >= 0.6)
+    val saturatedBuckets = Dedup.simHashBucketCensus(full, bands = 8)
+      .agg(sum(when(col("_n") > 8L * cap, 1L).otherwise(0L)).as("_sat"))
+    verified.agg(
+      sum(when(col("id_a") < 25 && col("id_b") === col("id_a") + 90000000L &&
+        col("jaccard") === 1.0, 1L).otherwise(0L)).as("planted_found"))
+      .crossJoin(saturatedBuckets)
+      .select(lit(route).as("route"),
+        (col("_sat") >= 1L).as("saturation_exercised"),
+        col("planted_found"))
+  }
+
+  private val nearDupsAutoSaturatedSql = """
+    SELECT 'minhash' AS route,
+           TRUE AS saturation_exercised,
+           CAST(25 AS BIGINT) AS planted_found"""
 
   /** Brute-force exact cosine top-k (k=5, 3 query vectors). */
   def annBruteTopK(s: SparkSession, dir: String): DataFrame = {
@@ -4908,6 +4995,8 @@ items:
     ("simhash_pairs_capped", simhashPairsCapped _, Some(simhashPairsSql)),
     ("simhash_pairs_saturated", simhashPairsSaturated _, Some(simhashPairsSaturatedSql)),
     ("simhash_near_dups", simhashNearDups _, Some(simhashNearDupsSql)),
+    ("near_dups_auto", nearDupsAutoQ _, Some(nearDupsAutoSql)),
+    ("near_dups_auto_saturated", nearDupsAutoSaturatedQ _, Some(nearDupsAutoSaturatedSql)),
     ("ann_brute_topk", annBruteTopK _, Some(annBruteSql)),
     ("ann_int8_topk", annInt8TopK _, Some(annInt8Sql)),
     ("ann_lsh_topk", annLshTopK _, Some(annLshTopKSql)),

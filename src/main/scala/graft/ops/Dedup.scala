@@ -296,6 +296,64 @@ object Dedup {
       .groupBy("_q", "_k").agg(count(lit(1)).as("_n"))
   }
 
+  /** Census verdict for [[nearDupsAuto]]: is this corpus SATURATED for
+    * bands-banded SimHash at this cap — i.e. does any (band, key)
+    * bucket exceed the sub-band recovery regime (`n > 8·maxBucketSize`,
+    * the bound [[simHashCandidates]]'s pass 3 is gated to)? Past that
+    * boundary NO pass guarantees recall (star + sorted-window only —
+    * measured 65.2 % recall at full sf100 saturation, SCALE.md round
+    * 16), so the threshold is the operator's own documented contract
+    * boundary, not a tuned constant. One tiny aggregate over the slim
+    * banded rows (≤ bands·2^(64/bands) groups) and a 1-row readout —
+    * the decision is bounded driver traffic at any corpus size.
+    */
+  def simHashSaturated(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      bands: Int = 8,
+      maxBucketSize: Int = 1000,
+  ): Boolean = {
+    require(maxBucketSize > 0, "saturation is defined relative to a positive cap")
+    !simHashBucketCensus(df, textCol, idCol, bands)
+      .where(col("_n") > 8L * maxBucketSize)
+      .isEmpty
+  }
+
+  /** Census-driven near-dup candidate routing — the engine ACTING on
+    * the saturation boundary round 16 measured instead of documenting
+    * the hand-off: run the SimHash bucket census; if the corpus is
+    * COOL (every bucket within the recovery passes' contract regime,
+    * [[simHashSaturated]] = false) use banded SimHash candidates (one
+    * 64-bit hash per doc — the cheaper signature); if SATURATED, the
+    * 8-bit band keyspace has collapsed under corpus density and the
+    * recall contract belongs to MinHash banding, whose 2^64-keyed
+    * buckets track TRUE shingle-similarity groups rather than
+    * corpus/2^8 — hash-exact at sf100 where SimHash measured 65.2 %
+    * (`minhash_near_dups_sample`, CORRECTNESS_sf100_r16).
+    *
+    * Returns (route, candidate pairs (id_a, id_b)); callers verify
+    * candidates with exact Jaccard exactly as with either operator
+    * alone. The census costs one pass over the hashes — at 100 TB
+    * that is the price of not discovering mid-job that the banded
+    * join's hot buckets have quadratic mass.
+    */
+  def nearDupsAuto(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxDistance: Int = 16,
+      bands: Int = 8,
+      maxBucketSize: Int = 1000,
+      minhashBands: Int = 32,
+      handle: StorageHandle = StorageHandle.unmanaged,
+  ): (String, DataFrame) =
+    if (simHashSaturated(df, textCol, idCol, bands, maxBucketSize))
+      ("minhash", minHashCandidates(df, textCol, idCol, bands = minhashBands, handle = handle))
+    else
+      ("simhash", simHashCandidates(df, textCol, idCol, maxDistance, bands,
+        maxBucketSize, handle = handle).select("id_a", "id_b"))
+
   def simHashCandidates(
       df: DataFrame,
       textCol: String = "text",

@@ -335,4 +335,26 @@ class DedupSpec extends SparkSpec {
     val j = df.collect()(0).getDouble(0)
     assert(j > 0.7 && j < 1.0)
   }
+
+  test("near-dup auto-routing: cool corpus routes simhash, saturated routes minhash") {
+    import spark.implicits._
+    // cool: 4 docs — every census bucket is tiny at any positive cap
+    assert(!simHashSaturated(docs(), maxBucketSize = 10))
+    val (coolRoute, coolCands) = nearDupsAuto(docs(), maxBucketSize = 10)
+    assert(coolRoute == "simhash")
+    val coolPairs = coolCands.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(coolPairs.contains((1L, 4L)), s"exact-dup pair missing from $coolPairs")
+    // saturated by DENSITY: 3000 distinct docs spread over the 2048
+    // (band, key) buckets put the mean bucket at 3000·8/2048 ≈ 11.7,
+    // and max ≥ mean > 8 = 8·cap at cap = 1 — the pigeonhole makes the
+    // verdict deterministic, no tuning
+    val sat = (1 to 3000).map(i => (i.toLong, s"token$i alpha beta gamma delta sample text $i"))
+      .toDF("doc_id", "text")
+    assert(simHashSaturated(sat, maxBucketSize = 1))
+    val (satRoute, _) = nearDupsAuto(sat, maxBucketSize = 1)
+    assert(satRoute == "minhash")
+    // the threshold is the sub-band regime bound (8·cap), derived not
+    // tuned: the same corpus under a cap that absorbs its buckets is cool
+    assert(!simHashSaturated(sat, maxBucketSize = 3000))
+  }
 }
