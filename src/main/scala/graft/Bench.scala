@@ -11,6 +11,58 @@ import scala.collection.immutable.ListMap
   * `errors` map instead of being silently folded into the total.
   */
 object Bench {
+
+  /** Idle-load control baselines: min-of-3 seconds for each control on
+    * THIS box, measured at recorded 1-min load 1.2-1.6 on 32 cores —
+    * the quietest state observed (round 17). Ratios of a
+    * run's controls to these self-normalize cross-round wall-clock
+    * drift — SCALE.md's round-12 control experiment measured
+    * tens-of-percent ambient noise here, and every round since has
+    * re-derived it by hand from load samples. Controls are fixed
+    * iteration counts with no I/O, so on unchanged hardware any ratio
+    * > 1 is ambient contention, not a plan change.
+    */
+  private val controlBaseline: Map[String, Double] = Map(
+    "ctl_jvm_spin" -> 0.336,
+    "ctl_codegen_agg" -> 0.101,
+    "ctl_shuffle" -> 0.330,
+  )
+
+  /** One min-of-3 pass over the three controls (same discipline as the
+    * query timings: min measures the machine's best, the spread shows
+    * contention).
+    */
+  private def runControls(spark: SparkSession): ListMap[String, Double] = {
+    import org.apache.spark.sql.functions._
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def minOf3(f: => Unit): Double = Seq.fill(3)(time(f)).min
+    // single-core driver spin: ambient contention on one core, no Spark
+    val jvm = minOf3 {
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < 200000000) {
+        x = java.lang.Long.rotateLeft(x * 0xC2B2AE3D27D4EB4FL, 31) ^ (x >>> 29)
+        i += 1
+      }
+      if (x == 42L) System.err.println(x) // defeat dead-code elimination
+    }
+    // whole-stage-codegen aggregate over range: all cores, zero I/O
+    // (bit_xor, not sum: a 2e8-row sum of 64-bit hashes overflows ANSI)
+    val agg = minOf3 {
+      spark.range(200000000L).select(expr("bit_xor(xxhash64(id))"))
+        .write.mode("overwrite").format("noop").save()
+    }
+    // in-memory exchange: the shuffle machinery without any scan
+    val shuffle = minOf3 {
+      spark.range(20000000L)
+        .groupBy(pmod(xxhash64(col("id")), lit(1024)).as("k"))
+        .agg(count(lit(1))).write.mode("overwrite").format("noop").save()
+    }
+    ListMap("ctl_jvm_spin" -> jvm, "ctl_codegen_agg" -> agg, "ctl_shuffle" -> shuffle)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -63,6 +115,13 @@ object Bench {
     // diagnosable from the artifact alone.
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val loadBefore = osBean.getSystemLoadAverage
+    // one untimed control pass first: the codegen/shuffle controls JIT
+    // on first execution (measured 1.8x between a cold start pass and
+    // the end pass), which would masquerade as start-of-run contention
+    runControls(spark)
+    val controlsStart = runControls(spark)
+    System.err.println(s"[bench] controls(start): " +
+      controlsStart.map { case (k, v) => f"$k=$v%.3f" }.mkString(" "))
     // Per-query load sampling: BENCH_r08 recorded 2-11x "regressions"
     // that were pure machine contention (load_avg 2->11.7 across the
     // whole run, regressed queries contiguous in run order) — whole-run
@@ -82,6 +141,9 @@ object Bench {
       System.err.println(f"[bench] $name%-24s ${runs.min}%8.2fs  (runs: ${runs.map(r => f"$r%.2f").mkString(", ")}; load: ${loads.map(l => f"$l%.1f").mkString(", ")})")
       name -> (runs.toSeq, loads.toSeq)
     }
+    val controlsEnd = runControls(spark)
+    System.err.println(s"[bench] controls(end):   " +
+      controlsEnd.map { case (k, v) => f"$k=$v%.3f" }.mkString(" "))
     val loadAfter = osBean.getSystemLoadAverage
     def esc(s: String) = s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -96,10 +158,29 @@ object Bench {
     }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }.mkString("{", ",", "}")
     val total = results.map(_._2._1.min).sum
+    // controls block: raw start/end seconds, the recorded baselines,
+    // and the drift ratio (geometric mean of sec/baseline across the
+    // controls, per end) — the self-normalizing ambient-load record
+    // that replaces per-round load archaeology.
+    def ctlJson(m: ListMap[String, Double]) =
+      m.map { case (k, v) => "\"" + esc0(k) + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    def esc0(s: String) = s // control names are fixed identifiers
+    def drift(m: ListMap[String, Double]): Option[Double] = {
+      val rs = m.toSeq.flatMap { case (k, v) => controlBaseline.get(k).map(v / _) }
+      if (rs.isEmpty) None
+      else Some(math.exp(rs.map(math.log).sum / rs.size))
+    }
+    val ctl = {
+      val base = controlBaseline.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      val dS = drift(controlsStart).map(d => f"$d%.3f").getOrElse("null")
+      val dE = drift(controlsEnd).map(d => f"$d%.3f").getOrElse("null")
+      s"""{"start":${ctlJson(controlsStart)},"end":${ctlJson(controlsEnd)},"baseline":$base,"drift_start":$dS,"drift_end":$dE}"""
+    }
     spark.stop()
     // Full artifact first (complete per-query mins + raw runs + load
     // samples) for any consumer capturing whole stdout...
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"load":$ls,"load_avg_before":$loadBefore,"load_avg_after":$loadAfter,"errors":$es,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"load":$ls,"controls":$ctl,"load_avg_before":$loadBefore,"load_avg_after":$loadAfter,"errors":$es,"sf":"$sfDir"}""")
     // ...then ONE compact summary as the FINAL stdout line. The driver
     // snapshots only the last 2000 bytes of stdout (BENCH_r01..r14 all
     // show tail=2000, parsed=null: the detailed line above is several KB,
@@ -114,6 +195,7 @@ object Bench {
     // above) — a handful of 200-char messages would blow the 2000-byte
     // tail budget this line exists to respect
     val errNames = errors.keys.take(10).map(k => "\"" + esc(k) + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","n":${results.size},"error_count":${errors.size},"errored":$errNames,"top_slowest":$topJson,"sf":"$sfDir"}""")
+    val driftCompact = drift(controlsEnd).map(d => f"$d%.2f").getOrElse("null")
+    println(s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec","n":${results.size},"error_count":${errors.size},"errored":$errNames,"drift":$driftCompact,"top_slowest":$topJson,"sf":"$sfDir"}""")
   }
 }

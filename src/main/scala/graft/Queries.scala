@@ -2937,10 +2937,11 @@ items:
     * replicas of the replica-0 window with per-replica token suffixes —
     * texts DISTINCT across replicas (shingles disjoint, so MinHash
     * banding stays selective) while the 8-bit SimHash band keyspace
-    * collapses under sheer density: at 50 replicas the mean bucket is
-    * n/256 ≥ 97 even at the sf0.01 gate, and max ≥ mean, so some
-    * bucket exceeds the sub-band regime (8·cap = 80 at the gate's
-    * cap = 10) BY CONSTRUCTION at every sf — saturation from density,
+    * collapses under sheer density: replication targets ≥ 24000 docs,
+    * putting the mean bucket at ≥ 24000/256 = 93.75, and max ≥ mean,
+    * so some bucket exceeds the sub-band regime (8·cap = 80 at the
+    * gate's cap = 10) BY CONSTRUCTION at every sf — saturation from
+    * density,
     * the regime the census exists to catch (mass-duplication is exact
     * dedup's job upstream). The dispatcher must therefore route
     * MINHASH, and the 25 planted exact copies (identical signatures →
@@ -2952,7 +2953,12 @@ items:
   def nearDupsAutoSaturatedQ(s: SparkSession, dir: String): DataFrame = {
     val base = T(s, dir, "documents").where(col("doc_id") < 100000000L)
       .select("doc_id", "text")
-    val reps = 50
+    // replicate only to the pigeonhole target (fixed corpus size, not a
+    // fixed factor): a 50x factor on the 5000-doc window was pure waste
+    // — the guarantee needs >= 24000 docs, no more. count() is one
+    // bounded driver scalar; the oracle outputs are volume-independent
+    // booleans, so the adaptive factor never reaches the compare.
+    val reps = math.max(2, math.ceil(24000.0 / base.count()).toInt)
     val corpus = (0 until reps).map { r =>
       val t =
         if (r == 0) col("text")
@@ -2960,8 +2966,11 @@ items:
           transform(split(col("text"), "\\s+"), x => concat(x, lit(s"q$r"))))
       base.select((col("doc_id") + lit(r * 1000000L)).as("doc_id"), t.as("text"))
     }.reduce(_.unionByName(_))
+    // planted ids live one replica-stride ABOVE the last replica, so no
+    // adaptive factor can ever collide them with replica territory
+    val plantedShift = reps.toLong * 1000000L
     val planted = base.where(col("doc_id") < 25)
-      .select((col("doc_id") + lit(90000000L)).as("doc_id"), col("text"))
+      .select((col("doc_id") + lit(plantedShift)).as("doc_id"), col("text"))
     val full = corpus.unionByName(planted)
     val cap = 10
     val (route, cands) = Dedup.nearDupsAuto(full, maxBucketSize = cap)
@@ -2975,7 +2984,7 @@ items:
     val saturatedBuckets = Dedup.simHashBucketCensus(full, bands = 8)
       .agg(sum(when(col("_n") > 8L * cap, 1L).otherwise(0L)).as("_sat"))
     verified.agg(
-      sum(when(col("id_a") < 25 && col("id_b") === col("id_a") + 90000000L &&
+      sum(when(col("id_a") < 25 && col("id_b") === col("id_a") + plantedShift &&
         col("jaccard") === 1.0, 1L).otherwise(0L)).as("planted_found"))
       .crossJoin(saturatedBuckets)
       .select(lit(route).as("route"),
@@ -3430,6 +3439,45 @@ items:
     FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
     GROUP BY d.doc_id"""
 
+  /** [[dedupClusters]] with the deterministic REPLICA-WINDOW readout —
+    * the `minhash_near_dups_sample` discipline applied to connected
+    * components, which makes the CC operator hash-gateable at corpus
+    * scales where the full recursive-closure oracle outgrows DuckDB.
+    * Window-locality is SOUND for CC on inflated corpora for the same
+    * reason it is for the pair gate: cross-replica shingle sets are
+    * disjoint, so no component ever spans replicas and the window
+    * corpus's component structure IS the full corpus's restricted to
+    * the window. The large-star/small-star rounds run their full
+    * algorithm on the window's pair graph; full-corpus feasibility
+    * evidence stays with the benched unsampled row. At the sf0.01
+    * driver gate the window is the whole corpus and the row
+    * degenerates to exact equality with `dedup_clusters`.
+    */
+  def dedupClustersSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+      .where(expr("(doc_id div 100000000) % 50 = 0"))
+    val pairs = minhashNearDupsSample(s, dir).select("id_a", "id_b")
+    Dedup.duplicateClusters(docs.select("doc_id"), pairs)
+      .orderBy("doc_id")
+  }
+
+  private val dedupClustersSampleSql = s"""
+    WITH RECURSIVE dw AS MATERIALIZED (
+      SELECT doc_id, text FROM documents
+      WHERE (doc_id // 100000000) % 50 = 0),
+    ${nearDupPairCtes("dw")},
+    e AS (
+      SELECT id_a AS a, id_b AS b FROM p WHERE round(j, 6) >= 0.6
+      UNION
+      SELECT id_b, id_a FROM p WHERE round(j, 6) >= 0.6),
+    reach(a, b) AS (
+      SELECT a, b FROM e
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+    SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+    FROM dw d LEFT JOIN reach r ON r.a = d.doc_id
+    GROUP BY d.doc_id"""
+
   /** Quality-aware near-dup collapse: exact duplicate clusters over the
     * verified near-dup pair graph, keeping each cluster's BEST-QUALITY
     * document (quality desc, doc_id as the deterministic tiebreak) —
@@ -3627,6 +3675,56 @@ items:
            CAST(sum(sv) AS DOUBLE) / count(*) / 16777216.0 AS mean
     FROM m GROUP BY 1, 2"""
   }
+
+  /** Full-Lloyd IVF training iterated TO CONVERGENCE
+    * ([[Ann.trainToConvergence]]) on a separable fixture whose converged
+    * state has a CLOSED FORM the oracle states without iterating:
+    * vectors are shrunk 100× and translated by group (g = vec_id mod 4)
+    * along orthogonal one-hot axes (+100 at dim 16·g), so cosine
+    * separation between groups is total (own-seed cosine ≈ 1, cross
+    * ≈ 8/10⁴); seeded from each group's min-id vector, the FIRST
+    * assignment is already the final one, iteration 1 moves centroids
+    * to the group means, and iteration 2 reproduces them BIT-EXACTLY
+    * (scaled-integer sums) — movement 0 hits tol = 0 and the loop
+    * stops at exactly 2 iterations, which the output pins alongside
+    * the converged per-(cluster, pos) means. The oracle computes group
+    * means directly (one aggregate, no recursion) with the identical
+    * integer-scaling expression shape.
+    */
+  def kmeansConverged(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val pts = emb.select(col("vec_id"),
+      pmod(col("vec_id"), lit(4L)).cast(IntegerType).as("g"),
+      transform(col("embedding"),
+        (x, i) => x.cast(DoubleType) * lit(0.01) +
+          when(i === pmod(col("vec_id"), lit(4L)).cast(IntegerType) * 16, lit(100.0))
+            .otherwise(lit(0.0))).as("vec"))
+    // seeds: each group's min-id vector — 4 rows, deterministic order
+    val seeds = pts.join(
+        pts.groupBy("g").agg(min("vec_id").as("vec_id")), Seq("g", "vec_id"), "left_semi")
+      .orderBy("g").select("vec").collect()
+      .map(_.getSeq[Double](0).toArray)
+    val (centroids, iters) = Ann.trainToConvergence(pts, seeds, tol = 0.0,
+      maxIterations = 10, vecCol = "vec")
+    Ann.kmeansMeans(pts, centroids, "vec")
+      .select(col("cluster"), col("pos"), col("n"), col("mean"),
+        lit(iters).as("iterations"))
+      .orderBy("cluster", "pos")
+  }
+
+  private val kmeansConvergedSql = """
+    WITH m AS (
+      SELECT CAST(vec_id % 4 AS INT) AS cluster, CAST(i - 1 AS INT) AS pos,
+             CAST(round((CAST(embedding[CAST(i AS INT)] AS DOUBLE) * CAST(0.01 AS DOUBLE) +
+                         CASE WHEN (i - 1) = (vec_id % 4) * 16
+                              THEN CAST(100 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)
+                        * 16777216.0) AS BIGINT) AS sv
+      FROM embeddings, range(1, 65) t(i))
+    SELECT cluster, pos, count(*) AS n,
+           CAST(sum(sv) AS DOUBLE) / count(*) / 16777216.0 AS mean,
+           CAST(2 AS INT) AS iterations
+    FROM m GROUP BY 1, 2
+    ORDER BY cluster, pos"""
 
   /** Two-phase salted aggregation: must equal the plain grouped sum (the
     * salt only changes parallelism, never the result — sums are over
@@ -5006,10 +5104,12 @@ items:
     ("semantic_dedup_k32", semanticDedupK32Q _, Some(semanticDedupK32Sql)),
     ("multimodal_features", multimodalFeatures _, Some(multimodalSql)),
     ("dedup_clusters", dedupClusters _, Some(dedupClustersSql)),
+    ("dedup_clusters_sample", dedupClustersSample _, Some(dedupClustersSampleSql)),
     ("dedup_best_quality", dedupBestQuality _, Some(dedupBestQualitySql)),
     ("ivf_topk", ivfTopK _, Some(annBruteSql)),
     ("ivf_int8_topk", ivfInt8TopK _, Some(annInt8Sql)),
     ("kmeans_step", kmeansStep _, Some(kmeansStepSql)),
+    ("kmeans_converged", kmeansConverged _, Some(kmeansConvergedSql)),
     ("ann_pipeline", annPipeline _, Some(annPipelineSql)),
     ("skew_salted_agg", skewSaltedAgg _, Some(skewSaltedSql)),
     ("events_window_agg", eventsWindowAgg _, Some(eventsWindowSql)),
@@ -5148,13 +5248,14 @@ items:
     "d2_attribute", "e5_select", "e10_weighted_avg", "e12_quantile", "e12c_median_sketch",
     "e12_window_hicard", "e12_sketch_hicard", "e13_decile",
     "e7e8_cpi", "e9_equivalence", "isc_summary", "isc_summary_bucketed",
-    "dedup_exact", "dedup_paragraphs", "remove_frequent_lines", "dedup_spans", "dedup_spans_hashed", "lm_score", "ccnet_buckets", "ccnet_buckets_scaled", "text_stats", "rep_signals", "lang_id", "quality_score", "ngram_jaccard",
+    "dedup_exact", "dedup_paragraphs", "remove_frequent_lines", "dedup_spans", "dedup_spans_hashed", "lm_score", "ccnet_buckets", "ccnet_buckets_scaled", "ccnet_buckets_sample", "text_stats", "rep_signals", "lang_id", "quality_score", "ngram_jaccard",
     "tfidf_topk", "ngram_topk", "winnow_fingerprints", "winnow_near_dups",
     "pii_redact", "contamination", "decontaminate", "pack_shards", "chunk_docs",
     "stratified_sample", "curation_pipeline",
     "minhash_pairs", "minhash_near_dups", "simhash_pairs", "simhash_near_dups",
+    "near_dups_auto", "near_dups_auto_saturated",
     "ann_brute_topk", "ann_int8_topk", "ann_lsh_query", "rp_topk",
-    "ann_cosine_dedup", "ann_cosine_dedup_clustered", "semantic_dedup", "semantic_dedup_k32", "semantic_dedup_scaled", "ivf_topk", "ivf_int8_topk", "kmeans_step", "ann_pipeline", "dedup_clusters", "skew_salted_agg",
+    "ann_cosine_dedup", "ann_cosine_dedup_clustered", "semantic_dedup", "semantic_dedup_k32", "semantic_dedup_scaled", "ivf_topk", "ivf_int8_topk", "kmeans_step", "kmeans_converged", "ann_pipeline", "dedup_clusters", "skew_salted_agg",
     "multimodal_features",
     "events_window_agg", "events_window_stream", "events_stream_sink",
     "events_dedup_stream", "events_enrich_stream",

@@ -455,6 +455,46 @@ object Ann {
   ): Array[Array[Double]] =
     (1 to iterations).foldLeft(init)((c, _) => kmeansStep(corpus, c, vecCol))
 
+  /** Full Lloyd: iterate [[kmeansStep]] until the largest per-dimension
+    * centroid movement (L∞ over every cluster and position) is ≤ `tol`,
+    * or `maxIterations`. At 100 TB the TRAINING loop, not the probe, is
+    * IVF's expensive phase — a fixed small iteration count either
+    * under-trains or over-pays, while movement-based stopping pays
+    * exactly until the assignment stabilizes. Because each step's means
+    * run over scaled integers (bit-deterministic — see [[kmeansMeans]]),
+    * a fully stabilized assignment reproduces centroids EXACTLY, so
+    * `tol = 0.0` is a meaningful operating point, not a float trap.
+    *
+    * The corpus is persisted through `handle` for the duration of the
+    * loop (each iteration is one full scan + one k·dim-row collect;
+    * centroids live driver-side, so lineage never grows — no
+    * checkpointing needed, unlike dedup_clusters' frame-carried
+    * rounds). Returns (centroids, iterationsRun).
+    */
+  def trainToConvergence(
+      corpus: DataFrame,
+      init: Array[Array[Double]],
+      tol: Double = 0.0,
+      maxIterations: Int = 25,
+      vecCol: String = "embedding",
+      handle: StorageHandle = StorageHandle.unmanaged,
+  ): (Array[Array[Double]], Int) = {
+    require(maxIterations >= 1, s"need at least one iteration, got $maxIterations")
+    val cached = handle.persist(corpus.select(col(vecCol)))
+    var centroids = init
+    var it = 0
+    var moved = Double.PositiveInfinity
+    while (it < maxIterations && moved > tol) {
+      val next = kmeansStep(cached, centroids, vecCol)
+      moved = centroids.zip(next).map { case (a, b) =>
+        a.zip(b).map { case (x, y) => math.abs(x - y) }.max
+      }.max
+      centroids = next
+      it += 1
+    }
+    (centroids, it)
+  }
+
   /** Write the corpus partitioned by IVF cluster — ANN's at-rest layout:
     * query-time probes become partition-pruned scans.
     */

@@ -382,4 +382,30 @@ class AnnSpec extends SparkSpec {
       Ann.semanticDedup(df, Seq(0 -> ctrs(0)._2, 0 -> ctrs(1)._2), 0.9, dim)
     }
   }
+
+  test("trainToConvergence stops on zero movement at the separable fixed point") {
+    import spark.implicits._
+    // two cosine-separable groups on orthogonal axes, slight within-group spread
+    val pts = Seq(
+      (0L, Array(10.0, 0.1, 0.0)), (2L, Array(10.0, -0.1, 0.0)), (4L, Array(9.8, 0.0, 0.1)),
+      (1L, Array(0.0, 10.0, 0.1)), (3L, Array(0.1, 9.9, 0.0)), (5L, Array(0.0, 10.2, -0.1)),
+    ).toDF("vec_id", "vec")
+    val seeds = Array(Array(10.0, 0.1, 0.0), Array(0.0, 10.0, 0.1))
+    val handle = StorageHandle()
+    val (c, iters) = Ann.trainToConvergence(pts, seeds, tol = 0.0,
+      maxIterations = 10, vecCol = "vec", handle = handle)
+    handle.release(blocking = true)
+    // stable assignment reproduces integer-scaled means exactly -> one
+    // improving step + one confirming step
+    assert(iters == 2, s"expected exactly 2 iterations, got $iters")
+    // converged centroids are the group means (within the 2^-24 grid)
+    def approx(a: Array[Double], b: Array[Double]) =
+      a.zip(b).forall { case (x, y) => math.abs(x - y) < 1e-6 }
+    assert(approx(c(0), Array((10.0 + 10.0 + 9.8) / 3, 0.0, 0.1 / 3)), c(0).mkString(","))
+    assert(approx(c(1), Array(0.1 / 3, (10.0 + 9.9 + 10.2) / 3, 0.0)), c(1).mkString(","))
+    // maxIterations still bounds the loop when tol is unreachable
+    val (_, capped) = Ann.trainToConvergence(pts, seeds, tol = -1.0,
+      maxIterations = 3, vecCol = "vec")
+    assert(capped == 3)
+  }
 }
