@@ -49,7 +49,9 @@ class CatalogPlanLintSpec extends SparkSpec {
     "lm_score",           // the vocabulary size V rides the same broadcast SINGLE-ROW cross join
     "ccnet_buckets",      // composes lm_score: the same single-row V broadcast
     "ccnet_buckets_scaled", // ditto (sampled-cutoff variant)
+    "ccnet_buckets_sample", // ditto (replica-window variant)
     "simhash_pairs_saturated", // two SINGLE-ROW invariant aggregates crossed into one gate row
+    "near_dups_auto_saturated", // the same two single-row invariant aggregates, via the dispatcher
   )
 
   /** Every physical node, descending through AQE wrappers and subqueries

@@ -43,6 +43,7 @@ class OracleSqlLintSpec extends AnyFunSuite {
       "c10_groupby_sum" -> Set("l_quantity"), // DOUBLE in the fixture
       "e12c_median_sketch" -> Set("w"), // internal CTE alias, consumed before output
       "ccnet_buckets_scaled" -> Set("w"), // sample-count CTE alias, consumed by the cutoff rule
+      "ccnet_buckets_sample" -> Set("w"), // same cutoff-rule CTE over the replica window
       "events_session_stream" -> Set("new_session"), // window sum consumed by GROUP BY key
       "events_session_window" -> Set("new_session"),
       "events_sessionize" -> Set("new_session"),
