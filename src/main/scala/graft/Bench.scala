@@ -115,10 +115,11 @@ object Bench {
     // diagnosable from the artifact alone.
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val loadBefore = osBean.getSystemLoadAverage
-    // one untimed control pass first: the codegen/shuffle controls JIT
+    // two untimed control passes first: the codegen/shuffle controls JIT
     // on first execution (measured 1.8x between a cold start pass and
-    // the end pass), which would masquerade as start-of-run contention
-    runControls(spark)
+    // the end pass, and a residual 1.25x after a single warmup pass),
+    // which would masquerade as start-of-run contention
+    runControls(spark); runControls(spark)
     val controlsStart = runControls(spark)
     System.err.println(s"[bench] controls(start): " +
       controlsStart.map { case (k, v) => f"$k=$v%.3f" }.mkString(" "))
