@@ -204,10 +204,20 @@ object Stats {
         require(outs.length == ps.length, s"outs (${outs.length}) must match ps (${ps.length})")
         outs
       } else ps.map(p => "p" + BigDecimal(p * 100).underlying.stripTrailingZeros.toPlainString.replace(".", "_"))
-    val clean = df.where(col(valueCol).isNotNull && col(weightCol).isNotNull && col(weightCol) > 0)
+    lazy val clean = df.where(col(valueCol).isNotNull && col(weightCol).isNotNull && col(weightCol) > 0)
     if (useSketch) {
-      val agg = WeightedQuantileSketch.percentilesAggFor(df.sparkSession, ps, maxCentroids)
-      val qs = clean.groupBy(groupby.map(col): _*)
+      val native = df.sparkSession.sessionState.catalog.isRegisteredFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("wq_percentiles"))
+      // the native aggregate drops null values and null/non-positive
+      // weights ROW-SIDE (proven by WeightedQuantileSketchSpec), so the
+      // explicit pre-filter would only add a pass — measurable when the
+      // weight is a COMPUTED column the scan can't push (+1.5 s on 60M
+      // rows at sf10, round 17). The udaf twin gets the filter: its
+      // row-side null behavior is the encoder's, not the kernel's.
+      val (agg, in) =
+        if (native) (WeightedQuantileSketch.weightedPercentilesNativeAgg(ps, maxCentroids), df)
+        else (WeightedQuantileSketch.weightedPercentilesAgg(ps, maxCentroids), clean)
+      val qs = in.groupBy(groupby.map(col): _*)
         .agg(agg(col(valueCol).cast("double"), col(weightCol).cast("double")).as("_qs"))
       qs.select(groupby.map(col) ++ names.zipWithIndex.map { case (n, i) =>
         element_at(col("_qs"), i + 1).as(n)
