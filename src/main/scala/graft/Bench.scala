@@ -22,11 +22,34 @@ object Bench {
     * iteration counts with no I/O, so on unchanged hardware any ratio
     * > 1 is ambient contention, not a plan change.
     */
-  private val controlBaseline: Map[String, Double] = Map(
+  private val recordedBaseline: Map[String, Double] = Map(
     "ctl_jvm_spin" -> 0.336,
     "ctl_codegen_agg" -> 0.101,
     "ctl_shuffle" -> 0.330,
   )
+
+  /** Core count of the box the recorded baselines were measured on —
+    * the cheap host fingerprint. On different hardware a sec/baseline
+    * ratio measures machine speed, not ambient contention, so drift is
+    * emitted as null there unless the operator supplies this host's own
+    * baselines via `SPARK_GRAFT_CTL_BASELINE`
+    * (`ctl_jvm_spin=0.34,ctl_codegen_agg=0.10,ctl_shuffle=0.33`).
+    */
+  private val recordedBaselineCores = 32
+
+  private lazy val controlBaseline: Map[String, Double] =
+    sys.env.get("SPARK_GRAFT_CTL_BASELINE") match {
+      case Some(s) =>
+        s.split(',').iterator.map(_.trim).filter(_.nonEmpty).flatMap { kv =>
+          kv.split('=') match {
+            case Array(k, v) => scala.util.Try(k.trim -> v.trim.toDouble).toOption
+            case _ => None
+          }
+        }.toMap
+      case None =>
+        if (Runtime.getRuntime.availableProcessors == recordedBaselineCores) recordedBaseline
+        else Map.empty // unknown hardware: drift reads null, not nonsense
+    }
 
   /** One min-of-3 pass over the three controls (same discipline as the
     * query timings: min measures the machine's best, the spread shows

@@ -392,6 +392,141 @@ object Ann {
     transform(slice(array_sort(array(scored: _*)), 1, nProbe), s => s.getField("id"))
   }
 
+  /** Two-level centroid assignment with the FINE centroids carried as a
+    * DataFrame — the past-the-k-ceiling path (round-17 verdict task 4).
+    *
+    * [[nearestCentroid]]/[[assignCluster]] bake the k×dim matrix into a
+    * plan literal and [[kmeansStep]] collects means driver-side — at
+    * k ≤ a few thousand that is genuinely metadata, but the k ∝ n rule
+    * ([[graft.Queries.semanticDedupScaled]], k = n/2500) reaches
+    * k ~ 10⁵–10⁷ at 100 TB, where a k×dim literal is an unplannable
+    * multi-GB expression, a codegen hazard, and a driver bottleneck.
+    * Here centroids stay DATA:
+    *
+    *   1. a small COARSE codebook (≈ √k rows — back under the literal
+    *      kernel's comfort zone) partitions space; each fine centroid is
+    *      tagged with its coarse cell by one distributed pass;
+    *   2. each corpus vector probes its `coarseProbes` nearest coarse
+    *      cells ([[probeClusters]]) and joins — equi, on the cell id —
+    *      against only those cells' fine centroids (AQE broadcasts the
+    *      fine frame while it fits, shuffle-hash past that);
+    *   3. argmax-cosine over the probed candidates via one partial
+    *      aggregate: max(struct(sim, id)) collapses map-side to one row
+    *      per vector, so the only full shuffle carries n slim rows.
+    *
+    * Per-row compute is O(cells·dim + probes·(k/cells)·dim) ≈
+    * O(√k·dim) at probes ≪ cells — versus the flat path's O(k·dim).
+    * EXACTNESS CONTRACT: with `coarseProbes <= 0` (probe every cell)
+    * every fine centroid is scored and the result is bit-identical to
+    * the flat argmax (same vec_dot accumulation, same ties-to-higher-id
+    * order — property-pinned in AnnSpec); with a bounded probe count
+    * the result is the standard IVF approximation — a vector whose true
+    * centroid lives in an unprobed cell gets its best PROBED centroid
+    * (and a vector all of whose probed cells hold no centroid is
+    * dropped — impossible at full probe with a non-empty codebook).
+    *
+    * Returns (idCol, cluster, centroid_sim).
+    */
+  def assignClustersFrame(
+      corpus: DataFrame,
+      centroids: DataFrame,
+      coarse: Array[Array[Double]],
+      coarseProbes: Int = 0,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      centroidIdCol: String = "cluster",
+      centroidVecCol: String = "centroid",
+  ): DataFrame = {
+    require(coarse.nonEmpty, "need at least one coarse cell")
+    val probes = if (coarseProbes <= 0) coarse.length else math.min(coarseProbes, coarse.length)
+    // one distributed pass tags each fine centroid with its coarse cell
+    // — the k-row analogue of ivfWrite's corpus assignment
+    val fine = centroids
+      .select(col(centroidIdCol).as("_fid"), col(centroidVecCol).as("_fvec"))
+      .withColumn("_cell", assignCluster(col("_fvec"), coarse))
+    val probed = Dedup.scatter(corpus)
+      .select(col(idCol), col(vecCol),
+        probeClusters(col(vecCol), coarse, probes).as("_probes"))
+      .select(col(idCol), col(vecCol), explode(col("_probes")).as("_cell"))
+    probed.join(fine, Seq("_cell"))
+      .select(col(idCol),
+        struct(cosine(col(vecCol), col("_fvec")).as("sim"), col("_fid").as("id")).as("_cand"))
+      .groupBy(col(idCol))
+      .agg(max(col("_cand")).as("_best"))
+      .select(col(idCol), col("_best").getField("id").as("cluster"),
+        col("_best").getField("sim").as("centroid_sim"))
+  }
+
+  /** Threshold-dispatched assignment — the public argmax entry point
+    * that picks the literal kernel at small k and the DataFrame-centroid
+    * two-level route ([[assignClustersFrame]]) past `kThreshold`, where
+    * the k×dim literal stops being metadata. The coarse codebook is
+    * every ⌈k/√k⌉-th centroid of the label-sorted list (deterministic —
+    * no RNG, engine-replayable); `coarseProbes <= 0` probes every cell,
+    * keeping the routed result bit-equal to the flat argmax at ANY k
+    * (the property AnnSpec pins across the threshold).
+    *
+    * Returns (idCol, cluster, centroid_sim) on both routes.
+    */
+  def assignClustersAuto(
+      corpus: DataFrame,
+      centroids: Seq[(Int, Array[Double])],
+      kThreshold: Int = 4096,
+      coarseProbes: Int = 0,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+  ): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    if (centroids.size <= kThreshold) {
+      val best = nearestCentroid(col(vecCol), centroids)
+      Dedup.scatter(corpus).select(col(idCol), best.as("_best"))
+        .select(col(idCol), col("_best").getField("id").as("cluster"),
+          col("_best").getField("sim").as("centroid_sim"))
+    } else {
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      val sorted = centroids.sortBy(_._1)
+      val cells = math.max(1, math.ceil(math.sqrt(sorted.size.toDouble)).toInt)
+      val stride = math.max(1, sorted.size / cells)
+      val coarse = sorted.indices.by(stride).take(cells).map(i => sorted(i)._2).toArray
+      assignClustersFrame(corpus, sorted.toDF("cluster", "centroid"), coarse,
+        coarseProbes, idCol, vecCol)
+    }
+  }
+
+  /** [[semanticDedup]] with DataFrame-carried centroids: assignment runs
+    * the two-level [[assignClustersFrame]] route (no k×dim literal
+    * anywhere in the plan), the (id, cluster, _csim) verdicts join back
+    * to the vectors on the id key, and the pair/drop spine is the exact
+    * same [[semanticDedupCore]] the literal form runs. At full probe
+    * (`coarseProbes <= 0`) output is bit-identical to [[semanticDedup]]
+    * with the same centroid set; at bounded probes the assignment is the
+    * stated IVF approximation and the drop rule applies to it verbatim.
+    */
+  def semanticDedupDistributed(
+      corpus: DataFrame,
+      centroids: DataFrame,
+      coarse: Array[Array[Double]],
+      threshold: Double,
+      dim: Int,
+      coarseProbes: Int = 0,
+      numPlanes: Int = 16,
+      bands: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      centroidIdCol: String = "cluster",
+      centroidVecCol: String = "centroid",
+      seed: Long = 42L,
+      handle: StorageHandle = StorageHandle.unmanaged,
+  ): DataFrame = {
+    val verdicts = assignClustersFrame(corpus, centroids, coarse, coarseProbes,
+      idCol, vecCol, centroidIdCol, centroidVecCol)
+      .select(col(idCol), col("cluster"), col("centroid_sim").as("_csim"))
+    val assigned = Dedup.scatter(corpus).select(col(idCol), col(vecCol))
+      .join(verdicts, Seq(idCol))
+    semanticDedupCore(assigned, threshold, dim, numPlanes, bands, idCol, vecCol, seed, handle)
+  }
+
   /** Per-dimension cluster means after one Lloyd assignment — the IVF
     * centroid-training step, exploded as (cluster, pos, n, mean).
     *
@@ -633,22 +768,42 @@ object Ann {
     require(centroids.nonEmpty, "need at least one centroid")
     require(centroids.map(_._1).distinct.size == centroids.size,
       s"centroid labels must be distinct: ${centroids.map(_._1)}")
-    require(numPlanes % bands == 0, "bands must divide numPlanes")
-    val r = numPlanes / bands
-    val planes = hyperplanes(numPlanes, dim, seed)
-    val mask = (1L << r) - 1
     // argmax over labeled centroids: highest sim wins, ties to the
     // higher label — the native kernel, so assignment cost per row is
     // a compiled loop over the k×dim matrix, not k expression branches
     // (k grows with the corpus here; see nearestCentroid)
     val best = nearestCentroid(col(vecCol), centroids)
-    // one persisted pass computes assignment, signature, and norm —
-    // reused by both self-join sides and the final anti-join
-    val rows = handle.persist(Dedup.scatter(corpus)
-      .select(col(idCol), col(vecCol), best.as("_best"),
-        signBits(col(vecCol), planes).as("_sig"), norm(col(vecCol)).as("_n"))
+    val assigned = Dedup.scatter(corpus)
+      .select(col(idCol), col(vecCol), best.as("_best"))
       .select(col(idCol), col(vecCol), col("_best").getField("id").as("cluster"),
-        col("_best").getField("sim").as("_csim"), col("_sig"), col("_n")))
+        col("_best").getField("sim").as("_csim"))
+    semanticDedupCore(assigned, threshold, dim, numPlanes, bands, idCol, vecCol, seed, handle)
+  }
+
+  /** The SemDeDup pair/drop spine shared by [[semanticDedup]] (literal
+    * centroids) and [[semanticDedupDistributed]] (DataFrame centroids):
+    * `assigned` carries (idCol, vecCol, cluster, _csim); signature and
+    * norm are computed here in the one persisted pass both self-join
+    * sides and the final anti-join read.
+    */
+  private def semanticDedupCore(
+      assigned: DataFrame,
+      threshold: Double,
+      dim: Int,
+      numPlanes: Int,
+      bands: Int,
+      idCol: String,
+      vecCol: String,
+      seed: Long,
+      handle: StorageHandle,
+  ): DataFrame = {
+    require(numPlanes % bands == 0, "bands must divide numPlanes")
+    val r = numPlanes / bands
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val mask = (1L << r) - 1
+    val rows = handle.persist(assigned
+      .select(col(idCol), col(vecCol), col("cluster"), col("_csim"),
+        signBits(col(vecCol), planes).as("_sig"), norm(col(vecCol)).as("_n")))
     // static unrolling keeps the band-key projection in whole-stage
     // codegen — a transform/sequence formulation evaluates interpreted
     // (higher-order functions have no doGenCode), the same rule

@@ -334,9 +334,12 @@ object Dedup {
     *
     * Returns (route, candidate pairs (id_a, id_b)); callers verify
     * candidates with exact Jaccard exactly as with either operator
-    * alone. The census costs one pass over the hashes — at 100 TB
-    * that is the price of not discovering mid-job that the banded
-    * join's hot buckets have quadratic mass.
+    * alone. The corpus is hashed and banded ONCE (persisted via
+    * `handle`): the routing census and, on the cool route, candidate
+    * generation both read that single pass — at 100 TB the census is
+    * then a near-free aggregate over cached slim rows, the price of
+    * not discovering mid-job that the banded join's hot buckets have
+    * quadratic mass.
     */
   def nearDupsAuto(
       df: DataFrame,
@@ -347,12 +350,21 @@ object Dedup {
       maxBucketSize: Int = 1000,
       minhashBands: Int = 32,
       handle: StorageHandle = StorageHandle.unmanaged,
-  ): (String, DataFrame) =
-    if (simHashSaturated(df, textCol, idCol, bands, maxBucketSize))
+  ): (String, DataFrame) = {
+    require(maxBucketSize > 0, "saturation is defined relative to a positive cap")
+    val banded = handle.persist(bandedSlices(simHashes(df, textCol, idCol), idCol, bands))
+    val counts = banded.groupBy("_q", "_k").agg(count(lit(1)).as("_n"))
+    val saturated = !counts.where(col("_n") > 8L * maxBucketSize).isEmpty
+    if (saturated) {
+      // MinHash keys on shingle content, not SimHash slices — the
+      // banded cache is useless on that route; drop it before the
+      // heavy pass rather than letting it squat on executor memory.
+      banded.unpersist()
       ("minhash", minHashCandidates(df, textCol, idCol, bands = minhashBands, handle = handle))
-    else
-      ("simhash", simHashCandidates(df, textCol, idCol, maxDistance, bands,
-        maxBucketSize, handle = handle).select("id_a", "id_b"))
+    } else
+      ("simhash", simHashCandidatesFromBanded(banded, counts, idCol, maxDistance, bands,
+        maxBucketSize, neighborWindow = 8).select("id_a", "id_b"))
+  }
 
   def simHashCandidates(
       df: DataFrame,
@@ -365,15 +377,35 @@ object Dedup {
       handle: StorageHandle = StorageHandle.unmanaged,
   ): DataFrame = {
     require(64 % bands == 0, s"bands=$bands must divide 64")
-    val width = 64 / bands
-    val hashed = simHashes(df, textCol, idCol)
-    val banded = handle.persist(bandedSlices(hashed, idCol, bands))
+    val banded = handle.persist(bandedSlices(simHashes(df, textCol, idCol), idCol, bands))
     // bucket census: one tiny aggregate over the cached slim rows (at
     // most bands·2^width groups); joined back as a left-semi filter so
     // no count column rides the pairwise join
     val counts =
       if (maxBucketSize <= 0) null
       else banded.groupBy("_q", "_k").agg(count(lit(1)).as("_n"))
+    simHashCandidatesFromBanded(banded, counts, idCol, maxDistance, bands,
+      maxBucketSize, neighborWindow)
+  }
+
+  /** [[simHashCandidates]] from an already-banded (and persisted) slice
+    * frame plus its census — the shared-pass entry point
+    * [[nearDupsAuto]] routes through so the corpus is hashed once for
+    * BOTH the routing census and candidate generation, not twice.
+    * `counts` may be null only when `maxBucketSize <= 0` (exact,
+    * uncapped semantics).
+    */
+  private[graft] def simHashCandidatesFromBanded(
+      banded: DataFrame,
+      counts: DataFrame,
+      idCol: String,
+      maxDistance: Int,
+      bands: Int,
+      maxBucketSize: Int,
+      neighborWindow: Int,
+  ): DataFrame = {
+    require(64 % bands == 0, s"bands=$bands must divide 64")
+    val width = 64 / bands
     val joinable =
       if (maxBucketSize <= 0) banded
       else banded.join(counts.where(col("_n") <= maxBucketSize), Seq("_q", "_k"), "left_semi")

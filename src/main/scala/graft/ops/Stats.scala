@@ -214,11 +214,24 @@ object Stats {
       // weight is a COMPUTED column the scan can't push (+1.5 s on 60M
       // rows at sf10, round 17). The udaf twin gets the filter: its
       // row-side null behavior is the encoder's, not the kernel's.
+      // Group-presence parity: the unfiltered native scan would still
+      // EMIT a group whose every row is invalid (empty buffer → NaN
+      // percentiles) while the filtered routes drop it — so the native
+      // route also counts valid rows IN THE SAME aggregate (no extra
+      // pass) and filters the all-invalid groups out.
+      val valid = col(valueCol).isNotNull && col(weightCol).isNotNull && col(weightCol) > 0
       val (agg, in) =
         if (native) (WeightedQuantileSketch.weightedPercentilesNativeAgg(ps, maxCentroids), df)
         else (WeightedQuantileSketch.weightedPercentilesAgg(ps, maxCentroids), clean)
-      val qs = in.groupBy(groupby.map(col): _*)
-        .agg(agg(col(valueCol).cast("double"), col(weightCol).cast("double")).as("_qs"))
+      val base = in.groupBy(groupby.map(col): _*)
+      val qs =
+        if (native)
+          base.agg(
+            agg(col(valueCol).cast("double"), col(weightCol).cast("double")).as("_qs"),
+            count(when(valid, 1)).as("_nvalid"),
+          ).where(col("_nvalid") > 0)
+        else
+          base.agg(agg(col(valueCol).cast("double"), col(weightCol).cast("double")).as("_qs"))
       qs.select(groupby.map(col) ++ names.zipWithIndex.map { case (n, i) =>
         element_at(col("_qs"), i + 1).as(n)
       }: _*)

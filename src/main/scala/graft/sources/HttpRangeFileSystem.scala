@@ -33,6 +33,19 @@ import org.apache.hadoop.util.Progressable
   * explicit file URLs (`listStatus` of a file returns itself — exactly
   * what Spark's file index needs for explicit multi-file reads). All
   * mutation entry points throw: the scheme is read-only by design.
+  *
+  * Resilience (the S3A discipline, conf-driven like `fs.s3a.*`):
+  * every connection gets connect/read timeouts so a hung server fails
+  * the request instead of blocking an executor task forever, and every
+  * request (HEAD, sequential GET, ranged GET) is retried with
+  * exponential backoff on transient failures — connection resets and
+  * 5xx — but never on 4xx (a 404 is a real answer, and task-level
+  * retry would only re-read whole splits for a deterministic error):
+  *
+  *   - `fs.graft.http.connect.timeout.ms` (default 30 000)
+  *   - `fs.graft.http.read.timeout.ms`    (default 60 000)
+  *   - `fs.graft.http.retries`            (default 3 — attempts = 1+3)
+  *   - `fs.graft.http.retry.interval.ms`  (default 100, doubled per try)
   */
 class HttpRangeFileSystem extends FileSystem {
 
@@ -50,6 +63,15 @@ class HttpRangeFileSystem extends FileSystem {
 
   override def getUri: URI = fsUri
 
+  private def policy: HttpRetryPolicy = {
+    val c = getConf
+    HttpRetryPolicy(
+      connectTimeoutMs = c.getInt("fs.graft.http.connect.timeout.ms", 30000),
+      readTimeoutMs = c.getInt("fs.graft.http.read.timeout.ms", 60000),
+      retries = c.getInt("fs.graft.http.retries", 3),
+      retryIntervalMs = c.getLong("fs.graft.http.retry.interval.ms", 100L))
+  }
+
   private def urlOf(f: Path): URL = {
     val u = f.toUri
     val abs =
@@ -59,28 +81,31 @@ class HttpRangeFileSystem extends FileSystem {
   }
 
   override def getFileStatus(f: Path): FileStatus = {
-    val conn = urlOf(f).openConnection().asInstanceOf[HttpURLConnection]
-    try {
-      conn.setRequestMethod("HEAD")
-      conn.setInstanceFollowRedirects(true)
-      val code = conn.getResponseCode
-      if (code == HttpURLConnection.HTTP_NOT_FOUND)
-        throw new FileNotFoundException(f.toString)
-      if (code >= 400)
-        throw new IOException(s"HEAD $f failed: HTTP $code")
-      val len = conn.getHeaderFieldLong("Content-Length", -1L)
-      if (len < 0)
-        throw new IOException(
-          s"HEAD $f returned no Content-Length — cannot serve seekable reads")
-      val mtime = math.max(0L, conn.getLastModified)
-      // blockSize only steers split sizing; 128 MB matches HDFS default
-      new FileStatus(len, false, 1, 128L * 1024 * 1024, mtime, makeQualified(f))
-    } finally conn.disconnect()
+    val p = policy
+    p.withRetries(s"HEAD $f") {
+      val conn = p.connect(urlOf(f))
+      try {
+        conn.setRequestMethod("HEAD")
+        conn.setInstanceFollowRedirects(true)
+        val code = conn.getResponseCode
+        if (code == HttpURLConnection.HTTP_NOT_FOUND)
+          throw new FileNotFoundException(f.toString)
+        if (code >= 400)
+          throw HttpRetryPolicy.statusException(code, s"HEAD $f failed: HTTP $code")
+        val len = conn.getHeaderFieldLong("Content-Length", -1L)
+        if (len < 0)
+          throw new IOException(
+            s"HEAD $f returned no Content-Length — cannot serve seekable reads")
+        val mtime = math.max(0L, conn.getLastModified)
+        // blockSize only steers split sizing; 128 MB matches HDFS default
+        new FileStatus(len, false, 1, 128L * 1024 * 1024, mtime, makeQualified(f))
+      } finally conn.disconnect()
+    }
   }
 
   override def open(f: Path, bufferSize: Int): FSDataInputStream = {
     val len = getFileStatus(f).getLen
-    new FSDataInputStream(new HttpRangeInputStream(urlOf(f), len))
+    new FSDataInputStream(new HttpRangeInputStream(urlOf(f), len, policy))
   }
 
   /** No directory listings over plain HTTP: a file lists as itself
@@ -108,11 +133,78 @@ class HttpsRangeFileSystem extends HttpRangeFileSystem {
   override def getScheme: String = "https"
 }
 
+/** Timeout + bounded-retry policy for one filesystem instance (read
+  * once from the Hadoop conf; see [[HttpRangeFileSystem]] Scaladoc for
+  * the keys and defaults).
+  */
+private[sources] final case class HttpRetryPolicy(
+    connectTimeoutMs: Int,
+    readTimeoutMs: Int,
+    retries: Int,
+    retryIntervalMs: Long,
+) {
+
+  /** Open a connection with the policy's timeouts applied — the ONLY
+    * way this package opens HTTP connections, so no call site can hang
+    * an executor task on a wedged server.
+    */
+  def connect(url: URL): HttpURLConnection = {
+    val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+    conn.setConnectTimeout(connectTimeoutMs)
+    conn.setReadTimeout(readTimeoutMs)
+    conn
+  }
+
+  /** Run `op`, retrying up to `retries` times with exponential backoff
+    * on transient IO failures (resets, timeouts, 5xx). Deterministic
+    * answers — 404 (`FileNotFoundException`) and other 4xx
+    * ([[HttpRetryPolicy.HttpStatusException]] below 500) — propagate
+    * immediately: re-asking cannot change them.
+    */
+  def withRetries[A](what: => String)(op: => A): A = {
+    var attempt = 0
+    var backoff = retryIntervalMs
+    while (true) {
+      try return op
+      catch {
+        case e: FileNotFoundException => throw e
+        case e: HttpRetryPolicy.HttpStatusException if e.code < 500 => throw e
+        case e: IOException =>
+          attempt += 1
+          if (attempt > retries) throw e
+          try Thread.sleep(backoff)
+          catch {
+            case ie: InterruptedException =>
+              Thread.currentThread().interrupt()
+              throw e
+          }
+          backoff *= 2
+      }
+    }
+    throw new IllegalStateException(s"unreachable: $what")
+  }
+}
+
+private[sources] object HttpRetryPolicy {
+  /** IOException carrying the HTTP status so retry logic can separate
+    * transient 5xx from deterministic 4xx.
+    */
+  final class HttpStatusException(val code: Int, msg: String) extends IOException(msg)
+
+  def statusException(code: Int, msg: String): IOException =
+    new HttpStatusException(code, msg)
+}
+
 /** Seekable HTTP stream: lazy connection with a `Range: bytes=pos-`
   * header, re-opened only when a seek actually moves the position.
-  * Positioned reads go through separate bounded-range requests.
+  * Positioned reads go through separate bounded-range requests. All
+  * requests run under `policy`'s timeouts; sequential reads that die
+  * mid-stream retry by reopening at the current position (reads only
+  * advance `pos` by bytes actually delivered, so a resumed request
+  * continues exactly where the wire broke).
   */
-private[sources] class HttpRangeInputStream(url: URL, len: Long) extends FSInputStream {
+private[sources] class HttpRangeInputStream(url: URL, len: Long, policy: HttpRetryPolicy)
+    extends FSInputStream {
 
   private var pos = 0L
   private var in: InputStream = _
@@ -126,23 +218,27 @@ private[sources] class HttpRangeInputStream(url: URL, len: Long) extends FSInput
 
   private def ensureOpen(): Unit = {
     if (in == null) {
-      val conn = url.openConnection().asInstanceOf[HttpURLConnection]
-      if (pos > 0) conn.setRequestProperty("Range", s"bytes=$pos-")
-      val code = conn.getResponseCode
-      if (code != HttpURLConnection.HTTP_OK && code != HttpURLConnection.HTTP_PARTIAL)
-        throw new IOException(s"GET $url (from $pos) failed: HTTP $code")
-      in = conn.getInputStream
-      if (pos > 0 && code == HttpURLConnection.HTTP_OK) {
-        // server ignored Range: burn the prefix so semantics stay right
-        var remaining = pos
-        while (remaining > 0) {
-          val skipped = in.skip(remaining)
-          if (skipped <= 0) {
-            if (in.read() < 0) throw new EOFException(s"EOF skipping to $pos in $url")
-            remaining -= 1
-          } else remaining -= skipped
+      val conn = policy.connect(url)
+      var ok = false
+      try {
+        if (pos > 0) conn.setRequestProperty("Range", s"bytes=$pos-")
+        val code = conn.getResponseCode
+        if (code != HttpURLConnection.HTTP_OK && code != HttpURLConnection.HTTP_PARTIAL)
+          throw HttpRetryPolicy.statusException(code, s"GET $url (from $pos) failed: HTTP $code")
+        in = conn.getInputStream
+        if (pos > 0 && code == HttpURLConnection.HTTP_OK) {
+          // server ignored Range: burn the prefix so semantics stay right
+          var remaining = pos
+          while (remaining > 0) {
+            val skipped = in.skip(remaining)
+            if (skipped <= 0) {
+              if (in.read() < 0) throw new EOFException(s"EOF skipping to $pos in $url")
+              remaining -= 1
+            } else remaining -= skipped
+          }
         }
-      }
+        ok = true
+      } finally if (!ok) { closeStream(); conn.disconnect() }
     }
   }
 
@@ -157,56 +253,68 @@ private[sources] class HttpRangeInputStream(url: URL, len: Long) extends FSInput
 
   override def read(): Int = {
     if (pos >= len) return -1
-    ensureOpen()
-    val b = in.read()
-    if (b >= 0) pos += 1 else closeStream()
-    b
+    policy.withRetries(s"GET $url @$pos") {
+      try {
+        ensureOpen()
+        val b = in.read()
+        if (b >= 0) pos += 1 else closeStream()
+        b
+      } catch { case e: IOException => closeStream(); throw e }
+    }
   }
 
   override def read(buf: Array[Byte], off: Int, length: Int): Int = {
     if (length == 0) return 0
     if (pos >= len) return -1
-    ensureOpen()
-    val n = in.read(buf, off, length)
-    if (n > 0) pos += n else closeStream()
-    n
+    policy.withRetries(s"GET $url @$pos") {
+      try {
+        ensureOpen()
+        val n = in.read(buf, off, length)
+        if (n > 0) pos += n else closeStream()
+        n
+      } catch { case e: IOException => closeStream(); throw e }
+    }
   }
 
   /** Positioned read: one independent `bytes=a-b` request, sequential
     * stream untouched (parquet reads its footer and column chunks this
-    * way — reopening the main stream per chunk would thrash).
+    * way — reopening the main stream per chunk would thrash). The whole
+    * request is idempotent, so the retry wraps it wholesale.
     */
   override def read(position: Long, buffer: Array[Byte], offset: Int, length: Int): Int = {
     if (position >= len) return -1
     val want = math.min(length.toLong, len - position).toInt
     if (want <= 0) return 0
-    val conn = url.openConnection().asInstanceOf[HttpURLConnection]
-    try {
-      conn.setRequestProperty("Range", s"bytes=$position-${position + want - 1}")
-      val code = conn.getResponseCode
-      if (code != HttpURLConnection.HTTP_PARTIAL && code != HttpURLConnection.HTTP_OK)
-        throw new IOException(s"ranged GET $url [$position, +$want) failed: HTTP $code")
-      val s = conn.getInputStream
+    policy.withRetries(s"ranged GET $url [$position, +$want)") {
+      val conn = policy.connect(url)
       try {
-        if (code == HttpURLConnection.HTTP_OK && position > 0) {
-          var remaining = position
-          while (remaining > 0) {
-            val skipped = s.skip(remaining)
-            if (skipped <= 0) {
-              if (s.read() < 0) throw new EOFException(s"EOF skipping to $position in $url")
-              remaining -= 1
-            } else remaining -= skipped
+        conn.setRequestProperty("Range", s"bytes=$position-${position + want - 1}")
+        val code = conn.getResponseCode
+        if (code != HttpURLConnection.HTTP_PARTIAL && code != HttpURLConnection.HTTP_OK)
+          throw HttpRetryPolicy.statusException(code,
+            s"ranged GET $url [$position, +$want) failed: HTTP $code")
+        val s = conn.getInputStream
+        try {
+          if (code == HttpURLConnection.HTTP_OK && position > 0) {
+            var remaining = position
+            while (remaining > 0) {
+              val skipped = s.skip(remaining)
+              if (skipped <= 0) {
+                if (s.read() < 0) throw new EOFException(s"EOF skipping to $position in $url")
+                remaining -= 1
+              } else remaining -= skipped
+            }
           }
-        }
-        var done = 0
-        while (done < want) {
-          val n = s.read(buffer, offset + done, want - done)
-          if (n < 0) return if (done == 0) -1 else done
-          done += n
-        }
-        done
-      } finally s.close()
-    } finally conn.disconnect()
+          var done = 0
+          var eof = false
+          while (done < want && !eof) {
+            val n = s.read(buffer, offset + done, want - done)
+            if (n < 0) eof = true else done += n
+          }
+          if (done == 0 && eof) -1 else done
+        } finally s.close()
+      } finally conn.disconnect()
+    }
   }
 
   override def close(): Unit = closeStream()

@@ -29,6 +29,21 @@ object LoopbackHttpServer {
     val fullGets = new AtomicLong
     val rangedGets = new AtomicLong
     val bytesServed = new AtomicLong
+    /** Fault injection for resilience specs: the next N ranged GETs are
+      * answered 503 (after counting them), exercising the client's
+      * bounded-retry path without a flaky network. 0 = healthy.
+      */
+    val failNextRangedGets = new AtomicLong
+    /** 503s actually served — lets a spec assert the faults were
+      * consumed by retries rather than silently never hit.
+      */
+    val injectedFailures = new AtomicLong
+    /** 404s served (missing file or traversal attempt) — lets a spec
+      * assert a deterministic miss was asked exactly once, not retried.
+      */
+    val notFound = new AtomicLong
+
+    def injectRangedFailures(n: Long): Unit = failNextRangedGets.set(n)
   }
 
   private case class Running(server: HttpServer, port: Int, counters: Counters)
@@ -85,6 +100,7 @@ object LoopbackHttpServer {
       val target = new File(root, rel).getCanonicalFile
       // traversal guard: resolved target must stay under the root
       if (!target.getPath.startsWith(root.getPath + File.separator) || !target.isFile) {
+        c.notFound.incrementAndGet()
         ex.sendResponseHeaders(404, -1); return
       }
       val len = target.length()
@@ -99,6 +115,10 @@ object LoopbackHttpServer {
           Option(ex.getRequestHeaders.getFirst("Range")) match {
             case Some(RangeRe(fromS, toS)) =>
               c.rangedGets.incrementAndGet()
+              if (c.failNextRangedGets.get() > 0 && c.failNextRangedGets.getAndDecrement() > 0) {
+                c.injectedFailures.incrementAndGet()
+                ex.sendResponseHeaders(503, -1); return
+              }
               val from = fromS.toLong
               val to = if (toS.isEmpty) len - 1 else math.min(toS.toLong, len - 1)
               if (from > to || from >= len) {

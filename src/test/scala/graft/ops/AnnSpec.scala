@@ -408,4 +408,114 @@ class AnnSpec extends SparkSpec {
       maxIterations = 3, vecCol = "vec")
     assert(capped == 3)
   }
+
+  // --- distributed-centroid assignment (round-18: the k-ceiling path) ---
+
+  private def testCentroids(k: Int): Seq[(Int, Array[Double])] =
+    (0 until k).map { i =>
+      val v = Array.tabulate(dim) { d =>
+        var x = 991L + i * 257L + d * 53L
+        x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+        ((x * 0x2545F4914F6CDD1DL >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+      }
+      (i * 3 + 1, v) // non-contiguous labels: the tie/order contract is on labels
+    }
+
+  /** Largest centroid payload baked into the PLAN (rather than carried
+    * as data): array literals AND the [[graft.plans.NearestCentroid]]
+    * kernel's constructor-held flat matrix both count — either form is
+    * driver state shipped with every task closure.
+    */
+  private def maxPlanBakedElems(df: org.apache.spark.sql.DataFrame): Long = {
+    var mx = 0L
+    df.queryExecution.optimizedPlan.foreach { node =>
+      node.expressions.foreach(_.foreach {
+        case l: org.apache.spark.sql.catalyst.expressions.Literal =>
+          l.value match {
+            case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+              mx = math.max(mx, a.numElements().toLong)
+            case _ =>
+          }
+        case nc: graft.plans.NearestCentroid =>
+          mx = math.max(mx, nc.flat.length.toLong)
+        case _ =>
+      })
+    }
+    mx
+  }
+
+  test("assignClustersAuto: frame route at full probe is bit-identical to the literal kernel") {
+    val df = vecs(150)
+    val ctrs = testCentroids(40)
+    def asMap(out: org.apache.spark.sql.DataFrame) = out.collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Int]("cluster"), r.getAs[Double]("centroid_sim"))).toMap
+    val flat = asMap(Ann.assignClustersAuto(df, ctrs, kThreshold = 4096))
+    // kThreshold below k forces the two-level frame route; full probe
+    val routed = asMap(Ann.assignClustersAuto(df, ctrs, kThreshold = 8))
+    assert(flat.size == 150 && routed.size == 150)
+    assert(routed == flat, {
+      val bad = flat.keys.filter(k => routed.get(k) != flat.get(k)).take(3)
+      s"routes diverge at ids $bad: flat=${bad.map(flat.get)}, routed=${bad.map(routed.get)}"
+    })
+  }
+
+  test("frame route carries no k-proportional literal in its plan; the flat route does") {
+    val df = vecs(50)
+    val k = 40
+    val ctrs = testCentroids(k)
+    val flatPlanMax = maxPlanBakedElems(Ann.assignClustersAuto(df, ctrs, kThreshold = 4096))
+    assert(flatPlanMax >= k.toLong * dim,
+      s"flat route should bake the k×dim matrix ($flatPlanMax < ${k * dim})")
+    val cells = math.ceil(math.sqrt(k.toDouble)).toInt
+    val framePlanMax = maxPlanBakedElems(Ann.assignClustersAuto(df, ctrs, kThreshold = 8))
+    assert(framePlanMax <= cells.toLong * dim,
+      s"frame route must hold only the √k coarse codebook as a literal " +
+        s"(max literal $framePlanMax > cells·dim ${cells * dim})")
+  }
+
+  test("bounded probes are the stated approximation: never better than exact, equal when probed") {
+    val df = vecs(80)
+    val ctrs = testCentroids(36)
+    val exact = Ann.assignClustersAuto(df, ctrs, kThreshold = 4096).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Int]("cluster"), r.getAs[Double]("centroid_sim"))).toMap
+    val approx = Ann.assignClustersAuto(df, ctrs, kThreshold = 8, coarseProbes = 2).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Int]("cluster"), r.getAs[Double]("centroid_sim"))).toMap
+    assert(approx.nonEmpty)
+    approx.foreach { case (id, (cl, sim)) =>
+      val (ecl, esim) = exact(id)
+      assert(sim <= esim + 1e-12, s"id=$id approx sim $sim beats exact $esim")
+      if (cl == ecl) assert(sim == esim, s"id=$id same cluster but different sim")
+    }
+    // most vectors' true cell is among the 2 nearest probes on this data
+    val agree = approx.count { case (id, v) => exact(id) == v }
+    assert(agree.toDouble / approx.size > 0.5, s"probe-2 agreement too low: $agree/${approx.size}")
+  }
+
+  test("semanticDedupDistributed at full probe equals semanticDedup (same centroids)") {
+    import spark.implicits._
+    val base = vecs(90)
+    // planted near-duplicates: copy of rows 0-4 with a tiny first-coord nudge
+    val planted = base.where(col("vec_id") < 5).select(
+      (col("vec_id") + lit(1000L)).as("vec_id"),
+      concat(array(lit(0.0f)), slice(col("embedding"), 2, dim - 1)).as("embedding"))
+    val corpus = base.unionByName(planted)
+    val ctrs = testCentroids(24)
+    val lit0 = Ann.semanticDedup(corpus, ctrs, threshold = 0.8, dim = dim).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cluster"),
+        r.getAs[Double]("centroid_sim"))).toSet
+    val sorted = ctrs.sortBy(_._1)
+    val cells = math.ceil(math.sqrt(sorted.size.toDouble)).toInt
+    val stride = math.max(1, sorted.size / cells)
+    val coarse = sorted.indices.by(stride).take(cells).map(i => sorted(i)._2).toArray
+    val dist = Ann.semanticDedupDistributed(corpus, sorted.toDF("cluster", "centroid"),
+      coarse, threshold = 0.8, dim = dim).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cluster"),
+        r.getAs[Double]("centroid_sim"))).toSet
+    assert(dist == lit0,
+      s"only-literal ${(lit0 -- dist).take(3)}; only-distributed ${(dist -- lit0).take(3)}")
+    assert(lit0.size < corpus.count(), "fixture must actually drop planted duplicates")
+  }
 }

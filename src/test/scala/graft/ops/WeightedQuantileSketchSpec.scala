@@ -172,6 +172,37 @@ class WeightedQuantileSketchSpec extends SparkSpec {
     assert(Stats.quantileTable(df, "v", "w", Seq("g"), Seq(0.125)).columns.contains("p12_5"))
   }
 
+  test("quantileTable: all-invalid group is dropped identically on native, udaf, and window routes") {
+    // group 1 is healthy; group 2's every row has a null value or a
+    // null/non-positive weight. All three routes must emit ONLY group 1
+    // (round-17 verdict item: the unfiltered native scan used to emit
+    // group 2 with NaN percentiles while the other routes dropped it).
+    def fixture(s: org.apache.spark.sql.SparkSession) = {
+      import s.implicits._
+      Seq(
+        (1, Some(1.0), Some(1.0)), (1, Some(2.0), Some(1.0)), (1, Some(3.0), Some(1.0)),
+        (2, None, Some(5.0)), (2, Some(7.0), None), (2, Some(7.0), Some(0.0)),
+        (2, Some(7.0), Some(-3.0)),
+      ).toDF("g", "v", "w")
+    }
+    def groups(df: org.apache.spark.sql.DataFrame): Map[Int, Double] =
+      df.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // native route (GraftExtensions installed on the shared session)
+    assert(spark.sessionState.catalog.isRegisteredFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("wq_percentiles")))
+    val nat = groups(Stats.quantileTable(fixture(spark), "v", "w", Seq("g"), Seq(0.5), useSketch = true))
+    // window route
+    val win = groups(Stats.quantileTable(fixture(spark), "v", "w", Seq("g"), Seq(0.5)))
+    // udaf fallback route (registry without wq_percentiles)
+    val s2 = spark.newSession()
+    s2.sessionState.functionRegistry.dropFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("wq_percentiles"))
+    val ud = groups(Stats.quantileTable(fixture(s2), "v", "w", Seq("g"), Seq(0.5), useSketch = true))
+    assert(nat == Map(1 -> 2.0), s"native route emitted $nat")
+    assert(win == nat, s"window $win vs native $nat")
+    assert(ud == nat, s"udaf $ud vs native $nat")
+  }
+
   test("quantileTable sketch path works without GraftExtensions (udaf fallback)") {
     // simulate a plain SparkSession: a new session with wq_percentiles
     // dropped from the registry — percentilesAggFor must route to the
