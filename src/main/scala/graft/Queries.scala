@@ -2117,7 +2117,7 @@ items:
       concat(col("text"),
         lit(" contact bob@example.com call 555-123-4567 ip 10.0.0.1")))
       .otherwise(col("text"))
-    T(s, dir, "documents").select(col("doc_id"),
+    Dedup.scatter(T(s, dir, "documents")).select(col("doc_id"),
       Curation.redactPii(planted).as("redacted"))
   }
 
@@ -2304,9 +2304,11 @@ items:
            string_agg(tok, ' ' ORDER BY pos) AS chunk_text
     FROM tc GROUP BY 1, 2 ORDER BY doc_id, chunk_id"""
 
-  /** Language-ID heuristic (stopword-hit argmax). */
+  /** Language-ID heuristic (stopword-hit argmax). Scattered: a pure
+    * projection over an under-partitioned fixture runs on one task.
+    */
   def langId(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "documents").select(col("doc_id"), col("lang"),
+    Dedup.scatter(T(s, dir, "documents")).select(col("doc_id"), col("lang"),
       TextOps.languageId(col("text")).as("pred_lang"))
 
   /** The language-ID CASE expression over a `text` column — shared by
@@ -2328,9 +2330,9 @@ items:
     SELECT doc_id, lang, $langIdCaseSql AS pred_lang
     FROM documents"""
 
-  /** Quality scoring. */
+  /** Quality scoring. Scattered (same rationale as [[langId]]). */
   def qualityScore(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "documents").select(col("doc_id"),
+    Dedup.scatter(T(s, dir, "documents")).select(col("doc_id"),
       TextOps.qualityScore(col("text")).as("quality"))
 
   /** The rounded quality expression over a `text` column — shared by the
@@ -2384,12 +2386,27 @@ items:
     // generated method blows past Janino's limits, knocking the whole
     // stage out of codegen. The barrier costs nothing: no shuffle, one
     // array alloc per row, and the stage stays whole-stage-codegen'd.
-    val redacted = docs.select(col("doc_id"),
+    // scatter first: at sf fixtures the 5000-doc corpus is ONE parquet
+    // row group = one task, serializing every regex/tokenize below onto
+    // a single core (measured 3.6s single-task at sf0.1); at corpus
+    // scale the input already has enough partitions and this no-ops
+    val redacted = Dedup.scatter(docs).select(col("doc_id"),
       explode(array(Curation.redactPii(planted))).as("text"))
-    val scored = redacted
-      .withColumn("pred_lang", TextOps.languageId(col("text")))
-      .withColumn("quality", TextOps.qualityScore(col("text")))
-      .withColumn("n_tokens", TextOps.tokenCount(col("text")).cast(IntegerType))
+    // Second generator barrier for the SCORES: without it the optimizer
+    // pushes the pred_lang/quality filter below the projection,
+    // substituting the full language-ID and quality expression trees
+    // into a Filter — where, unlike ProjectExec, codegen performs no
+    // subexpression elimination, so the ~16 repeated tokenize subtrees
+    // inside languageId (and the whole quality tree, again in the
+    // surviving Project) re-evaluate per row. Behind the barrier each
+    // score is computed once per row and the filter tests attributes.
+    val scored = redacted.select(col("doc_id"), col("text"),
+      explode(array(struct(
+        TextOps.languageId(col("text")).as("pred_lang"),
+        TextOps.qualityScore(col("text")).as("quality"),
+        TextOps.tokenCount(col("text")).cast(IntegerType).as("n_tokens")))).as("_s"))
+      .select(col("doc_id"), col("text"), col("_s.pred_lang").as("pred_lang"),
+        col("_s.quality").as("quality"), col("_s.n_tokens").as("n_tokens"))
     val kept = scored.where(col("pred_lang") === "en" && col("quality") >= 0.45)
     val deduped = kept
       .groupBy(TextOps.fingerprint(col("text")).as("fingerprint"))
@@ -2975,10 +2992,18 @@ items:
       s"saturated fixture: expected exactly 25 docs with doc_id < 25, got ${stats.getLong(2)}")
     val reps = math.max(2, math.ceil(24000.0 / stats.getLong(0)).toInt)
     val corpus = (0 until reps).map { r =>
+      // per-replica token suffix via ONE codegen regexp_replace (every
+      // non-space run gets the suffix) — the transform(split(...))
+      // formulation evaluated its lambda INTERPRETED per token and
+      // dominated the gate's corpus-construction pass. Whitespace
+      // handling differs trivially from the old form (original spacing
+      // kept, no phantom token on edge whitespace); the gate's derived
+      // booleans are construction-shape-independent: replicas stay
+      // shingle-disjoint (suffix per replica), the ≥ 24000-doc density
+      // pigeonhole is count-based, and the planted copies are verbatim.
       val t =
         if (r == 0) col("text")
-        else concat_ws(" ",
-          transform(split(col("text"), "\\s+"), x => concat(x, lit(s"q$r"))))
+        else regexp_replace(col("text"), "(\\S+)", s"$$1q$r")
       base.select((col("doc_id") + lit(r * 1000000L)).as("doc_id"), t.as("text"))
     }.reduce(_.unionByName(_))
     // planted ids live one replica-stride ABOVE the last replica, so no
@@ -2993,7 +3018,11 @@ items:
     val full = corpus.unionByName(planted)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cap = 10
-    val (route, cands) = Dedup.nearDupsAuto(full, maxBucketSize = cap)
+    // nearDupsAutoDetail: the dispatcher's own (persisted) census backs
+    // the saturation readout below — the previous simHashBucketCensus
+    // call here re-hashed the 24k-doc corpus a SECOND time to rebuild
+    // the exact frame the dispatcher had just aggregated
+    val (route, cands, census) = Dedup.nearDupsAutoDetail(full, maxBucketSize = cap)
     val sh = full.select(col("doc_id"), Dedup.shingleHashes(col("text")).as("_sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sh.select(col("doc_id").as("id_a"), col("_sh").as("_sha"))
@@ -3002,7 +3031,7 @@ items:
       .select(col("id_a"), col("id_b"),
         round(Dedup.jaccardHashes(col("_sha"), col("_shb")), 6).as("jaccard"))
       .where(col("jaccard") >= 0.6)
-    val saturatedBuckets = Dedup.simHashBucketCensus(full, bands = 8)
+    val saturatedBuckets = census
       .agg(sum(when(col("_n") > 8L * cap, 1L).otherwise(0L)).as("_sat"))
     verified.agg(
       sum(when(col("id_a") < 25 && col("id_b") === col("id_a") + plantedShift &&

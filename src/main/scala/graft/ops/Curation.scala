@@ -250,7 +250,7 @@ object Curation {
   ): DataFrame = {
     require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens,
       s"need 0 < stride <= chunkTokens, got stride=$stride chunkTokens=$chunkTokens")
-    val tokRows = df.select(col(idCol),
+    val tokRows = Dedup.scatter(df).select(col(idCol),
       posexplode(TextOps.tokens(coalesce(col(textCol), lit("")))).as(Seq("_p", "_t")))
     // first/last chunk containing pos p (int arithmetic, lo clamped):
     // lo = ceil((p - chunkTokens + 1) / stride), hi = floor(p / stride)

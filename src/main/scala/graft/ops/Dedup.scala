@@ -26,7 +26,7 @@ object Dedup {
     * physical plan + lineage per call, which round-4/5 profiling showed
     * as pure overhead on every signature stage.
     */
-  private[ops] def scatter(df: DataFrame): DataFrame = {
+  private[graft] def scatter(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
     val maxPartBytes = spark.sessionState.conf.filesMaxPartitionBytes
@@ -351,19 +351,60 @@ object Dedup {
       minhashBands: Int = 32,
       handle: StorageHandle = StorageHandle.unmanaged,
   ): (String, DataFrame) = {
+    val (route, cands, _) = nearDupsAutoDetail(df, textCol, idCol, maxDistance,
+      bands, maxBucketSize, minhashBands, handle)
+    (route, cands)
+  }
+
+  /** [[nearDupsAuto]] plus the routing census itself —
+    * (route, candidate pairs, (_q, _k, _n) census). The census is the
+    * already-persisted ≤ bands·2^(64/bands)-row frame the routing
+    * decision aggregated, handed out so callers that need a saturation
+    * readout (the gate queries) don't re-hash the corpus a second time
+    * to reconstruct it (guide §2.4: the census costs a full
+    * corpus-hash pass at scale).
+    */
+  def nearDupsAutoDetail(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxDistance: Int = 16,
+      bands: Int = 8,
+      maxBucketSize: Int = 1000,
+      minhashBands: Int = 32,
+      handle: StorageHandle = StorageHandle.unmanaged,
+  ): (String, DataFrame, DataFrame) = {
     require(maxBucketSize > 0, "saturation is defined relative to a positive cap")
     val banded = handle.persist(bandedSlices(simHashes(df, textCol, idCol), idCol, bands))
-    val counts = banded.groupBy("_q", "_k").agg(count(lit(1)).as("_n"))
-    val saturated = !counts.where(col("_n") > 8L * maxBucketSize).isEmpty
+    // persist the census too (≤ bands·2^(64/bands) slim rows): the
+    // saturation readout below is the action that fills it, and on the
+    // cool route simHashCandidatesFromBanded consumes it THREE more
+    // times (cool filter, hot filter, cap-adjacent filter) — without the
+    // persist each consumer re-aggregates the full banded frame, three
+    // extra passes over n·bands rows at corpus scale (guide §2.4)
+    val counts = handle.persist(banded.groupBy("_q", "_k").agg(count(lit(1)).as("_n")))
+    // count(), not isEmpty: isEmpty's limit-1 job can leave the census
+    // cache PARTIALLY filled, and on the saturated route banded is
+    // dropped next — un-filled census partitions would then recompute
+    // through a fresh corpus-hash pass. The full count (over the cached
+    // banded rows, ≤ bands·2^width groups) materializes every census
+    // partition in one tiny job.
+    val saturated = counts.where(col("_n") > 8L * maxBucketSize).count() > 0
     if (saturated) {
       // MinHash keys on shingle content, not SimHash slices — the
       // banded cache is useless on that route; drop it before the
       // heavy pass rather than letting it squat on executor memory.
+      // `counts` stays: the isEmpty readout above already materialized
+      // its (tiny) cache independent of banded, and detail callers
+      // aggregate it for the saturation evidence.
       banded.unpersist()
-      ("minhash", minHashCandidates(df, textCol, idCol, bands = minhashBands, handle = handle))
+      ("minhash",
+        minHashCandidates(df, textCol, idCol, bands = minhashBands, handle = handle),
+        counts)
     } else
       ("simhash", simHashCandidatesFromBanded(banded, counts, idCol, maxDistance, bands,
-        maxBucketSize, neighborWindow = 8).select("id_a", "id_b"))
+        maxBucketSize, neighborWindow = 8, handle).select("id_a", "id_b"),
+        counts)
   }
 
   def simHashCandidates(
@@ -380,12 +421,15 @@ object Dedup {
     val banded = handle.persist(bandedSlices(simHashes(df, textCol, idCol), idCol, bands))
     // bucket census: one tiny aggregate over the cached slim rows (at
     // most bands·2^width groups); joined back as a left-semi filter so
-    // no count column rides the pairwise join
+    // no count column rides the pairwise join. Persisted: the capped
+    // path consumes it three times (cool/hot/cap-adjacent filters) and
+    // re-aggregating the banded frame per consumer is three extra
+    // full passes at corpus scale (guide §2.4)
     val counts =
       if (maxBucketSize <= 0) null
-      else banded.groupBy("_q", "_k").agg(count(lit(1)).as("_n"))
+      else handle.persist(banded.groupBy("_q", "_k").agg(count(lit(1)).as("_n")))
     simHashCandidatesFromBanded(banded, counts, idCol, maxDistance, bands,
-      maxBucketSize, neighborWindow)
+      maxBucketSize, neighborWindow, handle)
   }
 
   /** [[simHashCandidates]] from an already-banded (and persisted) slice
@@ -403,6 +447,7 @@ object Dedup {
       bands: Int,
       maxBucketSize: Int,
       neighborWindow: Int,
+      handle: StorageHandle = StorageHandle.unmanaged,
   ): DataFrame = {
     require(64 % bands == 0, s"bands=$bands must divide 64")
     val width = 64 / bands
@@ -519,15 +564,20 @@ object Dedup {
           val hotAdjacent = banded.join(
             counts.where(col("_n") > maxBucketSize && col("_n") <= subBandMaxBucket),
             Seq("_q", "_k"), "left_semi")
-          val sub = hotAdjacent
+          // persisted: `sub` feeds THREE consumers (its census, the
+          // cool pairwise join, the hot sorted-window) and `subCounts`
+          // two — without the persists each consumer re-runs the
+          // hot-adjacent semi-join + 8-way explode from the banded
+          // cache, three more passes over hot membership (guide §2.4)
+          val sub = handle.persist(hotAdjacent
             .select(col(idCol), col("_sh"), col("_q"), col("_k"), rem.as("_rem"))
             .select(col(idCol), col("_sh"),
               explode(array((0 until 8).map { r =>
                 xxhash64(col("_q"), col("_k"), lit(r),
                   shiftrightunsigned(col("_rem"), r * subWidth)
                     .bitwiseAND(lit(subMask)))
-              }: _*)).as("_skey"))
-          val subCounts = sub.groupBy("_skey").agg(count(lit(1)).as("_n"))
+              }: _*)).as("_skey")))
+          val subCounts = handle.persist(sub.groupBy("_skey").agg(count(lit(1)).as("_n")))
           val subCool = sub.join(
             subCounts.where(col("_n") <= maxBucketSize), Seq("_skey"), "left_semi")
           val sa2 = subCool.select(col(idCol).as("id_a"), col("_sh").as("_sh_a"), col("_skey"))
@@ -998,13 +1048,19 @@ object Dedup {
       val norm = trim(regexp_replace(coalesce(col(textCol), lit("")), "\\s+", " "))
       when(norm === "", array().cast("array<string>")).otherwise(split(norm, " "))
     }
-    val toks = df
+    // scatter each tokenize/window pass: they are per-row kernel work
+    // with no upstream exchange, so an under-partitioned input (the sf
+    // fixtures are one row group) serializes them onto a single task.
+    // Deterministic (round-robin repartition local-sorts its input, so
+    // every re-scan places rows identically); no-ops at corpus scale.
+    val sdf = scatter(df)
+    val toks = sdf
       .select(col(idCol), posexplode(toksOf).as(Seq("_pos", "_tok")))
     // hash AFTER the explode — a scalar codegen'd xxhash64 in the same
     // stage (no interpreted transform(...) lambda); the window string
     // is a transient between generator and projection and — on the slim
     // pass — never reaches the exchange
-    val occSlim = df
+    val occSlim = sdf
       .select(col(idCol), posexplode(slidingWindows(toksOf, k)).as(Seq("_pos", "_w")))
       .select(col(idCol), col("_pos"), xxhash64(col("_w")).as("_h"))
     // duplicate occurrences + the (doc, pos)-minimal first per window.
@@ -1042,7 +1098,7 @@ object Dedup {
         // past the broadcast threshold → SMJ) away from a sort/spill
         // of every window string — the sf100 disk-wall.
         val flagged = occSlim.join(dupH, Seq("_h")).select(col(idCol), col("_pos"))
-        val docToks = df.select(col(idCol), toksOf.as("_toks"))
+        val docToks = sdf.select(col(idCol), toksOf.as("_toks"))
         flagged.join(docToks, Seq(idCol))
           .select(col(idCol), col("_pos"),
             concat_ws(" ", slice(col("_toks"), col("_pos") + 1, lit(k))).as("_win"))

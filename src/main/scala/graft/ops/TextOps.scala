@@ -56,7 +56,10 @@ object TextOps {
   def textStats(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     val toks = tokens(t)
-    df.withColumn("n_chars_calc", length(t))
+    // scatter (Dedup.scatter): per-row regex/tokenize work serializes
+    // onto one task when the input has fewer partitions than cores (the
+    // sf fixtures are one row group); no-ops at corpus scale
+    Dedup.scatter(df).withColumn("n_chars_calc", length(t))
       .withColumn("n_tokens", size(toks))
       .withColumn("n_distinct_tokens", size(array_distinct(toks)))
       .withColumn("n_digits", length(t) - length(regexp_replace(t, "[0-9]", "")))
@@ -224,7 +227,8 @@ object TextOps {
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(n >= 1, "n >= 1")
-    val tokRows = df.select(col(idCol), posexplode(normTokens(col(textCol))).as(Seq("_p", "_t")))
+    val tokRows = Dedup.scatter(df)
+      .select(col(idCol), posexplode(normTokens(col(textCol))).as(Seq("_p", "_t")))
     val w = Window.partitionBy(idCol).orderBy(col("_p"))
     val parts = (0 until n).map(i => if (i == 0) col("_t") else lead(col("_t"), i).over(w))
     tokRows
@@ -335,6 +339,9 @@ object TextOps {
     // exchange at all (the windowed sibling below pays a (doc, pos)
     // shuffle+sort only to route per-document state through posexplode).
     // Output rows are distinct by construction for distinct input ids.
+    // Deliberately NOT scattered: the zero-exchange plan is this
+    // operator's pinned contract (TextOpsSpec), and the round-18
+    // measurement showed no gain from a repartition here.
     df.select(col(idCol),
         explode(call_function("winnow_text", col(textCol), lit(k), lit(w))).as("_sel"))
       .select(col(idCol), col("_sel.pos").as("pos"), col("_sel.fp").as("fp"))
@@ -354,7 +361,8 @@ object TextOps {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(k >= 1 && w >= 1, s"shingle size and window must be positive (k=$k, w=$w)")
     import org.apache.spark.sql.expressions.Window
-    val toks = df.select(col(idCol), posexplode(normTokens(col(textCol))).as(Seq("pos", "_t")))
+    val toks = Dedup.scatter(df)
+      .select(col(idCol), posexplode(normTokens(col(textCol))).as(Seq("pos", "_t")))
     val byPos = Window.partitionBy(idCol).orderBy("pos")
     val gramParts = col("_t") +: (1 until k).map(j => lead(col("_t"), j).over(byPos))
     // the k-th token's lead marks incomplete edge shingles (concat_ws
