@@ -2392,21 +2392,20 @@ items:
     // scale the input already has enough partitions and this no-ops
     val redacted = Dedup.scatter(docs).select(col("doc_id"),
       explode(array(Curation.redactPii(planted))).as("text"))
-    // Second generator barrier for the SCORES: without it the optimizer
-    // pushes the pred_lang/quality filter below the projection,
-    // substituting the full language-ID and quality expression trees
-    // into a Filter — where, unlike ProjectExec, codegen performs no
-    // subexpression elimination, so the ~16 repeated tokenize subtrees
-    // inside languageId (and the whole quality tree, again in the
-    // surviving Project) re-evaluate per row. Behind the barrier each
-    // score is computed once per row and the filter tests attributes.
-    val scored = redacted.select(col("doc_id"), col("text"),
-      explode(array(struct(
-        TextOps.languageId(col("text")).as("pred_lang"),
-        TextOps.qualityScore(col("text")).as("quality"),
-        TextOps.tokenCount(col("text")).cast(IntegerType).as("n_tokens")))).as("_s"))
-      .select(col("doc_id"), col("text"), col("_s.pred_lang").as("pred_lang"),
-        col("_s.quality").as("quality"), col("_s.n_tokens").as("n_tokens"))
+    // The scores deliberately stay withColumn + where, NOT behind a
+    // second generator barrier. Round 18 tried barriers here on the
+    // premise that the pushed-down filter re-evaluates the language-ID
+    // tree without subexpression sharing — measured FALSE: a fused
+    // FilterExec's codegen eliminates the ~16 repeated tokenize
+    // subtrees exactly like a Project, while GenerateExec evaluates its
+    // generator expression with NO subexpression elimination (so a
+    // barrier made every row pay all 16) AND a barrier defeats the
+    // lazy-AND short-circuit that skips `quality` for every non-en
+    // row. sf10 A/B: 10.6s this shape vs 22.4-23.2s behind barriers.
+    val scored = redacted
+      .withColumn("pred_lang", TextOps.languageId(col("text")))
+      .withColumn("quality", TextOps.qualityScore(col("text")))
+      .withColumn("n_tokens", TextOps.tokenCount(col("text")).cast(IntegerType))
     val kept = scored.where(col("pred_lang") === "en" && col("quality") >= 0.45)
     val deduped = kept
       .groupBy(TextOps.fingerprint(col("text")).as("fingerprint"))
