@@ -11,6 +11,20 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver invokes `sbt "runMain graft.Bench"` and parses the LAST
+// stdout line as JSON. sbt's default LoggedOutput strategy relays the
+// forked JVM's stdout through the `[info]`-prefixed logger, which broke
+// that parse in every round (BENCH_r01..r18 all record parsed=null).
+// StdoutOutput inherits the forked process's streams verbatim (bench
+// JSON reaches stdout bare; Spark logs stay on stderr), and
+// showSuccess=false drops the trailing "[success] Total time" line so
+// the bench's compact JSON stays the final stdout line.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, which the unused-key
+// lint cannot see — exclude it (the suppressed "[success] Total time"
+// line is observably gone from batch runs)
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -204,7 +204,21 @@ object Bench {
     spark.stop()
     // Full artifact first (complete per-query mins + raw runs + load
     // samples) for any consumer capturing whole stdout...
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"load":$ls,"controls":$ctl,"load_avg_before":$loadBefore,"load_avg_after":$loadAfter,"errors":$es,"sf":"$sfDir"}""")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"load":$ls,"controls":$ctl,"load_avg_before":$loadBefore,"load_avg_after":$loadAfter,"errors":$es,"sf":"$sfDir"}"""
+    println(fullJson)
+    // ...and the same artifact as a SIDECAR FILE (launcher-independent
+    // machine-readable contract: BENCH_r01..r18 all record parsed=null
+    // because sbt's logger prefixed the stdout line — see build.sbt's
+    // outputStrategy fix; the file works under any launcher). Path from
+    // SPARK_GRAFT_BENCH_OUT, default ./bench_last.json; best-effort (a
+    // read-only cwd must not fail the bench).
+    val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
+    try {
+      val w = new java.io.PrintWriter(sidecar, "UTF-8")
+      try w.println(fullJson) finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] sidecar write failed ($sidecar): ${e.getMessage}")
+    }
     // ...then ONE compact summary as the FINAL stdout line. The driver
     // snapshots only the last 2000 bytes of stdout (BENCH_r01..r14 all
     // show tail=2000, parsed=null: the detailed line above is several KB,

@@ -436,6 +436,31 @@ object Ann {
       vecCol: String = "embedding",
       centroidIdCol: String = "cluster",
       centroidVecCol: String = "centroid",
+  ): DataFrame =
+    assignClustersFrameImpl(corpus, centroids, coarse, coarseProbes,
+      idCol, vecCol, centroidIdCol, centroidVecCol, keepVec = false)
+
+  /** [[assignClustersFrame]] with `keepVec`: when true the corpus vector
+    * rides the argmax aggregation (`first` over the per-id group, whose
+    * rows all replicate the same vector — deterministic) and is returned
+    * alongside the verdict. Consumers that need (id, vec, cluster, sim)
+    * — [[semanticDedupDistributed]] — thereby skip a second corpus scan
+    * AND the id-keyed join-back shuffle of n vectors; the vector is
+    * already in flight through the candidate join to compute the cosine,
+    * so carrying it to the output costs nothing new. The shuffle for the
+    * final argmax carries one (id, vec, cand) row per map partition
+    * after partial aggregation.
+    */
+  private[ops] def assignClustersFrameImpl(
+      corpus: DataFrame,
+      centroids: DataFrame,
+      coarse: Array[Array[Double]],
+      coarseProbes: Int,
+      idCol: String,
+      vecCol: String,
+      centroidIdCol: String,
+      centroidVecCol: String,
+      keepVec: Boolean,
   ): DataFrame = {
     require(coarse.nonEmpty, "need at least one coarse cell")
     val probes = if (coarseProbes <= 0) coarse.length else math.min(coarseProbes, coarse.length)
@@ -448,13 +473,20 @@ object Ann {
       .select(col(idCol), col(vecCol),
         probeClusters(col(vecCol), coarse, probes).as("_probes"))
       .select(col(idCol), col(vecCol), explode(col("_probes")).as("_cell"))
-    probed.join(fine, Seq("_cell"))
-      .select(col(idCol),
+    val cands = probed.join(fine, Seq("_cell"))
+      .select(col(idCol), col(vecCol),
         struct(cosine(col(vecCol), col("_fvec")).as("sim"), col("_fid").as("id")).as("_cand"))
-      .groupBy(col(idCol))
-      .agg(max(col("_cand")).as("_best"))
-      .select(col(idCol), col("_best").getField("id").as("cluster"),
-        col("_best").getField("sim").as("centroid_sim"))
+    val agged =
+      if (keepVec)
+        cands.groupBy(col(idCol))
+          .agg(max(col("_cand")).as("_best"), first(col(vecCol)).as(vecCol))
+      else
+        cands.groupBy(col(idCol)).agg(max(col("_cand")).as("_best"))
+    val out = agged.select((col(idCol) +:
+      (if (keepVec) Seq(col(vecCol)) else Nil)) ++ Seq(
+      col("_best").getField("id").as("cluster"),
+      col("_best").getField("sim").as("centroid_sim")): _*)
+    out
   }
 
   /** Threshold-dispatched assignment — the public argmax entry point
@@ -496,12 +528,15 @@ object Ann {
 
   /** [[semanticDedup]] with DataFrame-carried centroids: assignment runs
     * the two-level [[assignClustersFrame]] route (no k×dim literal
-    * anywhere in the plan), the (id, cluster, _csim) verdicts join back
-    * to the vectors on the id key, and the pair/drop spine is the exact
-    * same [[semanticDedupCore]] the literal form runs. At full probe
-    * (`coarseProbes <= 0`) output is bit-identical to [[semanticDedup]]
-    * with the same centroid set; at bounded probes the assignment is the
-    * stated IVF approximation and the drop rule applies to it verbatim.
+    * anywhere in the plan) with the vector CARRIED THROUGH the argmax
+    * aggregation (`keepVec` — one corpus scan, no id-keyed join-back of
+    * n vectors; the r18-shipped shape scanned the corpus twice and
+    * shuffled the vectors a second time to re-attach them), and the
+    * pair/drop spine is the exact same [[semanticDedupCore]] the literal
+    * form runs. At full probe (`coarseProbes <= 0`) output is
+    * bit-identical to [[semanticDedup]] with the same centroid set; at
+    * bounded probes the assignment is the stated IVF approximation and
+    * the drop rule applies to it verbatim.
     */
   def semanticDedupDistributed(
       corpus: DataFrame,
@@ -519,11 +554,9 @@ object Ann {
       seed: Long = 42L,
       handle: StorageHandle = StorageHandle.unmanaged,
   ): DataFrame = {
-    val verdicts = assignClustersFrame(corpus, centroids, coarse, coarseProbes,
-      idCol, vecCol, centroidIdCol, centroidVecCol)
-      .select(col(idCol), col("cluster"), col("centroid_sim").as("_csim"))
-    val assigned = Dedup.scatter(corpus).select(col(idCol), col(vecCol))
-      .join(verdicts, Seq(idCol))
+    val assigned = assignClustersFrameImpl(corpus, centroids, coarse, coarseProbes,
+      idCol, vecCol, centroidIdCol, centroidVecCol, keepVec = true)
+      .select(col(idCol), col(vecCol), col("cluster"), col("centroid_sim").as("_csim"))
     semanticDedupCore(assigned, threshold, dim, numPlanes, bands, idCol, vecCol, seed, handle)
   }
 

@@ -250,7 +250,12 @@ object Curation {
   ): DataFrame = {
     require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens,
       s"need 0 < stride <= chunkTokens, got stride=$stride chunkTokens=$chunkTokens")
-    val tokRows = Dedup.scatter(df).select(col(idCol),
+    // no scatter here: the posexplode feeds a (doc, chunk) hash
+    // aggregation that redistributes anyway, and per-token work is one
+    // integer-sequence explode — the r18 scatter did not reproduce its
+    // same-session win in the clean artifact (0.60→0.70s) and the r19
+    // min-of-5 A/B confirmed the revert (see OPTIMIZATION_r19.md)
+    val tokRows = df.select(col(idCol),
       posexplode(TextOps.tokens(coalesce(col(textCol), lit("")))).as(Seq("_p", "_t")))
     // first/last chunk containing pos p (int arithmetic, lo clamped):
     // lo = ceil((p - chunkTokens + 1) / stride), hi = floor(p / stride)

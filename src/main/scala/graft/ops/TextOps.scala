@@ -180,11 +180,17 @@ object TextOps {
     * float summation order; the exported score divides back to a
     * double at the end.
     *
-    * Scale shape: explode → two map-combined hash aggregations (doc,
-    * term) then (term) → an equi-join of slim (term, df) rows back onto
-    * tf rows → one window bounded per document. The corpus total N
-    * rides a broadcast single-row cross join (no driver action, stays
-    * lazy). Nothing is ever all-pairs; vocabulary rows are (term, long).
+    * Scale shape: explode → ONE map-combined hash aggregation on (doc,
+    * term), then the document frequency as a `count(*) OVER (PARTITION
+    * BY term)` window on the SAME tf rows (each (doc, term) row is one
+    * distinct document containing the term, so the per-term row count
+    * IS df — no second aggregation, no equi-join, no second read of the
+    * exploded frame), then one row_number window bounded per document.
+    * The corpus total N rides a broadcast single-row cross join (no
+    * driver action, stays lazy). One scan of the corpus and three
+    * exchanges ((doc,term) agg → term window → doc window) versus the
+    * five (and two scans) of the aggregate-then-self-join formulation
+    * this replaced. Nothing is ever all-pairs.
     */
   def tfidfTopTerms(
       df: DataFrame,
@@ -195,12 +201,12 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val termRows = df.select(col(idCol), explode(normTokens(col(textCol))).as("term"))
     val tf = termRows.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
-    val dfCounts = tf.groupBy("term").agg(count(lit(1)).as("n_docs_with_term"))
+    val dfWin = Window.partitionBy("term")
     val n = df.select(count(lit(1)).as("_n"))
     val idfScaled = floor(
       log((col("_n") + 1.0) / (col("n_docs_with_term") + 1.0)) * 1e6 + 0.5).cast(LongType)
     val win = Window.partitionBy(idCol).orderBy(col("_score_scaled").desc, col("term").asc)
-    tf.join(dfCounts, Seq("term"))
+    tf.withColumn("n_docs_with_term", count(lit(1)).over(dfWin))
       .crossJoin(broadcast(n))
       .withColumn("_score_scaled", col("tf") * idfScaled)
       .withColumn("_rk", row_number().over(win))
